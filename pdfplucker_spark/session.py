@@ -1,0 +1,57 @@
+"""Tuned SparkSession factory.
+
+Local-mode settings mirror what the same job needs on a 1000-executor
+cluster: AQE on (runtime coalesce + skew splitting), Arrow transfer on with
+a bounded batch size (the reference's aggressive per-doc GC,
+processor.py:334-340, becomes Arrow batch lifetime — maxRecordsPerBatch
+bounds peak memory per Python worker when giant docs appear).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app: str = "pdfplucker_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 256,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cores}]"
+    # Python workers are separate processes; they need the package on their
+    # path (cluster equivalent: spark-submit --py-files, see job.py).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # docs vary 5..100k spans; keep Arrow batches small enough that a
+        # run of giant docs doesn't blow the Python worker (SURVEY §7.4 skew)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,88 @@
+"""End-to-end Spark vs pure-Python oracle equality (SURVEY §5 items 1 & 4).
+
+The correctness invariant from BASELINE.json input_hint: exact per-doc
+span-sequence equality (kind, text, media_ref, order) between the Spark
+engine and the reference oracle, including error-path docs.
+"""
+
+import pyarrow as pa
+import pytest
+
+from pdfplucker_spark.gen import EDGE_DOCS, gen_rows, rows_to_table, write_tier
+from pdfplucker_spark.operators.extract import extract_spans
+from pdfplucker_spark.oracle import extract_doc
+
+
+def _spark_df_from_rows(spark, rows):
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    path = tempfile.mkdtemp(prefix="plk_") + "/in.parquet"
+    pq.write_table(rows_to_table(rows), path)
+    return spark.read.parquet(path)
+
+
+def _assert_equal_to_oracle(result_rows, input_rows):
+    got = {r["doc_id"]: r for r in result_rows}
+    assert len(got) == len(input_rows), "row count mismatch (dup or lost docs)"
+    for doc_id, spans in input_rows:
+        exp = extract_doc(doc_id, spans)
+        g = got[doc_id]
+        assert g["status"] == exp["status"], (doc_id, g["status"], g["error"])
+        assert (g["error"] or None) == exp["error"], doc_id
+        got_spans = [
+            {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "offset": s["offset"]}
+            for s in g["spans"]
+        ]
+        assert got_spans == exp["spans"], f"span mismatch for {doc_id}"
+
+
+def test_edge_docs_spark(spark):
+    rows = list(EDGE_DOCS)
+    out = extract_spans(_spark_df_from_rows(spark, rows)).collect()
+    _assert_equal_to_oracle([r.asDict(recursive=True) for r in out], rows)
+
+
+def test_t1_spark_repartitioned(spark):
+    rows = list(gen_rows("t1"))
+    df = _spark_df_from_rows(spark, rows).repartition(7)  # odd split on purpose
+    out = extract_spans(df).collect()
+    _assert_equal_to_oracle([r.asDict(recursive=True) for r in out], rows)
+
+
+def test_t2_spark_full(spark):
+    rows = list(gen_rows("t2"))
+    df = _spark_df_from_rows(spark, rows)
+    out = extract_spans(df).collect()
+    _assert_equal_to_oracle([r.asDict(recursive=True) for r in out], rows)
+
+
+def test_counters_match_bundle(spark):
+    rows = list(gen_rows("t1"))
+    out = extract_spans(_spark_df_from_rows(spark, rows)).collect()
+    got = {r["doc_id"]: r for r in out}
+    for doc_id, spans in rows:
+        exp = extract_doc(doc_id, spans)
+        g = got[doc_id]
+        assert g["n_pages"] == len(exp["pages"])
+        assert g["n_images"] == len(exp["images"])
+        assert g["n_tables"] == len(exp["tables"])
+        assert g["n_input_spans"] == len(spans)
+
+
+def test_output_schema_stable(spark):
+    df = extract_spans(_spark_df_from_rows(spark, list(EDGE_DOCS)))
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "status", "error", "spans",
+        "n_input_spans", "n_pages", "n_images", "n_tables",
+    ]
+    span_t = df.schema["spans"].dataType.elementType
+    assert [f.name for f in span_t.fields] == ["kind", "text", "media_ref", "offset"]
+
+
+def test_no_shuffle_in_extract_plan(spark):
+    """The extract stage must be map-only — no Exchange in the plan."""
+    df = extract_spans(_spark_df_from_rows(spark, list(EDGE_DOCS)))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
