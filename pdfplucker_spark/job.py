@@ -1,0 +1,149 @@
+"""spark-submit entrypoint — the CLI/batch lifecycle (SURVEY.md §3.4).
+
+Replaces the reference's CLI + pool + per-doc subprocess orchestration
+(cli.py:11-167, processor.py:183-231,342-455) with one declarative plan:
+
+    scan → resume filter (anti-join committed doc_ids) → size-tiered
+    repartition → mapInArrow extract → write spans_out + fails + lineage +
+    metrics
+
+Iceberg-first design, Parquet fallback (SURVEY.md §7.4): with
+``--format iceberg`` tables are written through ``writeTo(...).append()``
+and resume uses the last committed snapshot; in this sandbox (no Iceberg
+runtime jar) ``--format parquet`` appends parquet under ``--output`` and
+resume anti-joins against the committed ``spans_out`` doc_ids.
+
+Cluster run:
+    spark-submit --py-files pdfplucker_spark.zip -m pdfplucker_spark.job \
+        --input <table-or-path> --output <dir> --partitions 2048 --resume
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+from pdfplucker_spark.metrics import (
+    fails_table,
+    lineage_table,
+    run_metrics,
+    with_lineage_cols,
+)
+from pdfplucker_spark.operators.extract import extract_spans
+from pdfplucker_spark.plans.partitioning import DEFAULT_SKEW_THRESHOLD, balance_docs
+from pdfplucker_spark.session import get_spark
+
+
+def read_docs(spark, input_path: str, fmt: str) -> DataFrame:
+    if fmt == "iceberg":
+        return spark.read.table(input_path)
+    return spark.read.parquet(input_path)
+
+
+def _committed_doc_ids(spark, output: str, fmt: str) -> DataFrame | None:
+    try:
+        if fmt == "iceberg":
+            return spark.read.table(f"{output}.spans_out").select("doc_id")
+        return spark.read.parquet(os.path.join(output, "spans_out")).select("doc_id")
+    except Exception:
+        return None  # nothing committed yet
+
+
+def run(
+    spark,
+    input_path: str,
+    output: str,
+    run_id: str | None = None,
+    partitions: int | None = None,
+    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+    resume: bool = False,
+    fmt: str = "parquet",
+    limit: int | None = None,
+) -> dict:
+    """Execute one extraction run; returns the metrics row as a dict
+    (the analogue of process_batch's returned metrics, processor.py:454)."""
+    t0 = time.time()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+
+    docs = read_docs(spark, input_path, fmt)
+    if limit:  # S2: dev/smoke truncation (processor.py:374)
+        docs = docs.limit(limit)
+
+    if resume:
+        committed = _committed_doc_ids(spark, output, fmt)
+        if committed is not None:
+            # checkpoint filter: only docs not already committed. At scale
+            # this is a shuffle anti-join on doc_id; under Iceberg the
+            # preferred path is snapshot-diff of the input instead.
+            docs = docs.join(committed, "doc_id", "left_anti")
+
+    routed = balance_docs(docs, n_parts, skew_threshold)
+    extracted = with_lineage_cols(extract_spans(routed), run_id)
+
+    def _write(df: DataFrame, name: str, mode: str = "append") -> None:
+        if fmt == "iceberg":
+            df.writeTo(f"{output}.{name}").append()
+        else:
+            df.write.mode(mode).parquet(os.path.join(output, name))
+
+    _write(extracted, "spans_out")
+
+    # Re-read the committed output (column-pruned scan of tiny columns) so
+    # metrics/lineage reflect exactly what was durably written.
+    if fmt == "iceberg":
+        written = spark.read.table(f"{output}.spans_out").where(F.col("run_id") == run_id)
+    else:
+        written = spark.read.parquet(os.path.join(output, "spans_out")).where(
+            F.col("run_id") == run_id
+        )
+
+    _write(fails_table(written, run_id), "fails")
+    _write(lineage_table(written), "lineage")
+    metrics_df = run_metrics(written, run_id, initial_time=t0)
+    _write(metrics_df, "metrics")
+    row = metrics_df.collect()[0].asDict()
+    return row
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="pdfplucker_spark extraction job")
+    p.add_argument("--input", required=True, help="input table/path (doc_id, spans)")
+    p.add_argument("--output", required=True, help="output dir (parquet) or namespace (iceberg)")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--skew-threshold", type=int, default=DEFAULT_SKEW_THRESHOLD)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--format", choices=["parquet", "iceberg"], default="parquet")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--master", default=None)
+    a = p.parse_args(argv)
+
+    spark = get_spark(app="pdfplucker_spark.job", master=a.master)
+    try:
+        m = run(
+            spark,
+            a.input,
+            a.output,
+            run_id=a.run_id,
+            partitions=a.partitions,
+            skew_threshold=a.skew_threshold,
+            resume=a.resume,
+            fmt=a.format,
+            limit=a.limit,
+        )
+        print(
+            f"run {m['run_id']}: {m['total_docs']} docs, "
+            f"{m['failed_docs']} failed, success_rate={m['success_rate']:.2f}%, "
+            f"elapsed={m['elapsed_time']:.1f}s"
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
