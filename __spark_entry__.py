@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the full extraction engine over
+the derived interleaved-spans corpus at sf0.001). ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 plus
+the training-data-pipeline operators; oracle SQL is DuckDB 1.0 dialect over
+the pre-registered testdata views.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full vectorized extraction over derived spans at sf0.001."""
+    from pdfplucker_spark.operators.spans_sql import q_extract_full
+
+    return q_extract_full(spark, "/root/testdata/sf0.001")
+
+
+def _registry() -> dict[str, tuple]:
+    reg: dict[str, tuple] = {}
+    from pdfplucker_spark.operators import spans_sql
+
+    reg.update(spans_sql.QUERIES)
+    for mod_name in ("relational", "textstats", "dedup", "similarity", "multimodal"):
+        try:
+            mod = __import__(
+                f"pdfplucker_spark.operators.{mod_name}", fromlist=["QUERIES"]
+            )
+            reg.update(mod.QUERIES)
+        except ImportError:
+            pass
+    return reg
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _registry().items() if sql is not None}

@@ -1,0 +1,298 @@
+"""SQL-expressible span operators over the derived interleaved-spans view.
+
+Each operator here is one of the format_results dataflow operators
+(SURVEY.md §2.2 F3/F4/F6/F7 and the full composition) re-expressed twice:
+  - Spark DataFrame API (the ``queries()`` entry — what the engine does),
+  - independent DuckDB SQL (the ``oracle_sql()`` entry the driver compares
+    against at sf0.01).
+
+``extract_full`` is the flagship: the ENTIRE per-doc transform (pages with
+first-touch ordering + placeholders, image spans with per-doc counters and
+caption joins, table spans, dense output offsets) as one SQL statement —
+a full-pipeline oracle for the vectorized engine on the poison-free derived
+corpus (the poison/error path is covered by pytest instead, FIXTURES §3.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pdfplucker_spark.operators.extract import extract_spans
+from pdfplucker_spark.oracle import TEXT_FORMATS
+from pdfplucker_spark.sources.tables import (
+    DERIVED_SPANS_CTE,
+    derived_spans_flat,
+    derived_spans_nested,
+)
+
+# text kinds that occur in the derived corpus (cycle of 10, tables.py)
+_DERIVED_TEXT_KINDS = [
+    "section_header",
+    "paragraph",
+    "text",
+    "list_item",
+    "caption",
+    "title",
+    "footnote",
+]
+
+
+def _sql_str(s: str) -> str:
+    """Render a python string as a DuckDB expression (newlines via chr(10))."""
+    if s == "":
+        return "''"
+    parts = []
+    for i, seg in enumerate(s.split("\n")):
+        if i > 0:
+            parts.append("chr(10)")
+        if seg:
+            parts.append("'" + seg.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _frag_case_sql(col_kind: str = "kind", col_text: str = "text") -> str:
+    whens = "\n    ".join(
+        f"WHEN '{k}' THEN {_sql_str(TEXT_FORMATS[k][0])} || {col_text} || {_sql_str(TEXT_FORMATS[k][1])}".replace(
+            " || ''", ""
+        )
+        for k in _DERIVED_TEXT_KINDS
+    )
+    return f"CASE {col_kind}\n    {whens}\n  END"
+
+
+def _frag_col():
+    c = None
+    for k in _DERIVED_TEXT_KINDS:
+        pre, suf = TEXT_FORMATS[k]
+        expr = F.concat(F.lit(pre), F.col("text"), F.lit(suf))
+        c = F.when(F.col("kind") == k, expr) if c is None else c.when(F.col("kind") == k, expr)
+    return c
+
+
+def _page_col():
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    page_val = F.when(
+        F.col("kind") == "page_break", F.col("media_ref").cast("int")
+    )
+    return F.coalesce(F.last(page_val, ignorenulls=True).over(w), F.lit(1))
+
+
+_PAGED_SQL = f"""
+paged AS (
+  SELECT doc_id, kind, text, media_ref, "offset",
+         COALESCE(last_value(CASE WHEN kind = 'page_break'
+                                  THEN CAST(media_ref AS INT) END IGNORE NULLS)
+                  OVER (PARTITION BY doc_id ORDER BY "offset"
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1)
+           AS page
+  FROM spans
+)
+"""
+
+_TEXT_KINDS_IN = "(" + ", ".join(f"'{k}'" for k in _DERIVED_TEXT_KINDS) + ")"
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+def q_spans_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derived_spans_flat(spark, sf_dir)
+
+
+SQL_SPANS_DERIVE = f'WITH {DERIVED_SPANS_CTE} SELECT doc_id, kind, text, media_ref, "offset" FROM spans'
+
+
+def q_f3_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: the 13-way label→markdown projection (utils.py:51-85)."""
+    s = derived_spans_flat(spark, sf_dir)
+    return s.where(F.col("kind").isin(_DERIVED_TEXT_KINDS)).select(
+        "doc_id", "offset", _frag_col().alias("frag")
+    )
+
+
+SQL_F3_FORMAT = f"""WITH {DERIVED_SPANS_CTE}
+SELECT doc_id, "offset", {_frag_case_sql()} AS frag
+FROM spans WHERE kind IN {_TEXT_KINDS_IN}"""
+
+
+def q_f4_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: group-by page + ordered concat with first-touch marker
+    (utils.py:45-48,88) over text-kind fragments."""
+    s = derived_spans_flat(spark, sf_dir).withColumn("page", _page_col())
+    frags = s.where(F.col("kind").isin(_DERIVED_TEXT_KINDS)).select(
+        "doc_id", "page", "offset", _frag_col().alias("frag")
+    )
+    return frags.groupBy("doc_id", "page").agg(
+        F.min("offset").alias("first_touch"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("offset", "frag"))),
+                lambda x: x["frag"],
+            ),
+        ).alias("content"),
+    )
+
+
+SQL_F4_PAGES = f"""WITH {DERIVED_SPANS_CTE}, {_PAGED_SQL}
+SELECT doc_id, page, MIN("offset") AS first_touch,
+       STRING_AGG({_frag_case_sql()}, '' ORDER BY "offset") AS content
+FROM paged WHERE kind IN {_TEXT_KINDS_IN}
+GROUP BY doc_id, page"""
+
+
+def q_f6_picture_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: per-doc picture counter in stream order → placeholder rewrite
+    (utils.py:37,132-133,158)."""
+    s = derived_spans_flat(spark, sf_dir).where(F.col("kind") == "picture")
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    seq = (F.row_number().over(w) - 1).cast("long")
+    return s.select(
+        "doc_id",
+        "offset",
+        F.col("media_ref").alias("self_ref"),
+        F.concat("doc_id", F.lit("_"), seq.cast("string"), F.lit(".png")).alias(
+            "placeholder"
+        ),
+    )
+
+
+SQL_F6_PICTURE_SEQ = f"""WITH {DERIVED_SPANS_CTE}
+SELECT doc_id, "offset", media_ref AS self_ref,
+       doc_id || '_' || CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") - 1 AS VARCHAR) || '.png' AS placeholder
+FROM spans WHERE kind = 'picture'"""
+
+
+def q_f7_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7+F9: last-caption-per-parent map, applied to table/picture refs
+    (utils.py:60-69,167-171,192-195)."""
+    s = derived_spans_flat(spark, sf_dir)
+    caps = (
+        s.where((F.col("kind") == "caption") & F.col("media_ref").isNotNull())
+        .groupBy("doc_id", F.col("media_ref").alias("parent"))
+        .agg(F.max_by("text", "offset").alias("cap"))
+    )
+    targets = s.where(F.col("kind").isin("table", "picture")).select(
+        "doc_id", F.col("kind").alias("target_kind"), F.col("media_ref").alias("self_ref"), "offset"
+    )
+    return targets.join(
+        caps,
+        (targets.doc_id == caps.doc_id) & (targets.self_ref == caps.parent),
+        "left",
+    ).select(
+        targets.doc_id,
+        "target_kind",
+        "self_ref",
+        "offset",
+        F.coalesce("cap", F.lit("")).alias("caption"),
+    )
+
+
+SQL_F7_CAPTIONS = f"""WITH {DERIVED_SPANS_CTE},
+caps AS (
+  SELECT doc_id, media_ref AS parent, arg_max(text, "offset") AS cap
+  FROM spans WHERE kind = 'caption' AND media_ref IS NOT NULL
+  GROUP BY doc_id, media_ref
+)
+SELECT t.doc_id, t.kind AS target_kind, t.media_ref AS self_ref, t."offset",
+       COALESCE(c.cap, '') AS caption
+FROM spans t LEFT JOIN caps c ON c.doc_id = t.doc_id AND c.parent = t.media_ref
+WHERE t.kind IN ('table', 'picture')"""
+
+
+def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: the WHOLE engine (mapInArrow) over the derived corpus,
+    output exploded to flat spans for comparison."""
+    ext = extract_spans(derived_spans_nested(spark, sf_dir))
+    return ext.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+SQL_EXTRACT_FULL = f"""WITH {DERIVED_SPANS_CTE}, {_PAGED_SQL},
+pic AS (
+  SELECT doc_id, page, "offset", media_ref,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") - 1 AS seq
+  FROM paged WHERE kind = 'picture'
+),
+frag AS (
+  SELECT doc_id, page, "offset", {_frag_case_sql()} AS frag
+  FROM paged WHERE kind IN {_TEXT_KINDS_IN}
+  UNION ALL
+  SELECT doc_id, page, "offset", ' <' || media_ref || '>' FROM paged WHERE kind = 'table'
+  UNION ALL
+  SELECT doc_id, page, "offset",
+         ' <' || doc_id || '_' || CAST(seq AS VARCHAR) || '.png>' FROM pic
+),
+pages AS (
+  SELECT doc_id, page, MIN("offset") AS ft,
+         STRING_AGG(frag, '' ORDER BY "offset") AS content
+  FROM frag GROUP BY doc_id, page
+),
+caps AS (
+  SELECT doc_id, media_ref AS parent, arg_max(text, "offset") AS cap
+  FROM spans WHERE kind = 'caption' AND media_ref IS NOT NULL
+  GROUP BY doc_id, media_ref
+),
+out AS (
+  SELECT doc_id, 0 AS sec, ft AS ord, 'page' AS kind, content AS text,
+         CAST(page AS VARCHAR) AS media_ref
+  FROM pages
+  UNION ALL
+  SELECT p.doc_id, 1, p.seq, 'image', COALESCE(c.cap, ''),
+         p.doc_id || '_' || CAST(p.seq AS VARCHAR) || '.png'
+  FROM pic p LEFT JOIN caps c ON c.doc_id = p.doc_id AND c.parent = p.media_ref
+  UNION ALL
+  SELECT doc_id, 2, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") - 1,
+         'table', text, media_ref
+  FROM paged WHERE kind = 'table'
+)
+SELECT doc_id, kind, text, media_ref,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sec, ord) - 1 AS INT) AS "offset"
+FROM out"""
+
+
+def q_extract_agg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine per-doc counters aggregated (S11/S12 analogue) — cross-checked
+    against counts derived in pure SQL from the input spans."""
+    ext = extract_spans(derived_spans_nested(spark, sf_dir))
+    return ext.agg(
+        F.count("*").alias("total_docs"),
+        F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("failed_docs"),
+        F.sum("n_input_spans").alias("total_input_spans"),
+        F.sum("n_pages").alias("total_pages"),
+        F.sum("n_images").alias("total_images"),
+        F.sum("n_tables").alias("total_tables"),
+    )
+
+
+SQL_EXTRACT_AGG_METRICS = f"""WITH {DERIVED_SPANS_CTE}, {_PAGED_SQL},
+per_doc_pages AS (
+  SELECT doc_id, COUNT(DISTINCT page) AS n_pages
+  FROM paged WHERE kind <> 'page_break' GROUP BY doc_id
+)
+SELECT (SELECT COUNT(DISTINCT doc_id) FROM spans) AS total_docs,
+       0 AS failed_docs,
+       (SELECT COUNT(*) FROM spans) AS total_input_spans,
+       (SELECT SUM(n_pages) FROM per_doc_pages) AS total_pages,
+       (SELECT COUNT(*) FROM spans WHERE kind = 'picture') AS total_images,
+       (SELECT COUNT(*) FROM spans WHERE kind = 'table') AS total_tables"""
+
+
+QUERIES = {
+    "spans_derive": (q_spans_derive, SQL_SPANS_DERIVE),
+    "f3_format": (q_f3_format, SQL_F3_FORMAT),
+    "f4_pages": (q_f4_pages, SQL_F4_PAGES),
+    "f6_picture_seq": (q_f6_picture_seq, SQL_F6_PICTURE_SEQ),
+    "f7_captions": (q_f7_captions, SQL_F7_CAPTIONS),
+    "extract_full": (q_extract_full, SQL_EXTRACT_FULL),
+    "extract_agg_metrics": (q_extract_agg_metrics, SQL_EXTRACT_AGG_METRICS),
+}

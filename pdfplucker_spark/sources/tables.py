@@ -1,0 +1,136 @@
+"""Testdata loaders + the deterministic derived interleaved-spans view.
+
+The driver's correctness gate (CORRECTNESS_r{N}.json) compares Spark
+DataFrames against DuckDB SQL over the same parquet. The extraction engine's
+input table (doc_id, spans) does not exist in /root/testdata, so we derive
+one *deterministically* from the ``documents`` table with logic expressible
+identically in both engines: token i of ``documents.text`` becomes span i,
+with kind/text/media_ref cycling on i%10 (all span kinds exercised,
+captions reference the table of their block, pages revisit 1..5 to pin
+first-touch ordering).
+
+Spark side: ``derived_spans_flat`` / ``derived_spans_nested`` (DataFrame
+API). DuckDB side: ``DERIVED_SPANS_CTE`` (ANSI-ish SQL, DuckDB 1.0 — no
+WITH ORDINALITY, so parallel UNNEST provides ordinals).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# derived interleaved spans — Spark side
+# ---------------------------------------------------------------------------
+def derived_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id string, kind, text, media_ref, offset) — one span per token."""
+    d = load(spark, sf_dir, "documents")
+    e = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(F.split("text", " ")).alias("i", "tok"),
+    )
+    cyc = F.col("i") % 10
+    blk = F.floor(F.col("i") / 10).cast("long")
+    return e.select(
+        "doc_id",
+        F.element_at(
+            F.array(
+                *[
+                    F.lit(k)
+                    for k in [
+                        "section_header",
+                        "paragraph",
+                        "text",
+                        "list_item",
+                        "caption",
+                        "table",
+                        "picture",
+                        "page_break",
+                        "title",
+                        "footnote",
+                    ]
+                ]
+            ),
+            (cyc + 1).cast("int"),
+        ).alias("kind"),
+        F.when(cyc == 5, F.concat(F.lit("|"), F.col("tok"), F.lit("|")))
+        .when(cyc == 6, F.concat(F.lit("chart:0."), (blk % 10).cast("string")))
+        .when(cyc == 7, F.lit(None).cast("string"))
+        .otherwise(F.col("tok"))
+        .alias("text"),
+        F.when(cyc.isin(4, 5), F.concat(F.lit("#/tables/"), blk.cast("string")))
+        .when(cyc == 6, F.concat(F.lit("#/pictures/"), blk.cast("string")))
+        .when(cyc == 7, (blk % 5 + 1).cast("string"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("media_ref"),
+        F.col("i").cast("int").alias("offset"),
+    )
+
+
+def derived_spans_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, spans array<struct>) — engine-ready input table."""
+    flat = derived_spans_flat(spark, sf_dir)
+    return flat.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+        ).alias("_s")
+    ).select(
+        "doc_id",
+        F.transform(
+            "_s",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# derived interleaved spans — DuckDB side (same rows, independent impl)
+# ---------------------------------------------------------------------------
+DERIVED_SPANS_CTE = """
+tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         UNNEST(string_split(text, ' ')) AS tok,
+         UNNEST(range(len(string_split(text, ' ')))) AS i
+  FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         CASE CAST(i % 10 AS INT)
+           WHEN 0 THEN 'section_header' WHEN 1 THEN 'paragraph'
+           WHEN 2 THEN 'text'           WHEN 3 THEN 'list_item'
+           WHEN 4 THEN 'caption'        WHEN 5 THEN 'table'
+           WHEN 6 THEN 'picture'        WHEN 7 THEN 'page_break'
+           WHEN 8 THEN 'title'          ELSE 'footnote'
+         END AS kind,
+         CASE CAST(i % 10 AS INT)
+           WHEN 5 THEN '|' || tok || '|'
+           WHEN 6 THEN 'chart:0.' || CAST((i // 10) % 10 AS VARCHAR)
+           WHEN 7 THEN NULL
+           ELSE tok
+         END AS text,
+         CASE CAST(i % 10 AS INT)
+           WHEN 4 THEN '#/tables/' || CAST(i // 10 AS VARCHAR)
+           WHEN 5 THEN '#/tables/' || CAST(i // 10 AS VARCHAR)
+           WHEN 6 THEN '#/pictures/' || CAST(i // 10 AS VARCHAR)
+           WHEN 7 THEN CAST((i // 10) % 5 + 1 AS VARCHAR)
+           ELSE NULL
+         END AS media_ref,
+         CAST(i AS INT) AS "offset"
+  FROM tok
+)
+"""

@@ -1,0 +1,45 @@
+"""Local mirror of the driver's correctness gate: every queries() entry with
+an oracle_sql() must match DuckDB at sf0.001 (driver runs sf0.01)."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from util_compare import compare, duck_con
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    return [(n, q[n], o[n]) for n in q if n in o]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_query_matches_oracle(spark, con, name, fn, sql):
+    ok, msg = compare(fn(spark, SF), con, sql)
+    assert ok, f"{name}: {msg}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "kind", "text", "media_ref", "offset",
+    ]
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    # non-SQL-expressible ops are allowed to omit oracle; list them here
+    allowed_no_oracle = set()
+    missing = set(q) - set(o) - allowed_no_oracle
+    assert not missing, f"queries without oracle_sql: {missing}"
