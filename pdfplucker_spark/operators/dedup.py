@@ -1,0 +1,275 @@
+"""Deduplication operators for a training-data pipeline over ``documents``.
+
+Exact (hash-groupBy), bag-of-tokens near-exact, MinHash signatures,
+MinHash+LSH banded candidate pairs with exact-Jaccard verification, SimHash,
+and n-gram-shingle Jaccard pairs.
+
+Scale notes (100 TB honesty):
+  - signatures/simhash/fingerprints are pure per-row higher-order-function
+    expressions — map-only, no shuffle, whole-stage codegen.
+  - the LSH pair stage shuffles on (band, key) — the standard banded
+    self-join; band keys are ~uniform (md5-derived) so no skew.
+  - exact-Jaccard verification joins candidates back to token sets — only
+    candidate pairs pay the set-intersection cost.
+
+All hashes are the portable md5-60bit (functions/hashing.py) so DuckDB
+oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pdfplucker_spark.functions.hashing import sql_expr_md5_long, sql_md5_long
+from pdfplucker_spark.sources.tables import load
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band r = 2
+JACCARD_THRESHOLD = 0.8
+NGRAM_THRESHOLD = 0.35
+
+
+# ---------------------------------------------------------------------------
+# exact + bag dedup
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact: same multiset-insensitive token SET (sorted distinct)."""
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))))
+    return d.groupBy(key.alias("bag_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SQL_DEDUP_BAG = """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_hash,
+       MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+def _sig_cols():
+    h = sql_expr_md5_long(f"concat('{{i}}', ':', t)")
+    return [
+        F.expr(
+            f"array_min(transform(array_distinct(split(text, ' ')), "
+            f"t -> {h.replace('{i}', str(i))}))"
+        ).alias(f"sig{i}")
+        for i in range(N_HASHES)
+    ]
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (k=8) — map-only, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", *_sig_cols())
+
+
+def _sql_sigs() -> str:
+    parts = []
+    for i in range(N_HASHES):
+        h = sql_md5_long(f"'{i}' || ':' || t")
+        parts.append(
+            "list_aggregate(list_transform(list_distinct(string_split(text, ' ')), "
+            f"t -> {h}), 'min') AS sig{i}"
+        )
+    return ",\n  ".join(parts)
+
+
+SQL_DEDUP_MINHASH_SIG = f"""
+SELECT doc_id,
+  {_sql_sigs()}
+FROM documents
+"""
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 2 rows) → candidate pairs → exact-Jaccard
+    verification at {threshold}. The scalable near-dup pipeline."""
+    d = load(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", *_sig_cols())
+    bands = None
+    for b in range(N_BANDS):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws("_", f"sig{2*b}", f"sig{2*b+1}").alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    verified = (
+        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(toks.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("ta.toks", "tb.toks")).cast("double")
+                / F.size(F.array_union("ta.toks", "tb.toks"))
+            ).alias("jac"),
+        )
+        .where(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+    )
+    return verified
+
+
+SQL_DEDUP_MINHASH_PAIRS = f"""
+WITH sigs AS (
+  SELECT doc_id,
+  {_sql_sigs()}
+  FROM documents
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, CAST(sig{2*b} AS VARCHAR) || '_' || CAST(sig{2*b+1} AS VARCHAR) AS key FROM sigs"
+      for b in range(N_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+           / len(list_distinct(ta.t || tb.t)) AS jac
+  FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b
+) WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc — nested higher-order fns, map-only."""
+    d = load(spark, sf_dir, "documents")
+    h = sql_expr_md5_long("t")
+    expr = f"""
+      aggregate(
+        transform(sequence(0, 31), b ->
+          CASE WHEN aggregate(
+                 transform(array_distinct(split(text, ' ')),
+                           t -> CASE WHEN (shiftright({h}, b) & 1) = 1 THEN 1 ELSE -1 END),
+                 0, (x, y) -> x + y) > 0
+               THEN shiftleft(1L, b) ELSE 0L END),
+        0L, (x, y) -> x + y)
+    """
+    return d.select("doc_id", F.expr(expr).alias("simhash"))
+
+
+SQL_DEDUP_SIMHASH = f"""
+SELECT doc_id,
+  list_reduce(
+    [CAST(0 AS BIGINT)] ||
+    list_transform(range(32), b ->
+      CASE WHEN list_reduce([0] ||
+             list_transform(list_distinct(string_split(text, ' ')),
+                            t -> CASE WHEN ({sql_md5_long('t')} >> b) & 1 = 1 THEN 1 ELSE -1 END),
+             (x, y) -> x + y) > 0
+           THEN CAST(1 AS BIGINT) << b ELSE 0 END),
+    (x, y) -> x + y) AS simhash
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram shingle Jaccard
+# ---------------------------------------------------------------------------
+def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram (token trigram) Jaccard near-dup pairs, blocked by source
+    (blocking bounds the pair count; at scale the block key would be an
+    LSH bucket instead)."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text,' ')) - 2, 1)), "
+                "i -> concat_ws(' ', slice(split(text,' '), i, 3)))"
+            )
+        ).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jac"),
+        )
+        .where(F.col("jac") >= NGRAM_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+SQL_DEDUP_NGRAM_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+  FROM documents
+)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(a.sh || b.sh)) AS jac
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+) WHERE jac >= {NGRAM_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_bag": (q_dedup_bag, SQL_DEDUP_BAG),
+    "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_ngram_pairs": (q_dedup_ngram_pairs, SQL_DEDUP_NGRAM_PAIRS),
+}

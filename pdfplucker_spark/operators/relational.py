@@ -1,0 +1,203 @@
+"""Relational operator coverage (SURVEY.md §2.3) over the testdata star
+schema: hash aggregation, rollup, broadcast-able joins, top-k, windows.
+
+Float-sum determinism across engines: money columns are cast to DECIMAL
+before SUM (exact, order-independent), then the final projection casts back
+to DOUBLE — so the driver's value-hash matches bit-for-bit regardless of
+partial-aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pdfplucker_spark.sources.tables import load
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style hash aggregation with exact decimal sums."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("_sq"),
+            F.sum(dec("l_extendedprice")).alias("_sp"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            ).alias("_rev"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sp").cast("double").alias("sum_base_price"),
+            F.col("_rev").cast("double").alias("sum_revenue"),
+            "count_order",
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_revenue,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (partial+final agg through Catalyst Expand)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+SQL_RETURNFLAG_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + top-k. customer/nation are broadcast-able
+    dims — Catalyst picks broadcast hash join via AQE; lineitem⋈orders is
+    the only real shuffle."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_regional_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through two broadcast dims (supplier→nation→region)."""
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+SQL_REGIONAL_SUPPLY = """
+SELECT r_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions over the event stream: row_number, lag, running sum
+    (running sum in exact decimal → double, order-independent)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(run)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER w AS rn,
+       LAG(event_type) OVER w AS prev_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_order_priority_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation + semi-join (EXISTS) coverage."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    with_li = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+    return with_li.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+SQL_ORDER_PRIORITY_DISTINCT = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "returnflag_rollup": (q_returnflag_rollup, SQL_RETURNFLAG_ROLLUP),
+    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "regional_supply": (q_regional_supply, SQL_REGIONAL_SUPPLY),
+    "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    "order_priority_distinct": (q_order_priority_distinct, SQL_ORDER_PRIORITY_DISTINCT),
+}

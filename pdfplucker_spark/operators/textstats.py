@@ -1,0 +1,170 @@
+"""Text-analysis operators for a training-data pipeline over ``documents``:
+token counting, quality scoring, n-gram-heuristic language ID, document
+fingerprinting. All per-row expression work (no shuffle at all — scales
+linearly with executors); ratios use integer counts so the oracle compare
+is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pdfplucker_spark.functions.hashing import sql_expr_md5_long, sql_md5_long
+from pdfplucker_spark.sources.tables import load
+
+# tiny fixed stopword lists for the heuristic language vote; tie-break is
+# the fixed order en > es > de > fr
+_STOP = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une"],
+}
+_LANGS = ["en", "es", "de", "fr"]
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _spark_count_in(toks: str, words) -> F.Column:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter({toks}, t -> array_contains(array({arr}), t)))")
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + distinct + char length."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+SQL_TEXT_TOKENS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from integer counts: type-token ratio, stopword
+    ratio, mean token length — composite score rounded to 6 dp."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    n_stop = _spark_count_in("split(text, ' ')", _STOP["en"])
+    ttr = n_dis.cast("double") / n_tok
+    stop_ratio = n_stop.cast("double") / n_tok
+    mean_len = F.length("text").cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(ttr * 0.5 + stop_ratio * 0.3 + F.least(mean_len / 10.0, F.lit(1.0)) * 0.2, 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_dis,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains({_sql_list(_STOP['en'])}, t))) AS n_stop,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       round(CAST(n_dis AS DOUBLE) / n_tok, 6) AS type_token_ratio,
+       round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stopword_ratio,
+       round(CAST(n_chars AS DOUBLE) / n_tok, 6) AS mean_token_len,
+       round(CAST(n_dis AS DOUBLE) / n_tok * 0.5
+             + CAST(n_stop AS DOUBLE) / n_tok * 0.3
+             + least(CAST(n_chars AS DOUBLE) / n_tok / 10.0, 1.0) * 0.2, 6)
+         AS quality_score
+FROM t
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with deterministic tie-break en>es>de>fr."""
+    d = load(spark, sf_dir, "documents")
+    votes = {
+        lang: _spark_count_in("split(text, ' ')", words) for lang, words in _STOP.items()
+    }
+    pred = (
+        F.when(
+            (votes["en"] >= votes["es"])
+            & (votes["en"] >= votes["de"])
+            & (votes["en"] >= votes["fr"]),
+            "en",
+        )
+        .when((votes["es"] >= votes["de"]) & (votes["es"] >= votes["fr"]), "es")
+        .when(votes["de"] >= votes["fr"], "de")
+        .otherwise("fr")
+    )
+    out = d.select(
+        "doc_id",
+        *[votes[lang].alias(f"votes_{lang}") for lang in _LANGS],
+        pred.alias("pred_lang"),
+        F.col("lang").alias("actual_lang"),
+    )
+    return out
+
+
+SQL_TEXT_LANGID = f"""
+WITH v AS (
+  SELECT doc_id, lang,
+  {", ".join(
+    f"len(list_filter(string_split(text, ' '), t -> list_contains({_sql_list(words)}, t))) AS votes_{lang}"
+    for lang, words in _STOP.items()
+  )}
+  FROM documents
+)
+SELECT doc_id, votes_en, votes_es, votes_de, votes_fr,
+       CASE WHEN votes_en >= votes_es AND votes_en >= votes_de AND votes_en >= votes_fr THEN 'en'
+            WHEN votes_es >= votes_de AND votes_es >= votes_fr THEN 'es'
+            WHEN votes_de >= votes_fr THEN 'de'
+            ELSE 'fr' END AS pred_lang,
+       lang AS actual_lang
+FROM v
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint: polynomial fold of
+    portable token hashes mod 1e9+7 — pure per-row higher-order fns."""
+    d = load(spark, sf_dir, "documents")
+    h = sql_expr_md5_long("t")
+    fp = F.expr(
+        f"aggregate(split(text, ' '), 0L, (acc, t) -> pmod(acc * 31 + {h}, 1000000007L))"
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce([CAST(0 AS BIGINT)] ||
+                   list_transform(string_split(text, ' '), t -> {sql_md5_long('t')}),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+}
