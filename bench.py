@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line (driver contract).
+
+Headline: end-to-end extraction throughput (docs/sec) over the bench-tier
+interleaved corpus (50k docs, Zipf-skewed sizes + 5 giant 100k-span docs —
+deliberate skew), through the full job path: scan → size-tiered repartition
+→ mapInArrow extract → parquet sink.
+
+Scaling evidence (north_rule, sandbox substitute for N vs 4N executors):
+the same extraction job at local[CPUS/4] and local[CPUS] on identical
+input; efficiency = (T_small / T_large) / 4. Reported in the JSON line and
+in BENCH/BASELINE.md.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pdfplucker_spark.gen import write_tier  # noqa: E402
+from pdfplucker_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_OUT = os.path.join(REPO, ".bench_out")
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    small = max(2, cpus // 4)
+
+    bench_path = write_tier("bench", os.path.join(REPO, ".data"))
+    shutil.rmtree(BENCH_OUT, ignore_errors=True)
+
+    from pdfplucker_spark.operators.dedup import q_dedup_minhash_pairs
+    from pdfplucker_spark.operators.extract import extract_spans
+    from pdfplucker_spark.operators.relational import q_pricing_summary
+    from pdfplucker_spark.operators.similarity import q_sim_cosine_topk
+    from pdfplucker_spark.operators.spans_sql import q_extract_full
+    from pdfplucker_spark.operators.textstats import q_text_quality
+    from pdfplucker_spark.plans.partitioning import balance_docs
+
+    queries: dict[str, float] = {}
+
+    spark = get_spark(
+        app="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        arrow_batch_rows=512,
+    )
+    docs = spark.read.parquet(bench_path)
+    n_docs = docs.count()  # warms FS cache + JVM
+    # warm ALL Python workers (limit() would collapse to one task)
+    extract_spans(docs.sample(0.02).repartition(4 * cpus)).count()
+
+    def extract_e2e():
+        routed = balance_docs(spark.read.parquet(bench_path), cpus * 2)
+        extract_spans(routed).write.mode("overwrite").parquet(
+            os.path.join(BENCH_OUT, "spans_out")
+        )
+
+    queries["extract_e2e_bench50k"] = min(_timed(extract_e2e) for _ in range(3))
+    docs_per_sec = round(n_docs / queries["extract_e2e_bench50k"], 1)
+
+    queries["extract_full_sf"] = _timed(lambda: q_extract_full(spark, sf_dir).count())
+    queries["dedup_minhash_pairs"] = _timed(
+        lambda: q_dedup_minhash_pairs(spark, sf_dir).count()
+    )
+    queries["sim_cosine_topk"] = _timed(lambda: q_sim_cosine_topk(spark, sf_dir).collect())
+    queries["pricing_summary"] = _timed(lambda: q_pricing_summary(spark, sf_dir).collect())
+    queries["text_quality"] = _timed(lambda: q_text_quality(spark, sf_dir).count())
+    spark.stop()
+
+    # --- scaling: the same full job (extract + sink) at two parallelism
+    # levels on identical input. Each level runs in a FRESH subprocess —
+    # back-to-back SparkSessions in one process inherit the previous
+    # session's lingering Python workers and skew the measurement. ---
+    import subprocess
+
+    def _one(n: int) -> float:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scale-worker", str(n), bench_path],
+            capture_output=True,
+            text=True,
+            timeout=420,
+        )
+        return float(r.stdout.strip().splitlines()[-1])
+
+    # interleave A/B so bursty neighbor load (shared VM) hits both levels;
+    # min is the noise-robust estimator of uncontended wall time
+    samples: dict[int, list] = {small: [], cpus: []}
+    for _ in range(2):
+        samples[small].append(_one(small))
+        samples[cpus].append(_one(cpus))
+    scale = {n: min(v) for n, v in samples.items()}
+    efficiency = round((scale[small] / scale[cpus]) / (cpus / small), 3)
+
+    out = {
+        "metric": "extract_e2e_bench50k_sec",
+        "value": queries["extract_e2e_bench50k"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "bench_docs": n_docs,
+        "docs_per_sec": docs_per_sec,
+        "scaling": {
+            f"local[{small}]_sec": scale[small],
+            f"local[{cpus}]_sec": scale[cpus],
+            "cores_ratio": cpus // small,
+            "efficiency": efficiency,
+        },
+    }
+    print(json.dumps(out))
+
+
+def _scale_worker(n: int, bench_path: str) -> None:
+    """One isolated scaling measurement: full job at local[n], best of 3.
+
+    The corpus is scanned 4× (multi-path read = 200k docs of work) so fixed
+    per-job costs amortize and the measurement reflects throughput, not
+    scheduler overhead — the local-mode proxy for a cluster-scale input.
+    """
+    from pdfplucker_spark.operators.extract import extract_spans
+    from pdfplucker_spark.plans.partitioning import balance_docs
+
+    s = get_spark(
+        app=f"scale{n}", master=f"local[{n}]", shuffle_partitions=n, arrow_batch_rows=512
+    )
+    paths = [bench_path] * 4
+    df = s.read.parquet(*paths)
+    df.count()
+    extract_spans(df.sample(0.01).repartition(4 * n)).count()  # warm all workers
+
+    def run_job():
+        extract_spans(balance_docs(s.read.parquet(*paths), n * 4)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(BENCH_OUT, f"scale_{n}"))
+
+    best = min(_timed(run_job) for _ in range(3))
+    s.stop()
+    print(best)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--scale-worker":
+        _scale_worker(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()

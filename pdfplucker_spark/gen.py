@@ -182,9 +182,9 @@ def gen_rows(tier: str, seed: int = SEED) -> Iterable[Tuple[str, List[Dict]]]:
         if tier == "bench" and i < N_GIANTS:
             yield gen_doc(i, seed, GIANT_SPANS, GIANT_SPANS, poison=False)
         elif tier == "bench":
-            # Zipf-ish size skew: small exponent sample via per-doc RNG
+            # Zipf-ish size skew (Pareto tail, mean ≈ 140 spans/doc)
             rng = random.Random((seed << 21) ^ i)
-            size = min(hi, max(lo, int(lo * (1.0 / max(1e-9, rng.random())) ** 0.85)))
+            size = min(hi, max(lo, int(20 * (1.0 / max(1e-9, rng.random())) ** 1.2)))
             yield gen_doc(i, seed, min(size, hi), min(size, hi), poison=is_poison(i))
         else:
             yield gen_doc(i, seed, lo, hi, poison=is_poison(i))
@@ -201,14 +201,32 @@ def rows_to_table(rows: Iterable[Tuple[str, List[Dict]]]) -> pa.Table:
     )
 
 
+DOCS_PER_FILE = 1024  # shard so Spark's scan parallelizes (real corpora are
+# many files; a single fat file caps scan-side parallelism at ~file_size/128MB)
+
+
 def write_tier(tier: str, out_dir: str, seed: int = SEED, overwrite: bool = False) -> str:
-    """Materialize a tier as parquet; cached by (tier, seed). Returns path."""
+    """Materialize a tier as a sharded parquet dir; cached by (tier, seed)."""
     out = Path(out_dir) / f"interleaved_{tier}_seed{seed}.parquet"
     if out.exists() and not overwrite:
         return str(out)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    table = rows_to_table(gen_rows(tier, seed))
-    pq.write_table(table, out, row_group_size=2048)
+    tmp = Path(str(out) + ".tmp")
+    if tmp.exists():
+        import shutil
+
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True, exist_ok=True)
+    buf: list = []
+    shard = 0
+    for row in gen_rows(tier, seed):
+        buf.append(row)
+        if len(buf) >= DOCS_PER_FILE:
+            pq.write_table(rows_to_table(buf), tmp / f"part-{shard:05d}.parquet", row_group_size=1024)
+            shard += 1
+            buf = []
+    if buf or shard == 0:
+        pq.write_table(rows_to_table(buf), tmp / f"part-{shard:05d}.parquet", row_group_size=1024)
+    tmp.rename(out)
     return str(out)
 
 

@@ -76,7 +76,7 @@ def _doc_local_seq(group_ids: np.ndarray) -> np.ndarray:
     return np.arange(n) - np.repeat(starts, grp_len)
 
 
-def _extract_batch(batch: pa.RecordBatch) -> List[pa.RecordBatch]:
+def _extract_batch(batch: pa.RecordBatch, details: bool = False) -> List[pa.RecordBatch]:
     doc_ids = batch.column(batch.schema.get_field_index("doc_id"))
     spans = batch.column(batch.schema.get_field_index("spans"))
     n_docs = len(doc_ids)
@@ -205,6 +205,8 @@ def _extract_batch(batch: pa.RecordBatch) -> List[pa.RecordBatch]:
         # rsplit(':',1)+float() (utils.py:120-129); parse errors fail the doc
         ann = text.take(pa.array(pic_idx))
         has_ann = _np_bool(pc.not_equal(pc.fill_null(ann, ""), ""), len(pic_idx))
+        cls_name = np.full(len(pic_idx), None, dtype=object)
+        cls_conf = np.full(len(pic_idx), np.nan)
         if has_ann.any():
             ha_idx = np.flatnonzero(has_ann)
             parts = pc.split_pattern(ann.take(pa.array(ha_idx)), ",")
@@ -215,9 +217,27 @@ def _extract_batch(batch: pa.RecordBatch) -> List[pa.RecordBatch]:
                 pc.match_substring_regex(parts.flatten(), _ANN_PART_RE), len(part_row)
             )
             _mark(bad, pic_did[part_row[~ok_part]])
+            if details:
+                # argmax by confidence, first-max wins (max()/idxmax agree)
+                ps = pd.Series(parts.flatten().to_pandas().to_numpy())
+                rs = ps.str.rsplit(":", n=1)
+                dfc = pd.DataFrame(
+                    {
+                        "row": part_row,
+                        "name": rs.str[0].to_numpy(dtype=object),
+                        "conf": pd.to_numeric(rs.str[-1], errors="coerce").to_numpy(),
+                    }
+                ).dropna(subset=["conf"])
+                if len(dfc):
+                    w = dfc.groupby("row", sort=False)["conf"].idxmax()
+                    rows_sel = dfc.loc[w, "row"].to_numpy(dtype=np.int64)
+                    cls_name[rows_sel] = dfc.loc[w, "name"].to_numpy(dtype=object)
+                    cls_conf[rows_sel] = dfc.loc[w, "conf"].to_numpy()
     else:
         pic_did = np.zeros(0, dtype=np.int64)
         ph = pa.array([], pa.string())
+        cls_name = np.zeros(0, dtype=object)
+        cls_conf = np.zeros(0)
 
     # F7: caption side-map (last per (doc, parent) wins; null parent never
     # matches — frozen decision, see oracle docstring)
@@ -247,6 +267,23 @@ def _extract_batch(batch: pa.RecordBatch) -> List[pa.RecordBatch]:
         )
     else:
         img_caption = pa.array([], pa.string())
+
+    # table captions (detail output only — table SPAN text stays the markdown)
+    if details and len(tbl_idx):
+        tdf = pd.DataFrame(
+            {
+                "did": did[tbl_idx],
+                "self_ref": mr.take(pa.array(tbl_idx)).to_pandas().to_numpy(),
+            }
+        )
+        tmerged = tdf.merge(
+            capdf, left_on=["did", "self_ref"], right_on=["did", "parent"], how="left"
+        )
+        tbl_caption = pa.array(
+            tmerged["ctext"].fillna("").to_numpy(dtype=object), pa.string()
+        )
+    else:
+        tbl_caption = pa.array([], pa.string())
 
     # F4: group-by page + ordered concat, first-touch page order.
     frag_valid = frag.is_valid().to_numpy(zero_copy_only=False) if total else np.zeros(0, bool)
@@ -335,34 +372,84 @@ def _extract_batch(batch: pa.RecordBatch) -> List[pa.RecordBatch]:
     n_imgs_all = np.bincount(pic_did[pic_keep], minlength=n_docs) if len(pic_keep) else np.zeros(n_docs, np.int64)
     n_tbls_all = np.bincount(tbl_did[tbl_keep], minlength=n_docs) if len(tbl_keep) else np.zeros(n_docs, np.int64)
 
+    from pdfplucker_spark.schemas import (
+        ARROW_BUNDLE_SCHEMA,
+        ARROW_IMAGE_STRUCT,
+        ARROW_PAGE_STRUCT,
+        ARROW_TABLE_STRUCT,
+    )
+
+    out_schema = ARROW_BUNDLE_SCHEMA if details else ARROW_EXTRACT_SCHEMA
     out: List[pa.RecordBatch] = []
     good_pos = np.flatnonzero(~bad)
     if len(good_pos):
         take = pa.array(good_pos)
         n_good = len(good_pos)
-        out.append(
-            pa.RecordBatch.from_arrays(
-                [
-                    doc_ids.take(take),
-                    pa.DictionaryArray.from_arrays(
-                        pa.array(np.zeros(n_good, np.int32)), pa.array(["ok"])
-                    ).cast(pa.string()),
-                    pa.nulls(n_good, pa.string()),
-                    spans_out_good,
-                    pa.array(counts[good_pos].astype(np.int32), pa.int32()),
-                    pa.array(n_pages_all[good_pos].astype(np.int32), pa.int32()),
-                    pa.array(n_imgs_all[good_pos].astype(np.int32), pa.int32()),
-                    pa.array(n_tbls_all[good_pos].astype(np.int32), pa.int32()),
-                ],
-                schema=ARROW_EXTRACT_SCHEMA,
+        cols = [
+            doc_ids.take(take),
+            pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(n_good, np.int32)), pa.array(["ok"])
+            ).cast(pa.string()),
+            pa.nulls(n_good, pa.string()),
+            spans_out_good,
+            pa.array(counts[good_pos].astype(np.int32), pa.int32()),
+            pa.array(n_pages_all[good_pos].astype(np.int32), pa.int32()),
+            pa.array(n_imgs_all[good_pos].astype(np.int32), pa.int32()),
+            pa.array(n_tbls_all[good_pos].astype(np.int32), pa.int32()),
+        ]
+        if details:
+            pages_struct = pa.StructArray.from_arrays(
+                [pa.array(g_page.astype(np.int32), pa.int32()), page_content],
+                fields=list(ARROW_PAGE_STRUCT),
             )
-        )
+            cols.append(
+                pa.ListArray.from_arrays(
+                    _offsets32(n_pages_all[good_pos]), pages_struct
+                )
+            )
+            keep_pa = pa.array(pic_keep)
+            img_struct = pa.StructArray.from_arrays(
+                [
+                    ph.take(keep_pa),
+                    mr.take(pa.array(pic_idx[pic_keep]))
+                    if len(pic_keep)
+                    else pa.array([], pa.string()),
+                    img_caption.take(keep_pa),
+                    pa.array(cls_name[pic_keep], pa.string()),
+                    pa.array(
+                        cls_conf[pic_keep], pa.float64(), from_pandas=True
+                    ),  # NaN → null (oracle None)
+                    pa.array(page[pic_idx[pic_keep]].astype(np.int32), pa.int32())
+                    if len(pic_keep)
+                    else pa.array([], pa.int32()),
+                ],
+                fields=list(ARROW_IMAGE_STRUCT),
+            )
+            cols.append(
+                pa.ListArray.from_arrays(_offsets32(n_imgs_all[good_pos]), img_struct)
+            )
+            tkeep_pa = pa.array(tbl_keep)
+            tbl_struct = pa.StructArray.from_arrays(
+                [
+                    mr.take(tbl_take) if len(tbl_keep) else pa.array([], pa.string()),
+                    tbl_caption.take(tkeep_pa),
+                    pa.array(page[tbl_idx[tbl_keep]].astype(np.int32), pa.int32())
+                    if len(tbl_keep)
+                    else pa.array([], pa.int32()),
+                    text.take(tbl_take) if len(tbl_keep) else pa.array([], pa.string()),
+                ],
+                fields=list(ARROW_TABLE_STRUCT),
+            )
+            cols.append(
+                pa.ListArray.from_arrays(_offsets32(n_tbls_all[good_pos]), tbl_struct)
+            )
+        out.append(pa.RecordBatch.from_arrays(cols, schema=out_schema))
 
     bad_pos = np.flatnonzero(bad)
     if len(bad_pos):
         # F12 analogue: per-doc oracle fallback — failures are data, the
         # batch never dies (reference marks the doc failed and moves on).
-        rows = {k: [] for k in ("doc_id", "status", "error", "spans", "ni", "np_", "nim", "ntb")}
+        rows = {k: [] for k in ("doc_id", "status", "error", "spans", "ni", "np_", "nim", "ntb", "pg", "im", "tb")}
         for p in bad_pos.tolist():
             d = doc_ids[p].as_py()
             res = extract_doc(d, spans[p].as_py())
@@ -374,27 +461,48 @@ def _extract_batch(batch: pa.RecordBatch) -> List[pa.RecordBatch]:
             rows["np_"].append(len(res["pages"]))
             rows["nim"].append(len(res["images"]))
             rows["ntb"].append(len(res["tables"]))
-        out.append(
-            pa.RecordBatch.from_arrays(
-                [
-                    pa.array(rows["doc_id"], pa.string()),
-                    pa.array(rows["status"], pa.string()),
-                    pa.array(rows["error"], pa.string()),
-                    pa.array(rows["spans"], pa.list_(ARROW_SPAN_STRUCT)),
-                    pa.array(rows["ni"], pa.int32()),
-                    pa.array(rows["np_"], pa.int32()),
-                    pa.array(rows["nim"], pa.int32()),
-                    pa.array(rows["ntb"], pa.int32()),
-                ],
-                schema=ARROW_EXTRACT_SCHEMA,
-            )
-        )
+            if details:
+                rows["pg"].append(res["pages"])
+                rows["im"].append(
+                    [
+                        {k: im[k] for k in ("ref", "self_ref", "caption", "classification", "confidence", "page")}
+                        for im in res["images"]
+                    ]
+                )
+                rows["tb"].append(
+                    [
+                        {k: tb[k] for k in ("self_ref", "caption", "page", "table")}
+                        for tb in res["tables"]
+                    ]
+                )
+        bad_cols = [
+            pa.array(rows["doc_id"], pa.string()),
+            pa.array(rows["status"], pa.string()),
+            pa.array(rows["error"], pa.string()),
+            pa.array(rows["spans"], pa.list_(ARROW_SPAN_STRUCT)),
+            pa.array(rows["ni"], pa.int32()),
+            pa.array(rows["np_"], pa.int32()),
+            pa.array(rows["nim"], pa.int32()),
+            pa.array(rows["ntb"], pa.int32()),
+        ]
+        if details:
+            bad_cols += [
+                pa.array(rows["pg"], pa.list_(ARROW_PAGE_STRUCT)),
+                pa.array(rows["im"], pa.list_(ARROW_IMAGE_STRUCT)),
+                pa.array(rows["tb"], pa.list_(ARROW_TABLE_STRUCT)),
+            ]
+        out.append(pa.RecordBatch.from_arrays(bad_cols, schema=out_schema))
     return out
 
 
 def _extract_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for batch in batches:
         yield from _extract_batch(batch)
+
+
+def _extract_iter_details(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        yield from _extract_batch(batch, details=True)
 
 
 def extract_spans(df):
@@ -406,9 +514,23 @@ def extract_spans(df):
     return df.select("doc_id", "spans").mapInArrow(_extract_iter, EXTRACT_SCHEMA)
 
 
-def extract_batch_local(table: pa.Table) -> pa.Table:
+def extract_bundle(df):
+    """Full Data-bundle parity output: spans + pages/images/tables detail
+    arrays (classification/confidence argmax included, utils.py:120-129)."""
+    from pdfplucker_spark.schemas import BUNDLE_SCHEMA
+
+    return df.select("doc_id", "spans").mapInArrow(
+        _extract_iter_details, BUNDLE_SCHEMA
+    )
+
+
+def extract_batch_local(table: pa.Table, details: bool = False) -> pa.Table:
     """Run the same kernel on a local Arrow table (test/bench helper)."""
+    from pdfplucker_spark.schemas import ARROW_BUNDLE_SCHEMA
+
     batches: List[pa.RecordBatch] = []
     for b in table.to_batches():
-        batches.extend(_extract_batch(b))
-    return pa.Table.from_batches(batches, schema=ARROW_EXTRACT_SCHEMA)
+        batches.extend(_extract_batch(b, details=details))
+    return pa.Table.from_batches(
+        batches, schema=ARROW_BUNDLE_SCHEMA if details else ARROW_EXTRACT_SCHEMA
+    )

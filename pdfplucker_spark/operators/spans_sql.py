@@ -287,8 +287,112 @@ SELECT (SELECT COUNT(DISTINCT doc_id) FROM spans) AS total_docs,
        (SELECT COUNT(*) FROM spans WHERE kind = 'table') AS total_tables"""
 
 
+def q_extract_images_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image detail records (utils.py:145-157 after pops): engine bundle
+    path incl. classification argmax — vs pure-SQL derivation."""
+    from pdfplucker_spark.operators.extract import extract_bundle
+
+    b = extract_bundle(derived_spans_nested(spark, sf_dir))
+    return b.select("doc_id", F.explode("images").alias("im")).select(
+        "doc_id",
+        F.col("im.ref").alias("ref"),
+        F.col("im.self_ref").alias("self_ref"),
+        F.col("im.caption").alias("caption"),
+        F.col("im.classification").alias("classification"),
+        F.col("im.confidence").alias("confidence"),
+        F.col("im.page").alias("page"),
+    )
+
+
+SQL_EXTRACT_IMAGES_DETAIL = f"""WITH {DERIVED_SPANS_CTE}, {_PAGED_SQL},
+pic AS (
+  SELECT doc_id, page, "offset", media_ref, text,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") - 1 AS seq
+  FROM paged WHERE kind = 'picture'
+),
+caps AS (
+  SELECT doc_id, media_ref AS parent, arg_max(text, "offset") AS cap
+  FROM spans WHERE kind = 'caption' AND media_ref IS NOT NULL
+  GROUP BY doc_id, media_ref
+)
+SELECT p.doc_id,
+       p.doc_id || '_' || CAST(p.seq AS VARCHAR) || '.png' AS ref,
+       p.media_ref AS self_ref,
+       COALESCE(c.cap, '') AS caption,
+       string_split(p.text, ':')[1] AS classification,
+       CAST(string_split(p.text, ':')[2] AS DOUBLE) AS confidence,
+       CAST(p.page AS INT) AS page
+FROM pic p LEFT JOIN caps c ON c.doc_id = p.doc_id AND c.parent = p.media_ref"""
+
+
+def q_extract_tables_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table detail records (utils.py:103-111 after pops) via engine bundle."""
+    from pdfplucker_spark.operators.extract import extract_bundle
+
+    b = extract_bundle(derived_spans_nested(spark, sf_dir))
+    return b.select("doc_id", F.explode("tables").alias("t")).select(
+        "doc_id",
+        F.col("t.self_ref").alias("self_ref"),
+        F.col("t.caption").alias("caption"),
+        F.col("t.page").alias("page"),
+        F.col("t.table").alias("table_md"),
+    )
+
+
+SQL_EXTRACT_TABLES_DETAIL = f"""WITH {DERIVED_SPANS_CTE}, {_PAGED_SQL},
+caps AS (
+  SELECT doc_id, media_ref AS parent, arg_max(text, "offset") AS cap
+  FROM spans WHERE kind = 'caption' AND media_ref IS NOT NULL
+  GROUP BY doc_id, media_ref
+)
+SELECT t.doc_id, t.media_ref AS self_ref, COALESCE(c.cap, '') AS caption,
+       CAST(t.page AS INT) AS page, t.text AS table_md
+FROM paged t LEFT JOIN caps c ON c.doc_id = t.doc_id AND c.parent = t.media_ref
+WHERE t.kind = 'table'"""
+
+
+def q_extract_pages_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page records with full content (placeholders included), first-touch
+    order surfaced via page_rank — engine bundle path."""
+    from pdfplucker_spark.operators.extract import extract_bundle
+
+    b = extract_bundle(derived_spans_nested(spark, sf_dir))
+    return b.select("doc_id", F.posexplode("pages").alias("page_rank", "p")).select(
+        "doc_id",
+        "page_rank",
+        F.col("p.page_number").alias("page_number"),
+        F.col("p.content").alias("content"),
+    )
+
+
+SQL_EXTRACT_PAGES_DETAIL = f"""WITH {DERIVED_SPANS_CTE}, {_PAGED_SQL},
+pic AS (
+  SELECT doc_id, page, "offset", media_ref,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") - 1 AS seq
+  FROM paged WHERE kind = 'picture'
+),
+frag AS (
+  SELECT doc_id, page, "offset", {_frag_case_sql()} AS frag
+  FROM paged WHERE kind IN {_TEXT_KINDS_IN}
+  UNION ALL
+  SELECT doc_id, page, "offset", ' <' || media_ref || '>' FROM paged WHERE kind = 'table'
+  UNION ALL
+  SELECT doc_id, page, "offset",
+         ' <' || doc_id || '_' || CAST(seq AS VARCHAR) || '.png>' FROM pic
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY MIN("offset")) - 1 AS INT)
+         AS page_rank,
+       CAST(page AS INT) AS page_number,
+       STRING_AGG(frag, '' ORDER BY "offset") AS content
+FROM frag GROUP BY doc_id, page"""
+
+
 QUERIES = {
     "spans_derive": (q_spans_derive, SQL_SPANS_DERIVE),
+    "extract_images_detail": (q_extract_images_detail, SQL_EXTRACT_IMAGES_DETAIL),
+    "extract_tables_detail": (q_extract_tables_detail, SQL_EXTRACT_TABLES_DETAIL),
+    "extract_pages_detail": (q_extract_pages_detail, SQL_EXTRACT_PAGES_DETAIL),
     "f3_format": (q_f3_format, SQL_F3_FORMAT),
     "f4_pages": (q_f4_pages, SQL_F4_PAGES),
     "f6_picture_seq": (q_f6_picture_seq, SQL_F6_PICTURE_SEQ),

@@ -4,18 +4,21 @@ The reference warns on >100-page PDFs (processor.py:271-273) and relies on a
 per-doc kill timer; at 10^12-doc scale the equivalent problem is a handful
 of giant documents landing in the same task as thousands of small ones.
 
-``doc_id`` is unique, so plain hash partitioning already spreads *counts*
-uniformly — key salting is unnecessary (it only helps duplicate keys). The
-real skew is per-doc *size*. Strategy: size-tiered routing —
+Design decision (measured, see BENCH/BASELINE.md): the parquet/Iceberg scan
+already yields byte-balanced partitions (``spark.sql.files.maxPartitionBytes``),
+and bytes ≈ spans for this schema — so re-shuffling the WHOLE corpus to
+"balance" it costs a full-dataset exchange and bought nothing (scaling
+efficiency collapsed from ~0.8 to ~0.35 in local measurement). Skew is
+defused by moving only the pathological tail:
 
-  - small docs  → hash-repartition(doc_id) into N partitions
-  - giant docs  → hash-repartition(doc_id) into their own N partitions,
-                  so no task mixes a giant with a large population of
-                  smalls, and AQE can coalesce the small side freely.
+  - small docs (≈99.99%): stay in their scan partitions — NO shuffle;
+  - giant docs (spans ≥ threshold): filtered out and hash-repartitioned on
+    doc_id into their own partitions — a shuffle of a tiny fraction.
 
-Both tiers are map-side unions (no extra shuffle beyond the two
-repartitions). ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
-per-batch memory for runs of giants (session.py).
+``doc_id`` is unique, so hash partitioning the giant tier spreads it evenly;
+key salting is unnecessary (it only helps duplicate keys). For inputs with
+genuinely pathological file layout, ``full_shuffle=True`` restores the
+full-corpus repartition.
 """
 
 from __future__ import annotations
@@ -32,21 +35,15 @@ def balance_docs(
     num_partitions: int,
     skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
     giant_partitions: int | None = None,
+    full_shuffle: bool = False,
 ) -> DataFrame:
-    """Route docs into size tiers and hash-partition each on doc_id.
-
-    Returns a DataFrame with the same columns, partitioned so that giant
-    docs never share a task with the bulk of small docs.
-    """
-    sized = df.withColumn("_n_spans", F.coalesce(F.size("spans"), F.lit(0)))
-    small = (
-        sized.where(F.col("_n_spans") < skew_threshold)
-        .repartition(num_partitions, "doc_id")
-        .drop("_n_spans")
-    )
-    giant = (
-        sized.where(F.col("_n_spans") >= skew_threshold)
-        .repartition(giant_partitions or num_partitions, "doc_id")
-        .drop("_n_spans")
+    """Isolate giant docs into their own hash partitions; leave the small-doc
+    bulk unshuffled (or fully repartition with ``full_shuffle=True``)."""
+    n_spans = F.coalesce(F.size("spans"), F.lit(0))
+    small = df.where(n_spans < skew_threshold)
+    if full_shuffle:
+        small = small.repartition(num_partitions, "doc_id")
+    giant = df.where(n_spans >= skew_threshold).repartition(
+        giant_partitions or num_partitions, "doc_id"
     )
     return small.unionByName(giant)

@@ -90,3 +90,83 @@ TABLE_DETAIL_SCHEMA = T.StructType(
         T.StructField("table", T.StringType(), True),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# bundle schemas: the full Data-record parity output (utils.py:16-21 after
+# temp-field pops; references/footnotes omitted — always [] per F10)
+# ---------------------------------------------------------------------------
+ARROW_PAGE_STRUCT = pa.struct(
+    [pa.field("page_number", pa.int32()), pa.field("content", pa.string())]
+)
+ARROW_IMAGE_STRUCT = pa.struct(
+    [
+        pa.field("ref", pa.string()),
+        pa.field("self_ref", pa.string()),
+        pa.field("caption", pa.string()),
+        pa.field("classification", pa.string()),
+        pa.field("confidence", pa.float64()),
+        pa.field("page", pa.int32()),
+    ]
+)
+ARROW_TABLE_STRUCT = pa.struct(
+    [
+        pa.field("self_ref", pa.string()),
+        pa.field("caption", pa.string()),
+        pa.field("page", pa.int32()),
+        pa.field("table", pa.string()),
+    ]
+)
+ARROW_BUNDLE_SCHEMA = pa.schema(
+    list(ARROW_EXTRACT_SCHEMA)
+    + [
+        pa.field("pages", pa.list_(ARROW_PAGE_STRUCT)),
+        pa.field("images", pa.list_(ARROW_IMAGE_STRUCT)),
+        pa.field("tables", pa.list_(ARROW_TABLE_STRUCT)),
+    ]
+)
+
+BUNDLE_SCHEMA = T.StructType(
+    EXTRACT_SCHEMA.fields
+    + [
+        T.StructField(
+            "pages",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("page_number", T.IntegerType()),
+                        T.StructField("content", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "images",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("ref", T.StringType()),
+                        T.StructField("self_ref", T.StringType()),
+                        T.StructField("caption", T.StringType()),
+                        T.StructField("classification", T.StringType()),
+                        T.StructField("confidence", T.DoubleType()),
+                        T.StructField("page", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "tables",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("self_ref", T.StringType()),
+                        T.StructField("caption", T.StringType()),
+                        T.StructField("page", T.IntegerType()),
+                        T.StructField("table", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)

@@ -31,6 +31,10 @@ def get_spark(
     pp = os.environ.get("PYTHONPATH", "")
     if pkg_root not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+    # One Arrow/BLAS thread per Python worker: N workers each spawning their
+    # own pool oversubscribes N× and *inverts* scaling (measured: local[32]
+    # slower than local[8] without this).
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
     b = (
         SparkSession.builder.master(master)
         .appName(app)
@@ -47,6 +51,9 @@ def get_spark(
         # run of giant docs doesn't blow the Python worker (SURVEY §7.4 skew)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Python-heavy pipelines want more, smaller scan tasks than the
+        # 128MB JVM default — nested-span batches expand a lot in flight
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )

@@ -1,0 +1,56 @@
+"""Property-based invariants (SURVEY §5 item 4) on seeded random corpora."""
+
+import re
+
+from pdfplucker_spark.gen import gen_doc, gen_rows
+from pdfplucker_spark.oracle import extract_doc
+
+
+def _ok_outputs(tier="t1"):
+    for doc_id, spans in gen_rows(tier):
+        out = extract_doc(doc_id, spans)
+        yield doc_id, spans, out
+
+
+def test_offsets_dense_and_sections_ordered():
+    for doc_id, _, out in _ok_outputs():
+        offs = [s["offset"] for s in out["spans"]]
+        assert offs == list(range(len(offs)))
+        kinds = [s["kind"] for s in out["spans"]]
+        # §7.3 contract: pages, then images, then tables
+        order = {"page": 0, "image": 1, "table": 2}
+        assert kinds == sorted(kinds, key=order.__getitem__)
+
+
+def test_picture_counters_dense_per_doc():
+    for doc_id, _, out in _ok_outputs():
+        refs = [s["media_ref"] for s in out["spans"] if s["kind"] == "image"]
+        for n, r in enumerate(refs):
+            assert r == f"{doc_id}_{n}.png"
+
+
+def test_every_table_and_picture_placed_exactly_once():
+    for doc_id, spans, out in _ok_outputs():
+        if out["status"] != "ok":
+            continue
+        content = "".join(s["text"] for s in out["spans"] if s["kind"] == "page")
+        n_tbl = sum(1 for s in spans if s["kind"] == "table")
+        n_pic = sum(1 for s in spans if s["kind"] == "picture")
+        assert len(re.findall(r"<#/tables/\d+>", content)) == n_tbl
+        assert len(re.findall(rf"<{re.escape(doc_id)}_\d+\.png>", content)) == n_pic
+
+
+def test_failures_never_crash_and_rate_formula():
+    rows = [gen_doc(i, seed=7, min_spans=3, max_spans=40, poison=(i % 3 == 0)) for i in range(60)]
+    outs = [extract_doc(d, s) for d, s in rows]
+    assert len(outs) == 60
+    failed = sum(1 for o in outs if o["status"] == "error")
+    assert failed >= 15  # poison rate is real
+    rate = ((60 - failed) / 60) * 100  # processor.py:449-450
+    assert 0 < rate < 100
+
+
+def test_generator_deterministic():
+    a = list(gen_rows("t1"))
+    b = list(gen_rows("t1"))
+    assert a == b
