@@ -33,7 +33,7 @@ from pdfplucker_spark.metrics import (
     run_metrics,
     with_lineage_cols,
 )
-from pdfplucker_spark.operators.extract import extract_spans
+from pdfplucker_spark.operators.extract import extract_bundle, extract_spans
 from pdfplucker_spark.plans.partitioning import DEFAULT_SKEW_THRESHOLD, balance_docs
 from pdfplucker_spark.session import get_spark
 
@@ -45,10 +45,12 @@ def read_docs(spark, input_path: str, fmt: str) -> DataFrame:
 
 
 def _committed_doc_ids(spark, output: str, fmt: str) -> DataFrame | None:
+    """Committed ids come from the compact doc-level table — the resume
+    anti-join never has to scan the (huge) span payload columns."""
     try:
         if fmt == "iceberg":
-            return spark.read.table(f"{output}.spans_out").select("doc_id")
-        return spark.read.parquet(os.path.join(output, "spans_out")).select("doc_id")
+            return spark.read.table(f"{output}.docs_out").select("doc_id")
+        return spark.read.parquet(os.path.join(output, "docs_out")).select("doc_id")
     except Exception:
         return None  # nothing committed yet
 
@@ -63,6 +65,9 @@ def run(
     resume: bool = False,
     fmt: str = "parquet",
     limit: int | None = None,
+    details: bool = False,
+    layout: str = "nested",
+    span_budget: int | None = None,
 ) -> dict:
     """Execute one extraction run; returns the metrics row as a dict
     (the analogue of process_batch's returned metrics, processor.py:454)."""
@@ -83,7 +88,8 @@ def run(
             docs = docs.join(committed, "doc_id", "left_anti")
 
     routed = balance_docs(docs, n_parts, skew_threshold)
-    extracted = with_lineage_cols(extract_spans(routed), run_id)
+    extract = extract_bundle if details else extract_spans
+    extracted = with_lineage_cols(extract(routed, span_budget=span_budget), run_id)
 
     def _write(df: DataFrame, name: str, mode: str = "append") -> None:
         if fmt == "iceberg":
@@ -91,14 +97,56 @@ def run(
         else:
             df.write.mode(mode).parquet(os.path.join(output, name))
 
-    _write(extracted, "spans_out")
+    detail_cols = ["pages", "images", "tables"] if details else []
+    if layout == "nested":
+        _write(extracted.drop(*detail_cols), "spans_out")
+    else:  # flat: the recommended 100 TB layout — pushdown-friendly columns
+        flat = extracted.select(
+            "run_id",
+            "partition_id",
+            "doc_id",
+            "status",
+            F.posexplode_outer("spans").alias("pos", "s"),
+        ).select(
+            "run_id",
+            "partition_id",
+            "doc_id",
+            "status",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+        _write(flat, "spans_out")
+    if details:
+        for name in detail_cols:
+            _write(
+                extracted.select(
+                    "run_id", "doc_id", F.explode(name).alias("r")
+                ).select("run_id", "doc_id", "r.*"),
+                name,
+            )
 
-    # Re-read the committed output (column-pruned scan of tiny columns) so
-    # metrics/lineage reflect exactly what was durably written.
+    # Compact doc-level table: resume source + metrics/lineage input —
+    # the accounting path never rescans span payloads.
+    docs_out = extracted.select(
+        "run_id",
+        "partition_id",
+        "doc_id",
+        "status",
+        "error",
+        "n_input_spans",
+        "n_pages",
+        "n_images",
+        "n_tables",
+        F.size("spans").alias("n_output_spans"),
+    )
+    _write(docs_out, "docs_out")
+
     if fmt == "iceberg":
-        written = spark.read.table(f"{output}.spans_out").where(F.col("run_id") == run_id)
+        written = spark.read.table(f"{output}.docs_out").where(F.col("run_id") == run_id)
     else:
-        written = spark.read.parquet(os.path.join(output, "spans_out")).where(
+        written = spark.read.parquet(os.path.join(output, "docs_out")).where(
             F.col("run_id") == run_id
         )
 
@@ -120,6 +168,9 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--format", choices=["parquet", "iceberg"], default="parquet")
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--details", action="store_true", help="also write pages/images/tables detail tables")
+    p.add_argument("--layout", choices=["nested", "flat"], default="nested")
+    p.add_argument("--span-budget", type=int, default=None, help="fail docs above this span count (S8 straggler guard)")
     p.add_argument("--master", default=None)
     a = p.parse_args(argv)
 
@@ -135,6 +186,9 @@ def main(argv=None):
             resume=a.resume,
             fmt=a.format,
             limit=a.limit,
+            details=a.details,
+            layout=a.layout,
+            span_budget=a.span_budget,
         )
         print(
             f"run {m['run_id']}: {m['total_docs']} docs, "

@@ -90,7 +90,7 @@ def lineage_table(extracted_with_lineage: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("n_failed"),
         F.sum("n_input_spans").alias("n_input_spans"),
-        F.sum(F.size("spans")).alias("n_output_spans"),
+        F.sum("n_output_spans").alias("n_output_spans"),
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )

@@ -76,7 +76,11 @@ def _doc_local_seq(group_ids: np.ndarray) -> np.ndarray:
     return np.arange(n) - np.repeat(starts, grp_len)
 
 
-def _extract_batch(batch: pa.RecordBatch, details: bool = False) -> List[pa.RecordBatch]:
+def _extract_batch(
+    batch: pa.RecordBatch,
+    details: bool = False,
+    span_budget: int | None = None,
+) -> List[pa.RecordBatch]:
     doc_ids = batch.column(batch.schema.get_field_index("doc_id"))
     spans = batch.column(batch.schema.get_field_index("spans"))
     n_docs = len(doc_ids)
@@ -91,6 +95,14 @@ def _extract_batch(batch: pa.RecordBatch, details: bool = False) -> List[pa.Reco
     bad = np.zeros(n_docs, dtype=bool)
     if spans.null_count:
         bad |= spans.is_null().to_numpy(zero_copy_only=False)
+
+    # S8 analogue (processor.py:183-231): instead of a kill-timer per doc,
+    # an optional work budget — oversized docs are marked failed up front
+    # and cost nothing, so one pathological doc can never stall a task.
+    over_budget = (
+        counts > span_budget if span_budget else np.zeros(n_docs, dtype=bool)
+    )
+    bad |= over_budget
 
     flat = spans.flatten()  # concatenation of all valid sub-lists, in order
     total = len(flat)
@@ -452,7 +464,18 @@ def _extract_batch(batch: pa.RecordBatch, details: bool = False) -> List[pa.Reco
         rows = {k: [] for k in ("doc_id", "status", "error", "spans", "ni", "np_", "nim", "ntb", "pg", "im", "tb")}
         for p in bad_pos.tolist():
             d = doc_ids[p].as_py()
-            res = extract_doc(d, spans[p].as_py())
+            if over_budget[p]:
+                res = {
+                    "doc_id": d,
+                    "status": "error",
+                    "error": f"TimeoutError: span budget exceeded ({int(counts[p])} > {span_budget})",
+                    "spans": [],
+                    "pages": [],
+                    "images": [],
+                    "tables": [],
+                }
+            else:
+                res = extract_doc(d, spans[p].as_py())
             rows["doc_id"].append(d)
             rows["status"].append(res["status"])
             rows["error"].append(res["error"])
@@ -495,32 +518,33 @@ def _extract_batch(batch: pa.RecordBatch, details: bool = False) -> List[pa.Reco
     return out
 
 
-def _extract_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    for batch in batches:
-        yield from _extract_batch(batch)
+def _make_iter(details: bool, span_budget: int | None):
+    def _it(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield from _extract_batch(batch, details=details, span_budget=span_budget)
+
+    return _it
 
 
-def _extract_iter_details(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    for batch in batches:
-        yield from _extract_batch(batch, details=True)
-
-
-def extract_spans(df):
+def extract_spans(df, span_budget: int | None = None):
     """docs(doc_id, spans) → extracted(doc_id, status, error, spans, n_*).
 
     One Arrow map stage; no shuffle. Callers choose partitioning
-    (see plans.partitioning.balance_docs).
+    (see plans.partitioning.balance_docs). ``span_budget`` is the S8
+    straggler guard: docs above it fail fast instead of stalling a task.
     """
-    return df.select("doc_id", "spans").mapInArrow(_extract_iter, EXTRACT_SCHEMA)
+    return df.select("doc_id", "spans").mapInArrow(
+        _make_iter(False, span_budget), EXTRACT_SCHEMA
+    )
 
 
-def extract_bundle(df):
+def extract_bundle(df, span_budget: int | None = None):
     """Full Data-bundle parity output: spans + pages/images/tables detail
     arrays (classification/confidence argmax included, utils.py:120-129)."""
     from pdfplucker_spark.schemas import BUNDLE_SCHEMA
 
     return df.select("doc_id", "spans").mapInArrow(
-        _extract_iter_details, BUNDLE_SCHEMA
+        _make_iter(True, span_budget), BUNDLE_SCHEMA
     )
 
 

@@ -97,7 +97,74 @@ FROM b GROUP BY bucket
 """
 
 
+# synthetic embeddings are near-isotropic (max pairwise cosine ≈0.35),
+# so the near-dup threshold is set where real pairs exist
+COSINE_DUP_THRESHOLD = 0.30
+
+
+def q_sim_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket as the
+    blocking key (the scale path — bucket is the shuffle key; only
+    same-bucket pairs pay the dot product), verified with exact cosine.
+    Output rounded to 6 dp; double accumulation is sequential in both
+    engines so values match."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = None
+    for j in range(N_PLANES):
+        bit = F.when(F.expr(_plane_dot_spark(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    e = emb.select(
+        "vec_id",
+        bucket.alias("bucket"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.sqrt(
+            F.expr("aggregate(cast(embedding as array<double>), 0D, (a,x) -> a + x*x)")
+        ).alias("nrm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = "aggregate(zip_with(a.v, b.v, (x,y) -> x*y), 0D, (s,t) -> s+t)"
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+        )
+        .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
+    )
+    return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+
+
+def _sql_bucket(alias: str) -> str:
+    return " + ".join(
+        f"CASE WHEN {_plane_dot_sql(j).replace('embedding', alias + '.embedding')} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(N_PLANES)
+    )
+
+
+SQL_SIM_COSINE_DUP_PAIRS = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {" + ".join(f"CASE WHEN {_plane_dot_sql(j)} > 0 THEN {1 << j} ELSE 0 END" for j in range(N_PLANES))}
+           AS bucket,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+           / (a.nrm * b.nrm) AS cos
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cos >= {COSINE_DUP_THRESHOLD}
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
+    "sim_cosine_dup_pairs": (q_sim_cosine_dup_pairs, SQL_SIM_COSINE_DUP_PAIRS),
 }

@@ -388,8 +388,77 @@ SELECT doc_id,
 FROM frag GROUP BY doc_id, page"""
 
 
+def q_markdown_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 analogue (processor.py:294-305): one markdown document per doc —
+    ordered page contents joined with page-break separators (derived view
+    over the engine output; media stay refs, not base64, per input_hint)."""
+    from pdfplucker_spark.operators.extract import extract_spans
+
+    ext = extract_spans(derived_spans_nested(spark, sf_dir))
+    pages = ext.select("doc_id", F.explode("spans").alias("s")).where(
+        F.col("s.kind") == "page"
+    )
+    return pages.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n\n---\n\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("s.offset").alias("o"), F.col("s.text").alias("t")))
+                ),
+                lambda x: x["t"],
+            ),
+        ).alias("markdown")
+    )
+
+
+SQL_MARKDOWN_EXPORT = f"""WITH {DERIVED_SPANS_CTE}, {_PAGED_SQL},
+pic AS (
+  SELECT doc_id, page, "offset",
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") - 1 AS seq
+  FROM paged WHERE kind = 'picture'
+),
+frag AS (
+  SELECT doc_id, page, "offset", {_frag_case_sql()} AS frag
+  FROM paged WHERE kind IN {_TEXT_KINDS_IN}
+  UNION ALL
+  SELECT doc_id, page, "offset", ' <' || media_ref || '>' FROM paged WHERE kind = 'table'
+  UNION ALL
+  SELECT doc_id, page, "offset",
+         ' <' || doc_id || '_' || CAST(seq AS VARCHAR) || '.png>' FROM pic
+),
+pages AS (
+  SELECT doc_id, page, MIN("offset") AS ft,
+         STRING_AGG(frag, '' ORDER BY "offset") AS content
+  FROM frag GROUP BY doc_id, page
+)
+SELECT doc_id,
+       STRING_AGG(content, chr(10) || chr(10) || '---' || chr(10) || chr(10) ORDER BY ft)
+         AS markdown
+FROM pages GROUP BY doc_id"""
+
+
+def q_json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 analogue (processor.py:307-308): per-doc JSON rendering of the
+    span bundle (debug exporter; Iceberg tables are the real sink)."""
+    from pdfplucker_spark.operators.extract import extract_spans
+
+    ext = extract_spans(derived_spans_nested(spark, sf_dir))
+    return ext.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "status", "spans")).alias("json"),
+    ).select("doc_id", F.length("json").alias("json_len"))
+
+
+# oracle compares a deterministic projection (length) — JSON key order and
+# whitespace are engine-specific, the payload length over identical content
+# is not a strong check, so this entry is registered WITHOUT an oracle and
+# relies on the rows-only gate + pytest bundle equality.
+
+
 QUERIES = {
     "spans_derive": (q_spans_derive, SQL_SPANS_DERIVE),
+    "markdown_export": (q_markdown_export, SQL_MARKDOWN_EXPORT),
+    "json_export": (q_json_export, None),
     "extract_images_detail": (q_extract_images_detail, SQL_EXTRACT_IMAGES_DETAIL),
     "extract_tables_detail": (q_extract_tables_detail, SQL_EXTRACT_TABLES_DETAIL),
     "extract_pages_detail": (q_extract_pages_detail, SQL_EXTRACT_PAGES_DETAIL),
