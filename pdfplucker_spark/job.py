@@ -91,6 +91,18 @@ def run(
     extract = extract_bundle if details else extract_spans
     extracted = with_lineage_cols(extract(routed, span_budget=span_budget), run_id)
 
+    # S12 live-progress analogue (processor.py:424-426): observed metrics
+    # ride the write action itself — no extra pass over the data.
+    from pyspark.sql import Observation
+
+    obs = Observation(f"extract_{run_id}")
+    extracted = extracted.observe(
+        obs,
+        F.count(F.lit(1)).alias("obs_docs"),
+        F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("obs_failed"),
+        F.sum("n_input_spans").alias("obs_spans"),
+    )
+
     def _write(df: DataFrame, name: str, mode: str = "append") -> None:
         if fmt == "iceberg":
             df.writeTo(f"{output}.{name}").append()
@@ -155,6 +167,10 @@ def run(
     metrics_df = run_metrics(written, run_id, initial_time=t0)
     _write(metrics_df, "metrics")
     row = metrics_df.collect()[0].asDict()
+    try:
+        row["observed"] = obs.get  # in-flight metrics from the write action
+    except Exception:
+        row["observed"] = None
     return row
 
 

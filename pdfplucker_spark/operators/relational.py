@@ -193,8 +193,52 @@ GROUP BY o_orderpriority
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-min inactivity) over the event stream —
+    lag → boundary flag → running sum = session id, then per-session agg.
+    The batch formulation of what Structured Streaming's session window
+    does with state; scales as one shuffle on user_id."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    boundary = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "returnflag_rollup": (q_returnflag_rollup, SQL_RETURNFLAG_ROLLUP),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "regional_supply": (q_regional_supply, SQL_REGIONAL_SUPPLY),
