@@ -99,11 +99,24 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
-    return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+    # o_orderdate as epoch seconds: timestamp collection depends on the
+    # session timezone, epoch does not — keeps the oracle compare TZ-proof
+    return (
+        rev.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate) div 1000000"
+            ).alias("o_orderdate_epoch"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
 
 
 SQL_TOP_ORDERS = """
-SELECT o_orderkey, o_orderdate, o_orderpriority,
+SELECT o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_epoch, o_orderpriority,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
          AS revenue
@@ -200,15 +213,23 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     does with state; scales as one shuffle on user_id."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    boundary = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    sess = ev.withColumn(
+    # NTZ-safe and microsecond-exact: timestampdiff works on NTZ without
+    # any session-timezone interpretation (driver session TZ is unknown)
+    prev = F.lag("ts").over(w)
+    sess = ev.withColumn("prev_ts", prev)
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    boundary = F.when(F.col("prev_ts").isNull() | (gap_us > 1800 * 1000000), 1).otherwise(0)
+    sess = sess.withColumn(
         "session_seq",
         F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return sess.groupBy("user_id", "session_seq").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', min(ts)) div 1000000"
+        ).alias("session_start_epoch"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', max(ts)) div 1000000"
+        ).alias("session_end_epoch"),
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
     )
@@ -218,7 +239,7 @@ SQL_EVENTS_SESSIONIZE = """
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN LAG(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                   OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800 * 1000000
               THEN 1 ELSE 0 END AS boundary
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -229,7 +250,8 @@ sess AS (
   FROM flagged
 )
 SELECT user_id, session_seq,
-       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end_epoch,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM sess GROUP BY user_id, session_seq
