@@ -518,10 +518,30 @@ def _extract_batch(
     return out
 
 
+# Safety valve: Arrow string arrays carry 32-bit offsets (2 GB per array).
+# maxRecordsPerBatch bounds ROWS, not spans — a batch of nothing-but-giant
+# docs could still overflow, so oversized batches are split by doc ranges.
+MAX_SPANS_PER_KERNEL_BATCH = 4_000_000
+
+
+def _split_batch(batch: pa.RecordBatch):
+    spans = batch.column(batch.schema.get_field_index("spans"))
+    total = int(
+        pc.sum(pc.fill_null(pc.list_value_length(spans), 0)).as_py() or 0
+    )
+    if total <= MAX_SPANS_PER_KERNEL_BATCH or batch.num_rows <= 1:
+        yield batch
+        return
+    mid = batch.num_rows // 2
+    yield from _split_batch(batch.slice(0, mid))
+    yield from _split_batch(batch.slice(mid))
+
+
 def _make_iter(details: bool, span_budget: int | None):
     def _it(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            yield from _extract_batch(batch, details=details, span_budget=span_budget)
+            for piece in _split_batch(batch):
+                yield from _extract_batch(piece, details=details, span_budget=span_budget)
 
     return _it
 

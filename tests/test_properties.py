@@ -54,3 +54,27 @@ def test_generator_deterministic():
     a = list(gen_rows("t1"))
     b = list(gen_rows("t1"))
     assert a == b
+
+
+def test_kernel_batch_splitting_preserves_equality(monkeypatch):
+    """Sliced record batches (the giant-overflow safety valve) must produce
+    identical results to unsplit processing."""
+    import pyarrow as pa
+
+    from pdfplucker_spark.gen import gen_rows, rows_to_table
+    from pdfplucker_spark.operators import extract as ex
+
+    rows = list(gen_rows("t1"))
+    table = rows_to_table(rows)
+    monkeypatch.setattr(ex, "MAX_SPANS_PER_KERNEL_BATCH", 500)  # force splits
+    it = ex._make_iter(False, None)
+    batches = list(it(iter(table.to_batches())))
+    assert len(batches) > 10  # splitting actually happened
+    out = pa.Table.from_batches(batches)
+    got = {r["doc_id"]: r for r in out.to_pylist()}
+    from pdfplucker_spark.oracle import extract_doc
+
+    for doc_id, spans in rows:
+        exp = extract_doc(doc_id, spans)
+        assert got[doc_id]["status"] == exp["status"]
+        assert got[doc_id]["spans"] == exp["spans"], doc_id
