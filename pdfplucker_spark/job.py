@@ -44,15 +44,51 @@ def read_docs(spark, input_path: str, fmt: str) -> DataFrame:
     return spark.read.parquet(input_path)
 
 
-def _committed_doc_ids(spark, output: str, fmt: str) -> DataFrame | None:
-    """Committed ids come from the compact doc-level table — the resume
-    anti-join never has to scan the (huge) span payload columns."""
+def committed_run_ids(output: str) -> list[str]:
+    """Runs whose ENTIRE output set landed durably. Under Iceberg this is
+    the snapshot log; the parquet fallback uses per-run commit markers
+    written only after every table append for the run succeeded."""
+    d = os.path.join(output, "_commits")
     try:
-        if fmt == "iceberg":
+        return sorted(os.listdir(d))
+    except FileNotFoundError:
+        return []
+
+
+def _mark_committed(output: str, run_id: str) -> None:
+    d = os.path.join(output, "_commits")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, run_id), "w") as f:
+        f.write("ok\n")
+
+
+def _committed_doc_ids(spark, output: str, fmt: str) -> DataFrame | None:
+    """Committed ids come from the compact doc-level table restricted to
+    COMMITTED runs — a torn run (crash mid-write) is invisible here, so its
+    docs are safely reprocessed; readers use ``committed_view`` to ignore
+    the torn run's partial spans."""
+    if fmt == "iceberg":
+        try:
             return spark.read.table(f"{output}.docs_out").select("doc_id")
-        return spark.read.parquet(os.path.join(output, "docs_out")).select("doc_id")
+        except Exception:
+            return None
+    runs = committed_run_ids(output)
+    if not runs:
+        return None
+    try:
+        docs = spark.read.parquet(os.path.join(output, "docs_out"))
     except Exception:
-        return None  # nothing committed yet
+        return None
+    return docs.where(F.col("run_id").isin(runs)).select("doc_id")
+
+
+def committed_view(spark, output: str, table: str = "spans_out") -> DataFrame:
+    """Read an output table filtered to committed runs only — the reader-side
+    half of exactly-once under the parquet fallback (torn appends from a
+    crashed run carry a run_id with no commit marker and are dropped;
+    re-processing after resume keeps exactly one committed copy per doc)."""
+    df = spark.read.parquet(os.path.join(output, table))
+    return df.where(F.col("run_id").isin(committed_run_ids(output)))
 
 
 def run(
@@ -167,6 +203,8 @@ def run(
     metrics_df = run_metrics(written, run_id, initial_time=t0)
     _write(metrics_df, "metrics")
     row = metrics_df.collect()[0].asDict()
+    if fmt != "iceberg":
+        _mark_committed(output, run_id)  # the run's atomic commit point
     try:
         row["observed"] = obs.get  # in-flight metrics from the write action
     except Exception:

@@ -77,3 +77,31 @@ def test_resume_noop_when_complete(spark, t1_path, tmp_path):
     assert m["total_docs"] == 0
     res = spark.read.parquet(os.path.join(out, "spans_out"))
     assert res.count() == 100
+
+
+def test_torn_run_reprocessed_exactly_once(spark, t1_path, tmp_path):
+    """Crash between spans_out and the commit marker → resume must
+    reprocess those docs, and the committed view must hold exactly one
+    copy per doc (exactly-once under the parquet fallback)."""
+    import os as _os
+
+    out = str(tmp_path / "out")
+    # full run that "crashes" after writes but before the commit marker
+    job.run(spark, t1_path, out, run_id="torn", partitions=4, limit=40)
+    _os.remove(_os.path.join(out, "_commits", "torn"))  # simulate the crash
+
+    # resume: torn run invisible → all 100 docs processed again
+    m = job.run(spark, t1_path, out, run_id="good", partitions=4, resume=True)
+    assert m["total_docs"] == 100
+
+    # raw table contains the torn duplicates…
+    raw = spark.read.parquet(_os.path.join(out, "spans_out"))
+    assert raw.count() == 140
+    # …the committed view does not
+    view = job.committed_view(spark, out)
+    assert view.count() == 100
+    assert view.select("doc_id").distinct().count() == 100
+
+    # and a further resume is a no-op
+    m2 = job.run(spark, t1_path, out, run_id="again", partitions=4, resume=True)
+    assert m2["total_docs"] == 0
