@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Iterator, List
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -129,6 +130,100 @@ SELECT doc_id, media_ref,
 FROM m"""
 
 
+# ---------------------------------------------------------------------------
+# frame sampling: 1→N vectorized expansion over typed media
+# ---------------------------------------------------------------------------
+_FRAME_OUT = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("media_kind", pa.string()),
+        pa.field("frame_idx", pa.int32()),
+        pa.field("frame_ref", pa.string()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("media_kind", T.StringType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("frame_ref", T.StringType(), True),
+    ]
+)
+
+_KINDS3 = ["image", "video", "audio"]
+
+
+def _frame_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """STUB frame sampler: media type + frame count derived from the bytes
+    (a real one would probe the container and decode keyframes). The
+    Spark-side shape is real: a vectorized 1→N row expansion via
+    np.repeat over Arrow buffers — no per-row Python except the hex reads."""
+    import numpy as np
+
+    for batch in batches:
+        doc = batch.column(batch.schema.get_field_index("doc_id"))
+        ref = batch.column(batch.schema.get_field_index("media_ref"))
+        blob = batch.column(batch.schema.get_field_index("media_bytes"))
+        n = batch.num_rows
+        kinds = np.empty(n, dtype=object)
+        counts = np.empty(n, dtype=np.int64)
+        for i, b in enumerate(blob):  # stub "container probe" per item
+            h = b.as_py().hex()
+            k = int(h[:15], 16) % 3
+            kinds[i] = _KINDS3[k]
+            counts[i] = 1 if k == 0 else (2 + int(h[15], 16) % 7 if k == 1 else 1 + int(h[15], 16) % 3)
+        idx = np.repeat(np.arange(n), counts)
+        frame_idx = (np.arange(len(idx)) - np.repeat(np.cumsum(counts) - counts, counts)).astype(np.int32)
+        take = pa.array(idx)
+        ref_rep = ref.take(take)
+        frame_ref = pc.binary_join_element_wise(
+            pc.fill_null(ref_rep, ""), "#", pc.cast(pa.array(frame_idx), pa.string()), ""
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                doc.take(take),
+                ref_rep,
+                pa.array(kinds, pa.string()).take(take),
+                pa.array(frame_idx, pa.int32()),
+                frame_ref,
+            ],
+            schema=_FRAME_OUT,
+        )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-media frame/chunk sampling: image→1 frame, video→2-8 frames,
+    audio→1-3 chunks; deterministic stub decode, real expansion plumbing."""
+    return media_items(spark, sf_dir).mapInArrow(_frame_batches, FRAME_SCHEMA)
+
+
+SQL_MEDIA_FRAMES = f"""WITH {DERIVED_SPANS_CTE},
+m AS (
+  SELECT doc_id, media_ref, md5(media_ref || doc_id) AS h
+  FROM spans WHERE kind = 'picture'
+),
+typed AS (
+  SELECT doc_id, media_ref,
+         CAST({_hx(1, 15)} % 3 AS INT) AS k,
+         CAST({_hx(16, 1)} AS INT) AS h16
+  FROM m
+),
+counted AS (
+  SELECT doc_id, media_ref,
+         CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END AS media_kind,
+         CASE k WHEN 0 THEN 1 WHEN 1 THEN 2 + h16 % 7 ELSE 1 + h16 % 3 END AS n_frames
+  FROM typed
+)
+SELECT doc_id, media_ref, media_kind,
+       CAST(UNNEST(range(n_frames)) AS INT) AS frame_idx,
+       media_ref || '#' || CAST(UNNEST(range(n_frames)) AS VARCHAR) AS frame_ref
+FROM counted"""
+
+
 QUERIES = {
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
 }
