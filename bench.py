@@ -99,13 +99,25 @@ def main():
     import subprocess
 
     def _one(n: int) -> float:
-        r = subprocess.run(
+        # own process group → a timeout/kill here can never orphan Spark
+        # children (orphans silently poison later measurements)
+        proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--scale-worker", str(n), bench_path],
-            capture_output=True,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
             text=True,
-            timeout=420,
+            start_new_session=True,
         )
-        return float(r.stdout.strip().splitlines()[-1])
+        try:
+            out, _ = proc.communicate(timeout=420)
+            return float(out.strip().splitlines()[-1])
+        finally:
+            import signal as _sig
+
+            try:
+                os.killpg(proc.pid, _sig.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
 
     n_lo, n_hi = 2, 8
     # interleave A/B so bursty neighbor load (shared VM) hits both levels;
@@ -136,7 +148,7 @@ def main():
 def _scale_worker(n: int, bench_path: str) -> None:
     """One isolated scaling measurement: full job at local[n], best of 3.
 
-    The corpus is scanned 4× (multi-path read = 200k docs of work) so fixed
+    The corpus is scanned 2× (multi-path read = 100k docs of work) so fixed
     per-job costs amortize and the measurement reflects throughput, not
     scheduler overhead — the local-mode proxy for a cluster-scale input.
     """
@@ -147,13 +159,13 @@ def _scale_worker(n: int, bench_path: str) -> None:
     s = get_spark(
         app=f"scale{n}", master=f"local[{n}]", shuffle_partitions=n, arrow_batch_rows=512
     )
-    paths = [bench_path] * 4
+    paths = [bench_path] * 2  # 100k docs of work per level
     df = s.read.parquet(*paths)
     df.count()
     extract_spans(df.sample(0.01).repartition(4 * n)).count()  # warm all workers
 
     def run_job():
-        extract_spans(balance_docs(s.read.parquet(*paths), n * 4)).write.mode(
+        extract_spans(balance_docs(s.read.parquet(*paths), n * 2)).write.mode(
             "overwrite"
         ).parquet(os.path.join(BENCH_OUT, f"scale_{n}"))
 
