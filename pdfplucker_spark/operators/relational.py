@@ -258,9 +258,44 @@ FROM sess GROUP BY user_id, session_seq
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]  # fixed domain
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix (explicit value list keeps
+    the plan a single two-phase aggregate — no extra distinct pass)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count().na.fill(0)
+
+
+SQL_EVENT_TYPE_PIVOT = "SELECT user_id,\n" + ",\n".join(
+    f"  COUNT(*) FILTER (WHERE event_type = '{t}') AS \"{t}\"" for t in _EVENT_TYPES
+) + "\nFROM events GROUP BY user_id"
+
+
+def q_lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (returnflag, linestatus)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+SQL_LINEITEM_CUBE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
+    "lineitem_cube": (q_lineitem_cube, SQL_LINEITEM_CUBE),
     "returnflag_rollup": (q_returnflag_rollup, SQL_RETURNFLAG_ROLLUP),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "regional_supply": (q_regional_supply, SQL_REGIONAL_SUPPLY),
