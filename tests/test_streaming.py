@@ -37,3 +37,40 @@ def test_stream_matches_oracle_and_is_exactly_once(spark, tmp_path):
             for s in g["spans"]
         ]
         assert g["status"] == exp["status"] and gspans == exp["spans"], doc_id
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    """Watermarked tumbling-window counts over a drained file stream equal
+    the batch computation (append mode emits only finalized windows, so
+    compare on the windows the stream closed)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.streaming.stream import stream_windowed_event_counts
+
+    in_dir = str(tmp_path / "ev")
+    os.makedirs(in_dir)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", in_dir + "/events.parquet")
+
+    q = stream_windowed_event_counts(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got, "stream produced no finalized windows"
+    batch = (
+        spark.read.parquet(in_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    )
+    exp = {(r.ws, r.event_type): r.n for r in batch}
+    for k, v in got.items():
+        assert exp[k] == v, k
