@@ -291,11 +291,49 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_custkeys_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers with orders INTERSECT/EXCEPT customers
+    whose orders have lineitems."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    with_orders = orders.select("o_custkey")
+    with_items = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_custkey")
+    )
+    both = with_orders.intersect(with_items).withColumn("relation", F.lit("both"))
+    # subtract = EXCEPT DISTINCT (set semantics, matching the SQL EXCEPT);
+    # exceptAll would be multiset difference and misclassify customers
+    # whose order counts differ between the two sides
+    only_orders = with_orders.subtract(with_items).withColumn(
+        "relation", F.lit("orders_only")
+    )
+    return both.unionByName(only_orders).withColumnRenamed("o_custkey", "custkey")
+
+
+SQL_CUSTKEYS_SETOPS = """
+SELECT custkey, 'both' AS relation FROM (
+  SELECT o_custkey AS custkey FROM orders
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE EXISTS
+    (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+)
+UNION ALL
+SELECT custkey, 'orders_only' AS relation FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE EXISTS
+    (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+)
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
     "lineitem_cube": (q_lineitem_cube, SQL_LINEITEM_CUBE),
+    "custkeys_setops": (q_custkeys_setops, SQL_CUSTKEYS_SETOPS),
     "returnflag_rollup": (q_returnflag_rollup, SQL_RETURNFLAG_ROLLUP),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "regional_supply": (q_regional_supply, SQL_REGIONAL_SUPPLY),
