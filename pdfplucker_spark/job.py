@@ -62,6 +62,32 @@ def _mark_committed(output: str, run_id: str) -> None:
         f.write("ok\n")
 
 
+def _acquire_lock(output: str, run_id: str, stale_sec: float = 24 * 3600) -> str:
+    """Single-writer lease for the parquet fallback. Iceberg gets real
+    optimistic concurrency from the catalog; the parquet commit protocol
+    (append + marker) is exactly-once only under one concurrent writer, so
+    refuse to start while another live run holds the lease. A lease older
+    than ``stale_sec`` is treated as abandoned (crashed run) and taken over."""
+    path = os.path.join(output, "_RUN_LOCK")
+    os.makedirs(output, exist_ok=True)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        age = time.time() - os.path.getmtime(path)
+        if age < stale_sec:
+            with open(path) as f:
+                holder = f.read().strip()
+            raise RuntimeError(
+                f"run {holder!r} holds the writer lease {path} (age {age:.0f}s); "
+                "the parquet commit protocol is single-writer — wait for it to "
+                "finish or delete the stale lock"
+            )
+        fd = os.open(path, os.O_CREAT | os.O_WRONLY | os.O_TRUNC)
+    with os.fdopen(fd, "w") as f:
+        f.write(run_id + "\n")
+    return path
+
+
 def _committed_doc_ids(spark, output: str, fmt: str) -> DataFrame | None:
     """Committed ids come from the compact doc-level table restricted to
     COMMITTED runs — a torn run (crash mid-write) is invisible here, so its
@@ -111,6 +137,24 @@ def run(
     run_id = run_id or uuid.uuid4().hex[:12]
     n_parts = partitions or spark.sparkContext.defaultParallelism
 
+    lock = _acquire_lock(output, run_id) if fmt != "iceberg" else None
+    try:
+        return _run_locked(
+            spark, input_path, output, run_id, n_parts, skew_threshold,
+            resume, fmt, limit, details, layout, span_budget, t0,
+        )
+    finally:
+        if lock is not None:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
+
+def _run_locked(
+    spark, input_path, output, run_id, n_parts, skew_threshold,
+    resume, fmt, limit, details, layout, span_budget, t0,
+) -> dict:
     docs = read_docs(spark, input_path, fmt)
     if limit:  # S2: dev/smoke truncation (processor.py:374)
         docs = docs.limit(limit)
@@ -138,6 +182,16 @@ def run(
         F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("obs_failed"),
         F.sum("n_input_spans").alias("obs_spans"),
     )
+
+    # One extraction pass total: spans_out, each detail table, and docs_out
+    # are separate write actions — without a persist the mapInArrow stage
+    # re-runs per action (2-5x cost), and with ``limit`` set LocalLimit gives
+    # no determinism guarantee across actions, so docs_out (the resume
+    # source) could commit doc_ids whose spans never landed in spans_out.
+    # MEMORY_AND_DISK spills instead of recomputing at 100 TB partitions.
+    from pyspark import StorageLevel
+
+    extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
 
     def _write(df: DataFrame, name: str, mode: str = "append") -> None:
         if fmt == "iceberg":
@@ -190,6 +244,7 @@ def run(
         F.size("spans").alias("n_output_spans"),
     )
     _write(docs_out, "docs_out")
+    extracted.unpersist()  # accounting below reads back the written parquet
 
     if fmt == "iceberg":
         written = spark.read.table(f"{output}.docs_out").where(F.col("run_id") == run_id)

@@ -109,10 +109,17 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = d.select("doc_id", *_sig_cols())
     bands = None
     for b in range(N_BANDS):
+        # F.concat (not concat_ws): null-propagating, matching the oracle's
+        # `||` — a null-text doc gets a NULL key on BOTH sides and never
+        # joins, so engine and oracle agree on null-text rows.
         part = sigs.select(
             "doc_id",
             F.lit(b).alias("band"),
-            F.concat_ws("_", f"sig{2*b}", f"sig{2*b+1}").alias("key"),
+            F.concat(
+                F.col(f"sig{2*b}").cast("string"),
+                F.lit("_"),
+                F.col(f"sig{2*b+1}").cast("string"),
+            ).alias("key"),
         )
         bands = part if bands is None else bands.unionByName(part)
     a = bands.alias("a")
@@ -212,35 +219,59 @@ FROM documents
 # ---------------------------------------------------------------------------
 # n-gram shingle Jaccard
 # ---------------------------------------------------------------------------
+NGRAM_BANDS = 8  # r=1 rows/band: P(candidate) = 1-(1-s)^8 ≈ 0.97 at s=0.35
+
+_SHINGLE_EXPR = (
+    "array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - 2, 1)), "
+    "i -> concat_ws(' ', slice(split(text,' '), i, 3))))"
+)
+
+
 def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram (token trigram) Jaccard near-dup pairs, blocked by source
-    (blocking bounds the pair count; at scale the block key would be an
-    LSH bucket instead)."""
+    """3-gram (token trigram) Jaccard near-dup pairs, blocked by MinHash-LSH
+    buckets over the shingle set (8 bands × 1 row). The self-join is keyed on
+    uniform md5-derived min-hashes, so bucket cardinality is bounded by the
+    near-dup cluster size — not O(block²) on a metadata column — and the
+    exact-Jaccard verification only touches candidate pairs."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
+    sh = d.select("doc_id", F.expr(_SHINGLE_EXPR).alias("sh"))
+    sigs = sh.select(
         "doc_id",
-        "source",
-        F.array_distinct(
+        "sh",
+        *[
             F.expr(
-                "transform(sequence(1, greatest(size(split(text,' ')) - 2, 1)), "
-                "i -> concat_ws(' ', slice(split(text,' '), i, 3)))"
-            )
-        ).alias("sh"),
+                "array_min(transform(sh, t -> "
+                + sql_expr_md5_long(f"concat('ng{i}', ':', t)")
+                + "))"
+            ).alias(f"g{i}")
+            for i in range(NGRAM_BANDS)
+        ],
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    return (
+    bands = None
+    for i in range(NGRAM_BANDS):
+        part = sigs.select("doc_id", F.lit(i).alias("band"), F.col(f"g{i}").alias("key"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.source") == F.col("b.source"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        cand.join(sh.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(sh.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             (
-                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-                / F.size(F.array_union("a.sh", "b.sh"))
+                F.size(F.array_intersect("ta.sh", "tb.sh")).cast("double")
+                / F.size(F.array_union("ta.sh", "tb.sh"))
             ).alias("jac"),
         )
         .where(F.col("jac") >= NGRAM_THRESHOLD)
@@ -248,19 +279,35 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_ngram_band(i: int) -> str:
+    h = sql_md5_long(f"'ng{i}' || ':' || t")
+    return (
+        f"SELECT doc_id, {i} AS band, "
+        f"list_aggregate(list_transform(sh, t -> {h}), 'min') AS key FROM sh"
+    )
+
+
 SQL_DEDUP_NGRAM_PAIRS = f"""
 WITH sh AS (
-  SELECT doc_id, source,
+  SELECT doc_id,
          list_distinct(list_transform(
            range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
            i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
   FROM documents
+),
+bands AS (
+  {" UNION ALL ".join(_sql_ngram_band(i) for i in range(NGRAM_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT doc_a, doc_b,
          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
            / len(list_distinct(a.sh || b.sh)) AS jac
-  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
 ) WHERE jac >= {NGRAM_THRESHOLD}
 """
 

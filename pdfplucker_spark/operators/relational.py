@@ -249,7 +249,7 @@ sess AS (
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
        CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end_epoch,
        COUNT(*) AS n_events,

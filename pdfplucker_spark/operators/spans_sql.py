@@ -280,9 +280,9 @@ per_doc_pages AS (
   FROM paged WHERE kind <> 'page_break' GROUP BY doc_id
 )
 SELECT (SELECT COUNT(DISTINCT doc_id) FROM spans) AS total_docs,
-       0 AS failed_docs,
+       CAST(0 AS BIGINT) AS failed_docs,
        (SELECT COUNT(*) FROM spans) AS total_input_spans,
-       (SELECT SUM(n_pages) FROM per_doc_pages) AS total_pages,
+       (SELECT CAST(SUM(n_pages) AS BIGINT) FROM per_doc_pages) AS total_pages,
        (SELECT COUNT(*) FROM spans WHERE kind = 'picture') AS total_images,
        (SELECT COUNT(*) FROM spans WHERE kind = 'table') AS total_tables"""
 
@@ -437,28 +437,130 @@ SELECT doc_id,
 FROM pages GROUP BY doc_id"""
 
 
+def _json_esc(c):
+    """Minimal JSON string escape (\\, ", newline) — the only characters the
+    span alphabet can produce; identical replace chain on the DuckDB side."""
+    x = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    x = F.replace(x, F.lit('"'), F.lit('\\"'))
+    return F.replace(x, F.lit("\n"), F.lit("\\n"))
+
+
 def q_json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 analogue (processor.py:307-308): per-doc JSON rendering of the
-    span bundle (debug exporter; Iceberg tables are the real sink)."""
+    span bundle (debug exporter; Iceberg tables are the real sink).
+
+    Canonical form — fixed key order (doc_id, spans, status), spans in
+    offset order, explicit escaping — so the rendering is deterministic and
+    byte-comparable across engines (to_json key order / null conventions
+    are engine-specific; an explicit concat is not).
+    """
     from pdfplucker_spark.operators.extract import extract_spans
 
     ext = extract_spans(derived_spans_nested(spark, sf_dir))
-    return ext.select(
+    s = ext.select("doc_id", "status", F.explode("spans").alias("s"))
+    span_json = F.concat(
+        F.lit('{"kind":"'),
+        _json_esc(F.col("s.kind")),
+        F.lit('","media_ref":"'),
+        _json_esc(F.col("s.media_ref")),
+        F.lit('","offset":'),
+        F.col("s.offset").cast("string"),
+        F.lit(',"text":"'),
+        _json_esc(F.col("s.text")),
+        F.lit('"}'),
+    )
+    per_doc = s.groupBy("doc_id", "status").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("s.offset").alias("o"), span_json.alias("j"))
+                    )
+                ),
+                lambda x: x["j"],
+            ),
+        ).alias("body")
+    )
+    return per_doc.select(
         "doc_id",
-        F.to_json(F.struct("doc_id", "status", "spans")).alias("json"),
-    ).select("doc_id", F.length("json").alias("json_len"))
+        F.concat(
+            F.lit('{"doc_id":"'),
+            F.col("doc_id"),
+            F.lit('","spans":['),
+            F.col("body"),
+            F.lit('],"status":"'),
+            F.col("status"),
+            F.lit('"}'),
+        ).alias("json"),
+    )
 
 
-# oracle compares a deterministic projection (length) — JSON key order and
-# whitespace are engine-specific, the payload length over identical content
-# is not a strong check, so this entry is registered WITHOUT an oracle and
-# relies on the rows-only gate + pytest bundle equality.
+def _esc_sql(col: str) -> str:
+    return (
+        f"replace(replace(replace({col}, '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n')"
+    )
+
+
+SQL_JSON_EXPORT = f"""WITH {DERIVED_SPANS_CTE}, {_PAGED_SQL},
+pic AS (
+  SELECT doc_id, page, "offset", media_ref,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") - 1 AS seq
+  FROM paged WHERE kind = 'picture'
+),
+frag AS (
+  SELECT doc_id, page, "offset", {_frag_case_sql()} AS frag
+  FROM paged WHERE kind IN {_TEXT_KINDS_IN}
+  UNION ALL
+  SELECT doc_id, page, "offset", ' <' || media_ref || '>' FROM paged WHERE kind = 'table'
+  UNION ALL
+  SELECT doc_id, page, "offset",
+         ' <' || doc_id || '_' || CAST(seq AS VARCHAR) || '.png>' FROM pic
+),
+pages AS (
+  SELECT doc_id, page, MIN("offset") AS ft,
+         STRING_AGG(frag, '' ORDER BY "offset") AS content
+  FROM frag GROUP BY doc_id, page
+),
+caps AS (
+  SELECT doc_id, media_ref AS parent, arg_max(text, "offset") AS cap
+  FROM spans WHERE kind = 'caption' AND media_ref IS NOT NULL
+  GROUP BY doc_id, media_ref
+),
+out AS (
+  SELECT doc_id, 0 AS sec, ft AS ord, 'page' AS kind, content AS text,
+         CAST(page AS VARCHAR) AS media_ref
+  FROM pages
+  UNION ALL
+  SELECT p.doc_id, 1, p.seq, 'image', COALESCE(c.cap, ''),
+         p.doc_id || '_' || CAST(p.seq AS VARCHAR) || '.png'
+  FROM pic p LEFT JOIN caps c ON c.doc_id = p.doc_id AND c.parent = p.media_ref
+  UNION ALL
+  SELECT doc_id, 2, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") - 1,
+         'table', text, media_ref
+  FROM paged WHERE kind = 'table'
+),
+final AS (
+  SELECT doc_id, kind, text, media_ref,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sec, ord) - 1 AS "offset"
+  FROM out
+)
+SELECT doc_id,
+       '{{"doc_id":"' || doc_id || '","spans":[' ||
+       COALESCE(STRING_AGG(
+         '{{"kind":"' || {_esc_sql('kind')} ||
+         '","media_ref":"' || {_esc_sql('media_ref')} ||
+         '","offset":' || CAST("offset" AS VARCHAR) ||
+         ',"text":"' || {_esc_sql('text')} || '"}}',
+         ',' ORDER BY "offset"), '') ||
+       '],"status":"ok"}}' AS json
+FROM final GROUP BY doc_id"""
 
 
 QUERIES = {
     "spans_derive": (q_spans_derive, SQL_SPANS_DERIVE),
     "markdown_export": (q_markdown_export, SQL_MARKDOWN_EXPORT),
-    "json_export": (q_json_export, None),
+    "json_export": (q_json_export, SQL_JSON_EXPORT),
     "extract_images_detail": (q_extract_images_detail, SQL_EXTRACT_IMAGES_DETAIL),
     "extract_tables_detail": (q_extract_tables_detail, SQL_EXTRACT_TABLES_DETAIL),
     "extract_pages_detail": (q_extract_pages_detail, SQL_EXTRACT_PAGES_DETAIL),
