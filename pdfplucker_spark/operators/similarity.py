@@ -4,13 +4,33 @@
     the exactness baseline. zip_with + aggregate keeps the dot product
     JVM-side (whole-stage codegen); both engines accumulate doubles
     sequentially so scores match bit-for-bit (verified).
-  - ``sim_lsh_buckets``: the scale path — sign-LSH over 4 deterministic
-    hyperplanes with integer quantization (floor(x*1000)) so bucket
-    assignment is exact integer math in both engines; at 100 TB the
-    bucket id becomes the shuffle/blocking key and top-k runs per bucket.
+  - ``sim_lsh_buckets`` / ``sim_cosine_dup_pairs``: the scale path —
+    sign-LSH with multi-table AND-OR banding. T tables (OR) of r planes
+    each (AND): a pair is a candidate iff it lands in the same r-bit bucket
+    in ANY table. Plane weights are md5-seeded integers baked as identical
+    literals into both engines; the plane dot is exact integer math over
+    floor(x*1000) quantized components, so bucket assignment matches
+    bit-for-bit.
+
+100 TB bucket-cardinality math (sign-LSH, p = 1 - theta/pi per plane):
+  Demo parameters here are T=4 tables x r=4 planes (16 planes total,
+  2^4 buckets/table) because the synthetic corpus is near-isotropic (max
+  pairwise cosine ~0.35) and the dup threshold is 0.30 -> p=0.597,
+  recall = 1-(1-p^r)^T = 0.42.
+  At production near-dup thresholds the SAME operator scales by raising r:
+  cos >= 0.9 -> p = 0.857; r=16, T=8 gives recall 1-(1-0.857^16)^8 = 0.55,
+  r=12, T=16 gives 0.92, with 2^12..2^16 buckets per table. At N = 1e9
+  near-isotropic vectors and r=16, each table spreads rows over ~65k
+  buckets (~15k rows/bucket); the per-bucket self-join is ~1e8 candidate
+  pairs per bucket-table TOTAL ~1e12/65536 — bounded, shuffle-keyed on
+  (table, bucket), and verified pairs only pay one exact dot each. Raising
+  r another 4 bits cuts per-bucket occupancy 16x for the same recall knob
+  via T. Nothing in the plan depends on 2^r being small.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -18,8 +38,28 @@ from pdfplucker_spark.sources.tables import load
 
 TOP_K = 10
 QUERY_VEC_ID = 0
-N_PLANES = 4
+DIM = 64
+N_TABLES = 4  # OR: candidate if same bucket in ANY table
+PLANES_PER_TABLE = 4  # AND: r-bit bucket per table
+N_PLANES = N_TABLES * PLANES_PER_TABLE  # 16
 QUANT = 1000
+
+
+def _plane_weights(j: int, dim: int = DIM) -> list[int]:
+    """Deterministic pseudo-random integer plane in [-1000, 1000]^dim.
+
+    md5-seeded so the family never repeats (the round-1 ((i+1)*(j+2))%7
+    family had period 7 in j — planes j and j+7 were identical, capping the
+    usable plane count). Baked as literals into BOTH engines' expressions,
+    so there is no cross-engine hash dependency at query time.
+    """
+    return [
+        int(hashlib.md5(f"pl{j}:{i}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+        for i in range(dim)
+    ]
+
+
+_W = [_plane_weights(j) for j in range(N_PLANES)]
 
 
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,109 +96,140 @@ LIMIT {TOP_K}
 """
 
 
+# --- sign-LSH plane dots: exact integer math in both engines -----------------
 def _plane_dot_spark(j: int) -> str:
-    # plane_j[i] = ((i+1)*(j+2)) % 7 - 3, integer dot with floor(x*1000)
+    w = ", ".join(f"{v}L" for v in _W[j])
     return (
-        f"aggregate(transform(sequence(0, size(embedding) - 1), "
-        f"i -> CAST(floor(element_at(cast(embedding as array<double>), i + 1) * {QUANT}) AS BIGINT)"
-        f" * (((i + 1) * ({j} + 2)) % 7 - 3)), 0L, (a, x) -> a + x)"
+        f"aggregate(zip_with(transform(cast(embedding as array<double>), "
+        f"x -> CAST(floor(x * {QUANT}) AS BIGINT)), array({w}), "
+        f"(x, w) -> x * w), 0L, (a, y) -> a + y)"
+    )
+
+
+def _plane_dot_sql(j: int, col: str = "embedding") -> str:
+    # integer-valued doubles: |dot| <= 64 * 1000 * 1000 << 2^53, exact
+    w = ", ".join(str(v) for v in _W[j])
+    return (
+        f"list_dot_product(list_transform(CAST({col} AS DOUBLE[]), "
+        f"x -> floor(x * {QUANT})), [{w}])"
+    )
+
+
+def _bucket_col(t: int):
+    """r-bit bucket id for table t (Spark side)."""
+    bucket = None
+    for jj in range(PLANES_PER_TABLE):
+        j = t * PLANES_PER_TABLE + jj
+        bit = F.when(F.expr(_plane_dot_spark(j)) > 0, F.lit(1 << jj)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def _bucket_sql(t: int, col: str = "embedding") -> str:
+    return " + ".join(
+        f"CASE WHEN {_plane_dot_sql(t * PLANES_PER_TABLE + jj, col)} > 0 THEN {1 << jj} ELSE 0 END"
+        for jj in range(PLANES_PER_TABLE)
     )
 
 
 def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket occupancy stats per (table, bucket) — the ANN index histogram.
+    At scale this is the skew diagnostic for the (table, bucket) shuffle key."""
     emb = load(spark, sf_dir, "embeddings")
-    bucket = None
-    for j in range(N_PLANES):
-        bit = F.when(F.expr(_plane_dot_spark(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    per_vec = emb.select("vec_id", bucket.alias("bucket"))
-    return per_vec.groupBy("bucket").agg(
+    per = None
+    for t in range(N_TABLES):
+        part = emb.select(
+            "vec_id", F.lit(t).alias("lsh_table"), _bucket_col(t).alias("bucket")
+        )
+        per = part if per is None else per.unionByName(part)
+    return per.groupBy("lsh_table", "bucket").agg(
         F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
-    )
-
-
-def _plane_dot_sql(j: int) -> str:
-    return (
-        f"list_reduce([CAST(0 AS BIGINT)] || list_transform(range(len(embedding)), "
-        f"i -> CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * {QUANT}) AS BIGINT)"
-        f" * (((i + 1) * ({j} + 2)) % 7 - 3)), (a, x) -> a + x)"
     )
 
 
 SQL_SIM_LSH_BUCKETS = f"""
 WITH b AS (
-  SELECT vec_id,
-         {" + ".join(f"CASE WHEN {_plane_dot_sql(j)} > 0 THEN {1 << j} ELSE 0 END" for j in range(N_PLANES))}
-           AS bucket
-  FROM embeddings
+  {" UNION ALL ".join(
+      f"SELECT vec_id, {t} AS lsh_table, {_bucket_sql(t)} AS bucket FROM embeddings"
+      for t in range(N_TABLES)
+  )}
 )
-SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
-FROM b GROUP BY bucket
+SELECT lsh_table, bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+FROM b GROUP BY lsh_table, bucket
 """
 
 
-# synthetic embeddings are near-isotropic (max pairwise cosine ≈0.35),
+# synthetic embeddings are near-isotropic (max pairwise cosine ~0.35),
 # so the near-dup threshold is set where real pairs exist
 COSINE_DUP_THRESHOLD = 0.30
 
 
 def q_sim_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: sign-LSH bucket as the
-    blocking key (the scale path — bucket is the shuffle key; only
-    same-bucket pairs pay the dot product), verified with exact cosine.
-    Output rounded to 6 dp; double accumulation is sequential in both
-    engines so values match."""
+    """Embedding-cosine near-duplicate pairs via AND-OR banded sign-LSH:
+    candidates = same r-bit bucket in ANY of the T tables (join keyed on
+    (table, bucket) — the shuffle key whose cardinality grows with 2^r),
+    deduplicated, then verified with the exact cosine. Double accumulation
+    is sequential in both engines so values match bit-for-bit."""
     emb = load(spark, sf_dir, "embeddings")
-    bucket = None
-    for j in range(N_PLANES):
-        bit = F.when(F.expr(_plane_dot_spark(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+    keys = None
+    for t in range(N_TABLES):
+        part = emb.select(
+            "vec_id", F.lit(t).alias("lsh_table"), _bucket_col(t).alias("bucket")
+        )
+        keys = part if keys is None else keys.unionByName(part)
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lsh_table") == F.col("b.lsh_table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
     e = emb.select(
         "vec_id",
-        bucket.alias("bucket"),
         F.col("embedding").cast("array<double>").alias("v"),
         F.sqrt(
             F.expr("aggregate(cast(embedding as array<double>), 0D, (a,x) -> a + x*x)")
         ).alias("nrm"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    dot = "aggregate(zip_with(a.v, b.v, (x,y) -> x*y), 0D, (s,t) -> s+t)"
+    dot = "aggregate(zip_with(ea.v, eb.v, (x,y) -> x*y), 0D, (s,t) -> s+t)"
     pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        cand.join(e.alias("ea"), F.col("vec_a") == F.col("ea.vec_id"))
+        .join(e.alias("eb"), F.col("vec_b") == F.col("eb.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            (F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+            "vec_a",
+            "vec_b",
+            (F.expr(dot) / (F.col("ea.nrm") * F.col("eb.nrm"))).alias("cos"),
         )
         .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
     )
     return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
 
 
-def _sql_bucket(alias: str) -> str:
-    return " + ".join(
-        f"CASE WHEN {_plane_dot_sql(j).replace('embedding', alias + '.embedding')} > 0 THEN {1 << j} ELSE 0 END"
-        for j in range(N_PLANES)
-    )
-
-
 SQL_SIM_COSINE_DUP_PAIRS = f"""
-WITH e AS (
-  SELECT vec_id, embedding,
-         {" + ".join(f"CASE WHEN {_plane_dot_sql(j)} > 0 THEN {1 << j} ELSE 0 END" for j in range(N_PLANES))}
-           AS bucket,
+WITH k AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, {t} AS lsh_table, {_bucket_sql(t)} AS bucket FROM embeddings"
+      for t in range(N_TABLES)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM k a JOIN k b
+    ON a.lsh_table = b.lsh_table AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
   FROM embeddings
 )
 SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-           / (a.nrm * b.nrm) AS cos
-  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT vec_a, vec_b,
+         list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cos
+  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
 ) WHERE cos >= {COSINE_DUP_THRESHOLD}
 """
 

@@ -25,7 +25,9 @@ from pdfplucker_spark.sources.tables import (
     derived_spans_nested,
 )
 
-# text kinds that occur in the derived corpus (cycle of 10, tables.py)
+# text kinds that occur in the derived corpus (cycle of 16, tables.py) —
+# ALL 13 branches of the reference's label dispatch (utils.py:52-85),
+# so every F3 format branch passes through the driver's DuckDB gate.
 _DERIVED_TEXT_KINDS = [
     "section_header",
     "paragraph",
@@ -34,6 +36,12 @@ _DERIVED_TEXT_KINDS = [
     "caption",
     "title",
     "footnote",
+    "formula",
+    "reference",
+    "page_footer",
+    "checkbox_selected",
+    "checkbox_unselected",
+    "code",
 ]
 
 

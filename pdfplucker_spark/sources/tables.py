@@ -5,9 +5,10 @@ DataFrames against DuckDB SQL over the same parquet. The extraction engine's
 input table (doc_id, spans) does not exist in /root/testdata, so we derive
 one *deterministically* from the ``documents`` table with logic expressible
 identically in both engines: token i of ``documents.text`` becomes span i,
-with kind/text/media_ref cycling on i%10 (all span kinds exercised,
-captions reference the table of their block, pages revisit 1..5 to pin
-first-touch ordering).
+with kind/text/media_ref cycling on i%16 — ALL 13 text-format branches of
+the reference's label dispatch (utils.py:52-85) plus table/picture/
+page_break are exercised, captions reference the table of their block, and
+pages revisit 1..5 to pin first-touch ordering.
 
 Spark side: ``derived_spans_flat`` / ``derived_spans_nested`` (DataFrame
 API). DuckDB side: ``DERIVED_SPANS_CTE`` (ANSI-ish SQL, DuckDB 1.0 — no
@@ -39,8 +40,8 @@ def derived_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"),
         F.posexplode(F.split("text", " ")).alias("i", "tok"),
     )
-    cyc = F.col("i") % 10
-    blk = F.floor(F.col("i") / 10).cast("long")
+    cyc = F.col("i") % 16
+    blk = F.floor(F.col("i") / 16).cast("long")
     return e.select(
         "doc_id",
         F.element_at(
@@ -58,6 +59,12 @@ def derived_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "page_break",
                         "title",
                         "footnote",
+                        "formula",
+                        "reference",
+                        "page_footer",
+                        "checkbox_selected",
+                        "checkbox_unselected",
+                        "code",
                     ]
                 ]
             ),
@@ -67,7 +74,7 @@ def derived_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(cyc == 6, F.concat(F.lit("chart:0."), (blk % 10).cast("string")))
         .when(cyc == 7, F.lit(None).cast("string"))
         .otherwise(F.col("tok"))
-        .alias("text"),
+        .alias("text"),  # cyc 8-15 carry the raw token (plain text kinds)
         F.when(cyc.isin(4, 5), F.concat(F.lit("#/tables/"), blk.cast("string")))
         .when(cyc == 6, F.concat(F.lit("#/pictures/"), blk.cast("string")))
         .when(cyc == 7, (blk % 5 + 1).cast("string"))
@@ -110,24 +117,27 @@ tok AS (
 ),
 spans AS (
   SELECT doc_id,
-         CASE CAST(i % 10 AS INT)
+         CASE CAST(i % 16 AS INT)
            WHEN 0 THEN 'section_header' WHEN 1 THEN 'paragraph'
            WHEN 2 THEN 'text'           WHEN 3 THEN 'list_item'
            WHEN 4 THEN 'caption'        WHEN 5 THEN 'table'
            WHEN 6 THEN 'picture'        WHEN 7 THEN 'page_break'
-           WHEN 8 THEN 'title'          ELSE 'footnote'
+           WHEN 8 THEN 'title'          WHEN 9 THEN 'footnote'
+           WHEN 10 THEN 'formula'       WHEN 11 THEN 'reference'
+           WHEN 12 THEN 'page_footer'   WHEN 13 THEN 'checkbox_selected'
+           WHEN 14 THEN 'checkbox_unselected' ELSE 'code'
          END AS kind,
-         CASE CAST(i % 10 AS INT)
+         CASE CAST(i % 16 AS INT)
            WHEN 5 THEN '|' || tok || '|'
-           WHEN 6 THEN 'chart:0.' || CAST((i // 10) % 10 AS VARCHAR)
+           WHEN 6 THEN 'chart:0.' || CAST((i // 16) % 10 AS VARCHAR)
            WHEN 7 THEN NULL
            ELSE tok
          END AS text,
-         CASE CAST(i % 10 AS INT)
-           WHEN 4 THEN '#/tables/' || CAST(i // 10 AS VARCHAR)
-           WHEN 5 THEN '#/tables/' || CAST(i // 10 AS VARCHAR)
-           WHEN 6 THEN '#/pictures/' || CAST(i // 10 AS VARCHAR)
-           WHEN 7 THEN CAST((i // 10) % 5 + 1 AS VARCHAR)
+         CASE CAST(i % 16 AS INT)
+           WHEN 4 THEN '#/tables/' || CAST(i // 16 AS VARCHAR)
+           WHEN 5 THEN '#/tables/' || CAST(i // 16 AS VARCHAR)
+           WHEN 6 THEN '#/pictures/' || CAST(i // 16 AS VARCHAR)
+           WHEN 7 THEN CAST((i // 16) % 5 + 1 AS VARCHAR)
            ELSE NULL
          END AS media_ref,
          CAST(i AS INT) AS "offset"

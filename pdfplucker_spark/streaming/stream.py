@@ -87,3 +87,60 @@ def stream_windowed_event_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """Stateful streaming sessionization — the streaming analogue of the
+    batch ``events_sessionize`` operator (operators/relational.py): gap-based
+    session windows per user, state merged incrementally by Spark's
+    session_window operator and bounded by the watermark (a session closes
+    and emits once the watermark passes its end + gap). Declarative
+    state-per-key — no custom applyInPandasWithState needed for this
+    semantic; state size per key is one open session.
+
+    The money column is summed in exact decimal so a drained stream equals
+    the batch computation bit-for-bit regardless of partial-agg order.
+    """
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last_event"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_last_event",
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -40,6 +40,6 @@ def test_every_query_has_oracle_or_is_flagged():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     # non-SQL-expressible ops are allowed to omit oracle; list them here
-    allowed_no_oracle = {"json_export"}  # JSON text is engine-formatted
+    allowed_no_oracle = set()
     missing = set(q) - set(o) - allowed_no_oracle
     assert not missing, f"queries without oracle_sql: {missing}"

@@ -74,3 +74,58 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
     exp = {(r.ws, r.event_type): r.n for r in batch}
     for k, v in got.items():
         assert exp[k] == v, k
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """Stateful session_window streaming sessionization equals the batch
+    gap-sessionize (relational.py q_events_sessionize boundary rule) on the
+    sessions the stream finalized (append mode only emits watermark-closed
+    sessions; open tail sessions stay in state)."""
+    import shutil
+
+    from pyspark.sql import Window, functions as F
+
+    from pdfplucker_spark.streaming.stream import stream_sessionize
+
+    in_dir = str(tmp_path / "ev")
+    os.makedirs(in_dir)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", in_dir + "/events.parquet")
+
+    q = stream_sessionize(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.session_start): (
+            r.session_last_event,
+            r.n_events,
+            r.total_value,
+        )
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got, "stream produced no finalized sessions"
+
+    # batch analogue: same 30-min gap boundary rule as q_events_sessionize
+    ev = spark.read.parquet(in_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    sess = ev.withColumn("prev_ts", prev)
+    boundary = F.when(F.col("prev_ts").isNull() | (gap_us > 1800 * 1000000), 1).otherwise(0)
+    sess = sess.withColumn(
+        "seq", F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    batch = (
+        sess.groupBy("user_id", "seq")
+        .agg(
+            F.min("ts").alias("start"),
+            F.max("ts").alias("last"),
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("tv"),
+        )
+        .collect()
+    )
+    exp = {(r.user_id, r.start): (r.last, r.n, r.tv) for r in batch}
+    for k, v in got.items():
+        assert exp[k] == v, (k, v, exp.get(k))
