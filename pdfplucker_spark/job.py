@@ -108,11 +108,17 @@ def _committed_doc_ids(spark, output: str, fmt: str) -> DataFrame | None:
     return docs.where(F.col("run_id").isin(runs)).select("doc_id")
 
 
-def committed_view(spark, output: str, table: str = "spans_out") -> DataFrame:
+def committed_view(spark, output: str, table: str = "spans_out", fmt: str = "parquet") -> DataFrame:
     """Read an output table filtered to committed runs only — the reader-side
-    half of exactly-once under the parquet fallback (torn appends from a
-    crashed run carry a run_id with no commit marker and are dropped;
-    re-processing after resume keeps exactly one committed copy per doc)."""
+    half of exactly-once. Parquet fallback: torn appends from a crashed run
+    carry a run_id with no commit marker and are dropped; re-processing after
+    resume keeps exactly one committed copy per doc. Catalog (iceberg) mode:
+    docs_out is written last, so a run_id present in docs_out means every
+    earlier table append for that run committed — semi-join on it."""
+    if fmt == "iceberg":
+        df = spark.read.table(f"{output}.{table}")
+        runs = spark.read.table(f"{output}.docs_out").select("run_id").distinct()
+        return df.join(F.broadcast(runs), "run_id", "left_semi")
     df = spark.read.parquet(os.path.join(output, table))
     return df.where(F.col("run_id").isin(committed_run_ids(output)))
 
@@ -167,7 +173,9 @@ def _run_locked(
             # preferred path is snapshot-diff of the input instead.
             docs = docs.join(committed, "doc_id", "left_anti")
 
-    routed = balance_docs(docs, n_parts, skew_threshold)
+    # extraction consumes exactly (doc_id, spans); sidecar input columns
+    # (e.g. metadata) rejoin at the compact doc level below
+    routed = balance_docs(docs.select("doc_id", "spans"), n_parts, skew_threshold)
     extract = extract_bundle if details else extract_spans
     extracted = with_lineage_cols(extract(routed, span_budget=span_budget), run_id)
 
@@ -195,7 +203,24 @@ def _run_locked(
 
     def _write(df: DataFrame, name: str, mode: str = "append") -> None:
         if fmt == "iceberg":
-            df.writeTo(f"{output}.{name}").append()
+            # DataFrameWriterV2 against whatever catalog `output` names —
+            # an Iceberg catalog on a real cluster, or the session catalog
+            # in the jar-less integration test. First run creates the table
+            # (catalog-default provider), later runs append.
+            from pyspark.errors.exceptions.captured import AnalysisException
+
+            target = f"{output}.{name}"
+            if spark.catalog.tableExists(target):
+                try:
+                    df.writeTo(target).append()
+                except AnalysisException as e:
+                    # Session-catalog parquet tables are v1 and reject the
+                    # DSv2 append; a real Iceberg catalog never hits this.
+                    if "v1 table" not in str(e):
+                        raise
+                    df.write.mode("append").saveAsTable(target)
+            else:
+                df.writeTo(target).create()
         else:
             df.write.mode(mode).parquet(os.path.join(output, name))
 
@@ -243,6 +268,16 @@ def _run_locked(
         "n_tables",
         F.size("spans").alias("n_output_spans"),
     )
+    # S3 metadata slot (processor.py:268-282): pass a caller-supplied
+    # metadata struct through to docs_out. The join is on the compact
+    # doc-level tables only (column pruning drops the spans payload), and
+    # absent inputs still get the column so the sink schema is stable.
+    from pdfplucker_spark.schemas import METADATA_TYPE
+
+    if "metadata" in docs.columns:
+        docs_out = docs_out.join(docs.select("doc_id", "metadata"), "doc_id", "left")
+    else:
+        docs_out = docs_out.withColumn("metadata", F.lit(None).cast(METADATA_TYPE))
     _write(docs_out, "docs_out")
     extracted.unpersist()  # accounting below reads back the written parquet
 

@@ -28,6 +28,21 @@ INPUT_SCHEMA = T.StructType(
     ]
 )
 
+# S3 metadata record (processor.py:268-282): the 6 fitz fields the reference
+# stamps per document. Inputs MAY carry this as a ``metadata`` struct column
+# next to (doc_id, spans); the job passes it through to docs_out untouched
+# (the input_hint input has no bytes to re-derive it from).
+METADATA_TYPE = T.StructType(
+    [
+        T.StructField("format", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("creationDate", T.StringType(), True),
+        T.StructField("modDate", T.StringType(), True),
+        T.StructField("filename", T.StringType(), True),
+        T.StructField("pageAmount", T.IntegerType(), True),
+    ]
+)
+
 EXTRACT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
