@@ -453,6 +453,85 @@ def _json_esc(c):
     return F.replace(x, F.lit("\n"), F.lit("\\n"))
 
 
+def q_markdown_export_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 EMBEDDED mode (processor.py:294-305, ImageRefMode.EMBEDDED): the
+    markdown export with image refs replaced by base64 data-URIs. The
+    input_hint input carries no real image bytes, so the embedded payload is
+    the deterministic stub (md5(ref) as 16 fake PNG bytes — same convention
+    as operators/multimodal.py); the embedding mechanics (per-image
+    placeholder → data-URI rewrite inside page content) are real and
+    cross-checked. Spark side folds F.replace over the doc's image list
+    (JVM-side aggregate, no UDF); the oracle builds the embedded form
+    directly in the frag CTE — two independent constructions."""
+    from pdfplucker_spark.operators.extract import extract_bundle
+
+    b = extract_bundle(derived_spans_nested(spark, sf_dir))
+    pages = b.select("doc_id", "images", F.posexplode("pages").alias("rank", "p"))
+    embedded = pages.select(
+        "doc_id",
+        "rank",
+        F.aggregate(
+            "images",
+            F.col("p.content"),
+            lambda acc, im: F.replace(
+                acc,
+                F.concat(F.lit("<"), im["ref"], F.lit(">")),
+                F.concat(
+                    F.lit("!["),
+                    im["ref"],
+                    F.lit("](data:image/png;base64,"),
+                    F.base64(F.unhex(F.md5(im["ref"]))),
+                    F.lit(")"),
+                ),
+            ),
+        ).alias("content"),
+    )
+    return embedded.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n\n---\n\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("rank").alias("o"), F.col("content").alias("t"))
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+        ).alias("markdown")
+    )
+
+
+_EMBED_SQL = (
+    "'![' || ph || '](data:image/png;base64,' || to_base64(unhex(md5(ph))) || ')'"
+)
+
+SQL_MARKDOWN_EXPORT_EMBEDDED = f"""WITH {DERIVED_SPANS_CTE}, {_PAGED_SQL},
+pic AS (
+  SELECT doc_id, page, "offset",
+         doc_id || '_' ||
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") - 1 AS VARCHAR)
+         || '.png' AS ph
+  FROM paged WHERE kind = 'picture'
+),
+frag AS (
+  SELECT doc_id, page, "offset", {_frag_case_sql()} AS frag
+  FROM paged WHERE kind IN {_TEXT_KINDS_IN}
+  UNION ALL
+  SELECT doc_id, page, "offset", ' <' || media_ref || '>' FROM paged WHERE kind = 'table'
+  UNION ALL
+  SELECT doc_id, page, "offset", ' ' || {_EMBED_SQL} FROM pic
+),
+pages AS (
+  SELECT doc_id, page, MIN("offset") AS ft,
+         STRING_AGG(frag, '' ORDER BY "offset") AS content
+  FROM frag GROUP BY doc_id, page
+)
+SELECT doc_id,
+       STRING_AGG(content, chr(10) || chr(10) || '---' || chr(10) || chr(10) ORDER BY ft)
+         AS markdown
+FROM pages GROUP BY doc_id"""
+
+
 def q_json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 analogue (processor.py:307-308): per-doc JSON rendering of the
     span bundle (debug exporter; Iceberg tables are the real sink).
@@ -568,6 +647,10 @@ FROM final GROUP BY doc_id"""
 QUERIES = {
     "spans_derive": (q_spans_derive, SQL_SPANS_DERIVE),
     "markdown_export": (q_markdown_export, SQL_MARKDOWN_EXPORT),
+    "markdown_export_embedded": (
+        q_markdown_export_embedded,
+        SQL_MARKDOWN_EXPORT_EMBEDDED,
+    ),
     "json_export": (q_json_export, SQL_JSON_EXPORT),
     "extract_images_detail": (q_extract_images_detail, SQL_EXTRACT_IMAGES_DETAIL),
     "extract_tables_detail": (q_extract_tables_detail, SQL_EXTRACT_TABLES_DETAIL),
