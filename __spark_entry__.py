@@ -30,7 +30,14 @@ def _registry() -> dict[str, tuple]:
     from pdfplucker_spark.operators import spans_sql
 
     reg.update(spans_sql.QUERIES)
-    for mod_name in ("relational", "textstats", "dedup", "similarity", "multimodal"):
+    for mod_name in (
+        "relational",
+        "textstats",
+        "dedup",
+        "similarity",
+        "multimodal",
+        "pipeline",
+    ):
         try:
             mod = __import__(
                 f"pdfplucker_spark.operators.{mod_name}", fromlist=["QUERIES"]

@@ -1,0 +1,261 @@
+"""Training-data-pipeline operators beyond the reference surface: as-of
+join, per-group top-k terms (TF-IDF), exact group quantiles, deterministic
+stratified sampling, canonical-document selection.
+
+Each is expressed as the plan you'd want at 100 TB:
+
+  - as-of join: the union + single-window formulation — ONE shuffle on the
+    join key, state carried by last(ignorenulls) — instead of the naive
+    inequality join (O(events x states) per key). DuckDB's native ASOF JOIN
+    is the independent oracle.
+  - top terms: two hash aggregations (tf per doc-term, df per term) and a
+    per-doc window; ranking keys are integers (tf desc, df asc, term asc),
+    so cross-engine ordering is exact — no float-ordering hazards.
+  - quantiles: exact linear-interpolation percentiles (Spark `percentile`
+    == DuckDB `quantile_cont`), grouped, decimal-rounded.
+  - sampling: hash-gated (md5 % k), not RNG — deterministic across engines,
+    scan-order-independent, and stratification is just the hash key prefix.
+  - canonical docs: one row_number window per near-dup group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pdfplucker_spark.functions.hashing import md5_long, sql_md5_long
+from pdfplucker_spark.sources.tables import load
+
+TOP_TERMS_K = 3
+SAMPLE_MOD = 10  # keep 1/10 per stratum
+QUANTILES = (0.25, 0.5, 0.75)
+
+
+# ---------------------------------------------------------------------------
+# as-of join (events → latest prior purchase of the same user)
+# ---------------------------------------------------------------------------
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event, the user's most recent purchase event at-or-before
+    its timestamp (attribution-style as-of join, an operator Spark lacks
+    natively). Scalable shape: purchases (state) and events (queries) are
+    unioned and resolved with ONE window over (user_id, ts) — a single
+    shuffle on user_id; last(ignorenulls) carries the open state forward.
+    Ties: purchases are deduped to max(event_id) per (user, ts); state rows
+    order before query rows at equal ts, so <= semantics hold."""
+    ev = load(spark, sf_dir, "events")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.struct(
+                F.col("purchase_id").alias("pid"),
+                F.col("ts").alias("pts"),
+            ).alias("state"),
+        )
+    )
+    queries = ev.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        "event_type",
+        F.lit(None)
+        .cast("struct<pid:bigint,pts:timestamp_ntz>")
+        .alias("state"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    resolved = (
+        purchases.unionByName(queries)
+        .withColumn("asof", F.last("state", ignorenulls=True).over(w))
+        .where(F.col("side") == 1)
+    )
+    epoch = lambda c: F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c}) div 1000000"
+    )
+    return resolved.select(
+        "event_id",
+        "user_id",
+        epoch("ts").alias("ts_epoch"),
+        "event_type",
+        F.col("asof.pid").alias("last_purchase_id"),
+        epoch("asof.pts").alias("last_purchase_ts_epoch"),
+    )
+
+
+SQL_EVENTS_ASOF_PURCHASE = """
+WITH p AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+       e.event_type,
+       p.purchase_id AS last_purchase_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS last_purchase_ts_epoch
+FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-doc top terms with TF-IDF
+# ---------------------------------------------------------------------------
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k terms per document. Two hash aggs (tf, df) + one join + one
+    per-doc window; rank keys are integers so cross-engine order is exact.
+    TF-IDF value is reported (rounded), not ranked on — float ordering
+    differences across engines would make ranks non-deterministic."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id"), F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_TERMS_K)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+SQL_TEXT_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+SELECT doc_id, rank, term, tf, df,
+       round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                 ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INT)
+           AS rank
+  FROM tf JOIN df USING (term) CROSS JOIN n
+) WHERE rank <= {TOP_TERMS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact grouped quantiles
+# ---------------------------------------------------------------------------
+def q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of l_extendedprice per
+    returnflag (Spark `percentile` == DuckDB `quantile_cont` semantics)."""
+    li = load(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(cast(l_extendedprice as double), array("
+        + ", ".join(str(q) for q in QUANTILES)
+        + "))"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(F.element_at(pct, i + 1), 6).alias(f"p{int(q * 100)}")
+            for i, q in enumerate(QUANTILES)
+        ],
+    )
+
+
+SQL_LINEITEM_QUANTILES = f"""
+SELECT l_returnflag, COUNT(*) AS n,
+       {", ".join(
+           f"round(quantile_cont(CAST(l_extendedprice AS DOUBLE), {q}), 6) AS p{int(q * 100)}"
+           for q in QUANTILES
+       )}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+def q_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1/{SAMPLE_MOD} sample per source stratum, gated on a content-free
+    deterministic hash (md5 of 'stratum:doc_id') — reproducible across
+    engines, runs, and input orderings, unlike RNG-based sample()."""
+    d = load(spark, sf_dir, "documents")
+    gate = md5_long(F.concat("source", F.lit(":"), F.col("doc_id").cast("string")))
+    return d.where(gate % SAMPLE_MOD == 0).select("doc_id", "source", "lang")
+
+
+SQL_DOCS_SAMPLE = f"""
+SELECT doc_id, source, lang FROM documents
+WHERE {sql_md5_long("source || ':' || CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# canonical-document selection per near-dup group
+# ---------------------------------------------------------------------------
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick ONE canonical doc per bag-of-tokens dup group (the keep-side of
+    dedup): longest text wins, doc_id breaks ties. One window per group —
+    the shuffle key is the group hash, uniform by construction."""
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    w = Window.partitionBy("bag_hash").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "n_chars", key.alias("bag_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "group_size", F.count("*").over(Window.partitionBy("bag_hash"))
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "bag_hash",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_chars").alias("canonical_n_chars"),
+            "group_size",
+        )
+    )
+
+
+SQL_DEDUP_CANONICAL = """
+SELECT bag_hash, canonical_doc_id, canonical_n_chars, group_size FROM (
+  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_hash,
+         doc_id AS canonical_doc_id, n_chars AS canonical_n_chars,
+         ROW_NUMBER() OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS group_size
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "events_asof_purchase": (q_events_asof_purchase, SQL_EVENTS_ASOF_PURCHASE),
+    "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
+    "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),
+    "docs_sample": (q_docs_sample, SQL_DOCS_SAMPLE),
+    "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
+}
