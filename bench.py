@@ -49,8 +49,12 @@ def main():
     bench_path = write_tier("bench", os.path.join(REPO, ".data"))
     shutil.rmtree(BENCH_OUT, ignore_errors=True)
 
-    from pdfplucker_spark.operators.dedup import q_dedup_minhash_sig
+    from pdfplucker_spark.operators.dedup import (
+        q_dedup_minhash_sig,
+        q_dedup_ngram_pairs,
+    )
     from pdfplucker_spark.operators.extract import extract_spans
+    from pdfplucker_spark.operators.pipeline import q_events_asof_purchase
     from pdfplucker_spark.operators.relational import q_pricing_summary
     from pdfplucker_spark.operators.similarity import q_sim_cosine_topk
     from pdfplucker_spark.operators.spans_sql import q_extract_full
@@ -86,6 +90,12 @@ def main():
     queries["sim_cosine_topk"] = _timed(lambda: q_sim_cosine_topk(spark, sf_dir).collect())
     queries["pricing_summary"] = _timed(lambda: q_pricing_summary(spark, sf_dir).collect())
     queries["text_quality"] = _timed(lambda: q_text_quality(spark, sf_dir).count())
+    queries["events_asof_purchase"] = _timed(
+        lambda: q_events_asof_purchase(spark, sf_dir).count()
+    )
+    queries["dedup_ngram_pairs"] = _timed(
+        lambda: q_dedup_ngram_pairs(spark, sf_dir).count()
+    )
     spark.stop()
 
     # --- scaling: the same full job (extract + sink) at N vs 4N CPUS on

@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pdfplucker_spark.functions.hashing import sql_expr_md5_long, sql_md5_long
+from pdfplucker_spark.functions.hashing import (
+    duckdb_minhash_band,
+    spark_minhash_band,
+    sql_expr_md5_long,
+    sql_md5_long,
+)
 from pdfplucker_spark.sources.tables import load
 
 N_HASHES = 8
@@ -67,13 +72,14 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 # MinHash
 # ---------------------------------------------------------------------------
+_TOKS_EXPR = "array_distinct(split(text, ' '))"
+
+
 def _sig_cols():
-    h = sql_expr_md5_long(f"concat('{{i}}', ':', t)")
+    """k=8 minhash over the token set — one affine sketch per band over the
+    shared md5 family (functions/hashing.py); map-only, codegen-friendly."""
     return [
-        F.expr(
-            f"array_min(transform(array_distinct(split(text, ' ')), "
-            f"t -> {h.replace('{i}', str(i))}))"
-        ).alias(f"sig{i}")
+        F.expr(spark_minhash_band(_TOKS_EXPR, i, N_HASHES)).alias(f"sig{i}")
         for i in range(N_HASHES)
     ]
 
@@ -84,15 +90,14 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *_sig_cols())
 
 
+_SQL_TOKS = "list_distinct(string_split(text, ' '))"
+
+
 def _sql_sigs() -> str:
-    parts = []
-    for i in range(N_HASHES):
-        h = sql_md5_long(f"'{i}' || ':' || t")
-        parts.append(
-            "list_aggregate(list_transform(list_distinct(string_split(text, ' ')), "
-            f"t -> {h}), 'min') AS sig{i}"
-        )
-    return ",\n  ".join(parts)
+    return ",\n  ".join(
+        f"{duckdb_minhash_band(_SQL_TOKS, i, N_HASHES)} AS sig{i}"
+        for i in range(N_HASHES)
+    )
 
 
 SQL_DEDUP_MINHASH_SIG = f"""
@@ -106,7 +111,10 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands × 2 rows) → candidate pairs → exact-Jaccard
     verification at {threshold}. The scalable near-dup pipeline."""
     d = load(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", *_sig_cols())
+    # persist: the signature table feeds BOTH sides of the banded self-join;
+    # without it the minhash scan of the corpus runs twice. Per-doc sigs are
+    # 8 longs — ~80 GB at 1e9 docs, spillable (MEMORY_AND_DISK default).
+    sigs = d.select("doc_id", *_sig_cols()).persist()
     bands = None
     for b in range(N_BANDS):
         # F.concat (not concat_ws): null-propagating, matching the oracle's
@@ -234,23 +242,24 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster size — not O(block²) on a metadata column — and the
     exact-Jaccard verification only touches candidate pairs."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.expr(_SHINGLE_EXPR).alias("sh"))
+    # persist: sh feeds sig computation AND the exact-Jaccard verify join;
+    # sigs feed both sides of the banded self-join — without persists the
+    # shingle derivation runs 3x and the minhash scan 2x.
+    sh = d.select("doc_id", F.expr(_SHINGLE_EXPR).alias("sh")).persist()
     sigs = sh.select(
         "doc_id",
-        "sh",
         *[
-            F.expr(
-                "array_min(transform(sh, t -> "
-                + sql_expr_md5_long(f"concat('ng{i}', ':', t)")
-                + "))"
-            ).alias(f"g{i}")
+            F.expr(spark_minhash_band("sh", i, NGRAM_BANDS, seed="ng")).alias(f"g{i}")
             for i in range(NGRAM_BANDS)
         ],
+    ).persist()
+    # posexplode emits all 8 (band, key) rows from ONE pass over the sigs
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"g{i}") for i in range(NGRAM_BANDS)])).alias(
+            "band", "key"
+        ),
     )
-    bands = None
-    for i in range(NGRAM_BANDS):
-        part = sigs.select("doc_id", F.lit(i).alias("band"), F.col(f"g{i}").alias("key"))
-        bands = part if bands is None else bands.unionByName(part)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -280,10 +289,9 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ngram_band(i: int) -> str:
-    h = sql_md5_long(f"'ng{i}' || ':' || t")
     return (
         f"SELECT doc_id, {i} AS band, "
-        f"list_aggregate(list_transform(sh, t -> {h}), 'min') AS key FROM sh"
+        f"{duckdb_minhash_band('sh', i, NGRAM_BANDS, seed='ng')} AS key FROM sh"
     )
 
 

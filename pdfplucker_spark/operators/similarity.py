@@ -234,8 +234,72 @@ SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM (
 """
 
 
+def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN query path: answer the same top-k cosine query as the brute-force
+    baseline, but score ONLY the candidates that share an LSH bucket with
+    the query vector in any table. At 10^9 vectors this prunes the scored
+    set from N to the query's bucket occupancy (~N/2^r per table) — the
+    broadcast of the tiny query-side key set replaces the full scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    keys = None
+    for t in range(N_TABLES):
+        part = emb.select(
+            "vec_id", F.lit(t).alias("lsh_table"), _bucket_col(t).alias("bucket")
+        )
+        keys = part if keys is None else keys.unionByName(part)
+    qkeys = keys.where(F.col("vec_id") == QUERY_VEC_ID).select("lsh_table", "bucket")
+    cand = (
+        keys.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qkeys), ["lsh_table", "bucket"])
+        .select("vec_id")
+        .distinct()
+    )
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    dot = "aggregate(zip_with(cast(embedding as array<double>), qv, (x,y) -> x*y), 0D, (a,b) -> a+b)"
+    n1 = "sqrt(aggregate(cast(embedding as array<double>), 0D, (a,x) -> a+x*x))"
+    n2 = "sqrt(aggregate(qv, 0D, (a,x) -> a+x*x))"
+    scored = (
+        emb.join(cand, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", F.expr(f"{dot} / ({n1} * {n2})").alias("cos"))
+    )
+    return (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("cos", 8).alias("cosine"))
+    )
+
+
+SQL_SIM_ANN_TOPK = f"""
+WITH k AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, {t} AS lsh_table, {_bucket_sql(t)} AS bucket FROM embeddings"
+      for t in range(N_TABLES)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id
+  FROM k a JOIN k q ON a.lsh_table = q.lsh_table AND a.bucket = q.bucket
+  WHERE q.vec_id = {QUERY_VEC_ID} AND a.vec_id <> {QUERY_VEC_ID}
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, round(cos, 8) AS cosine FROM (
+  SELECT e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) AS cos
+  FROM embeddings e JOIN cand USING (vec_id)
+)
+ORDER BY cos DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
     "sim_cosine_dup_pairs": (q_sim_cosine_dup_pairs, SQL_SIM_COSINE_DUP_PAIRS),
+    "sim_ann_topk": (q_sim_ann_topk, SQL_SIM_ANN_TOPK),
 }

@@ -89,6 +89,43 @@ def stream_windowed_event_counts(
     )
 
 
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+):
+    """Streaming exact deduplication — the streaming half of the dedup
+    pipeline: at-least-once ingest (replayed files, duplicated events) is
+    reduced to exactly-one-row-per-event_id with
+    ``dropDuplicatesWithinWatermark``. State holds only keys younger than
+    the watermark, so memory is bounded on an infinite stream (plain
+    dropDuplicates would grow state forever — the 100 TB failure mode)."""
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_sessionize(
     spark: SparkSession,
     input_dir: str,

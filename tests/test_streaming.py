@@ -76,6 +76,34 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
         assert exp[k] == v, k
 
 
+def test_streaming_dedup_exact_replayed_input(spark, tmp_path):
+    """At-least-once ingest (the same events file landed twice) reduces to
+    one row per event_id; watermark bounds the dedup state."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.streaming.stream import stream_dedup_exact
+
+    in_dir = str(tmp_path / "ev")
+    os.makedirs(in_dir)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", in_dir + "/a.parquet")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", in_dir + "/b.parquet")
+
+    q = stream_dedup_exact(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    res = spark.read.parquet(str(tmp_path / "out"))
+    n_distinct = (
+        spark.read.parquet(in_dir).select("event_id").distinct().count()
+    )
+    assert res.count() == n_distinct
+    assert res.select("event_id").distinct().count() == n_distinct
+    assert res.where(F.col("event_id").isNull()).count() == 0
+
+
 def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     """Stateful session_window streaming sessionization equals the batch
     gap-sessionize (relational.py q_events_sessionize boundary rule) on the
