@@ -142,8 +142,11 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    # persisted: referenced by BOTH aliases of the verification join
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+        .persist()
     )
     verified = (
         cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
