@@ -252,8 +252,93 @@ SELECT bag_hash, canonical_doc_id, canonical_n_chars, group_size FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# the composite cleaning pipeline (what a training-data team actually runs)
+# ---------------------------------------------------------------------------
+QUALITY_MIN = 0.34  # ~median of the synthetic corpus — keeps a real subset
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning as ONE declarative query: language gate
+    (stopword-vote en) AND quality gate (composite score) AND dedup gate
+    (canonical doc of its bag group). The per-row gates are map-only and
+    evaluated before the dedup window, so only gate-surviving rows shuffle —
+    at 100 TB the filters prune the exchange, not the other way around."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    en = ", ".join(f"'{w}'" for w in ["the", "and", "of", "to", "in", "is", "a"])
+    n_stop = F.expr(
+        f"size(filter(split(text, ' '), t -> array_contains(array({en}), t)))"
+    )
+    quality = F.round(
+        n_dis.cast("double") / n_tok * 0.5
+        + n_stop.cast("double") / n_tok * 0.3
+        + F.least(F.length("text").cast("double") / n_tok / 10.0, F.lit(1.0)) * 0.2,
+        6,
+    )
+    votes = {}
+    from pdfplucker_spark.operators.textstats import _STOP
+
+    for lang, words in _STOP.items():
+        ws = ", ".join(f"'{w}'" for w in words)
+        votes[lang] = F.expr(
+            f"size(filter(split(text, ' '), t -> array_contains(array({ws}), t)))"
+        )
+    is_en = (
+        (votes["en"] >= votes["es"])
+        & (votes["en"] >= votes["de"])
+        & (votes["en"] >= votes["fr"])
+    )
+    bag = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    gated = d.select(
+        "doc_id", "source", "n_chars", bag.alias("bag_hash"), quality.alias("q")
+    ).where(is_en & (quality >= QUALITY_MIN))
+    w = Window.partitionBy("bag_hash").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", F.col("q").alias("quality_score"))
+    )
+
+
+SQL_CORPUS_FILTER = f"""
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_hash,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_dis,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','and','of','to','in','is','a'], t))) AS v_en,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['el','la','de','que','y','en','un'], t))) AS v_es,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['der','die','und','das','ist','ein','zu'], t))) AS v_de,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['le','la','et','les','des','un','une'], t))) AS v_fr,
+         length(text) AS nc
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, source, n_chars, bag_hash,
+         round(CAST(n_dis AS DOUBLE) / n_tok * 0.5
+               + CAST(v_en AS DOUBLE) / n_tok * 0.3
+               + least(CAST(nc AS DOUBLE) / n_tok / 10.0, 1.0) * 0.2, 6) AS q
+  FROM t
+  WHERE v_en >= v_es AND v_en >= v_de AND v_en >= v_fr
+)
+SELECT doc_id, source, q AS quality_score FROM (
+  SELECT doc_id, source, q,
+         ROW_NUMBER() OVER (PARTITION BY bag_hash ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM gated WHERE q >= {QUALITY_MIN}
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "events_asof_purchase": (q_events_asof_purchase, SQL_EVENTS_ASOF_PURCHASE),
+    "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),
     "docs_sample": (q_docs_sample, SQL_DOCS_SAMPLE),

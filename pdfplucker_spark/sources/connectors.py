@@ -1,0 +1,68 @@
+"""Multi-format source/sink connectors (SURVEY.md §2.3 connectors row).
+
+The engine is parquet/iceberg-first, but ingestion at the edge of a 100 TB
+pipeline arrives as CSV dumps, JSON lines, or ORC from other stacks. These
+helpers keep that path declarative: every format maps onto the same
+DataFrame with an EXPLICIT schema (schema inference is a full extra pass
+over the data at scale — never rely on it in production paths), so
+downstream plans are format-agnostic.
+
+CSV cannot carry the nested `spans` column; for the flat `documents` shape
+it is supported, for the nested input shape JSON/ORC/parquet are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from pdfplucker_spark.schemas import INPUT_SCHEMA
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+_FLAT_FORMATS = ("parquet", "orc", "json", "csv")
+_NESTED_FORMATS = ("parquet", "orc", "json")
+
+
+def read_documents(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    """Read the flat documents table from any supported format."""
+    if fmt not in _FLAT_FORMATS:
+        raise ValueError(f"unsupported documents format: {fmt}")
+    reader = spark.read.schema(DOCUMENTS_SCHEMA)
+    if fmt == "csv":
+        # multiLine: document text contains no newlines by contract, but
+        # quotes/escapes are handled by the standard csv dialect
+        return reader.option("header", "true").option("escape", '"').csv(path)
+    return getattr(reader, fmt)(path)
+
+
+def write_documents(df: DataFrame, path: str, fmt: str) -> None:
+    if fmt not in _FLAT_FORMATS:
+        raise ValueError(f"unsupported documents format: {fmt}")
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", "true").option("escape", '"').csv(path)
+    else:
+        getattr(writer, fmt)(path)
+
+
+def read_docs_nested(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    """Read the nested (doc_id, spans) input table from any format that can
+    carry the nested struct array."""
+    if fmt not in _NESTED_FORMATS:
+        raise ValueError(f"unsupported nested-input format: {fmt}")
+    return getattr(spark.read.schema(INPUT_SCHEMA), fmt)(path)
+
+
+def write_docs_nested(df: DataFrame, path: str, fmt: str) -> None:
+    if fmt not in _NESTED_FORMATS:
+        raise ValueError(f"unsupported nested-input format: {fmt}")
+    getattr(df.write.mode("overwrite"), fmt)(path)

@@ -1,0 +1,55 @@
+"""Multi-format connectors: every format roundtrips to the identical
+DataFrame, and the extraction engine is format-agnostic over them."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdfplucker_spark.gen import write_tier
+from pdfplucker_spark.sources.connectors import (
+    read_docs_nested,
+    read_documents,
+    write_docs_nested,
+    write_documents,
+)
+
+
+@pytest.fixture(scope="module")
+def t1_path(tmp_path_factory):
+    return write_tier("t1", str(tmp_path_factory.mktemp("data")))
+
+
+def _fingerprint(df, cols):
+    rows = df.select(
+        F.md5(F.to_json(F.struct(*cols))).alias("h")
+    ).collect()
+    return sorted(r.h for r in rows)
+
+
+@pytest.mark.parametrize("fmt", ["orc", "json", "csv"])
+def test_documents_roundtrip(spark, tmp_path, fmt):
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / f"docs_{fmt}")
+    write_documents(src, out, fmt)
+    back = read_documents(spark, out, fmt)
+    cols = src.columns
+    assert _fingerprint(back, cols) == _fingerprint(src, cols)
+
+
+@pytest.mark.parametrize("fmt", ["orc", "json"])
+def test_nested_input_roundtrip_through_engine(spark, tmp_path, t1_path, fmt):
+    from pdfplucker_spark.operators.extract import extract_spans
+
+    src = spark.read.parquet(t1_path)
+    out = str(tmp_path / f"nested_{fmt}")
+    write_docs_nested(src, out, fmt)
+    back = read_docs_nested(spark, out, fmt)
+
+    exp = extract_spans(src).select("doc_id", "status", F.to_json("spans").alias("s"))
+    got = extract_spans(back).select("doc_id", "status", F.to_json("spans").alias("s"))
+    assert _fingerprint(got, got.columns) == _fingerprint(exp, exp.columns)
+
+
+def test_csv_rejected_for_nested(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported"):
+        read_docs_nested(spark, str(tmp_path), "csv")
