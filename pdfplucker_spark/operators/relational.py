@@ -328,8 +328,121 @@ SELECT custkey, 'orders_only' AS relation FROM (
 """
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: the events.props JSON string parsed
+    with an EXPLICIT schema (from_json — one typed parse, JVM-side; schema
+    inference or repeated get_json_object calls re-parse per access) and
+    aggregated. At 100 TB the parse cost is the scan cost — keep it single-
+    pass and typed."""
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("null_k"),
+        )
+    )
+
+
+SQL_EVENTS_JSON_PROPS = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       COUNT(CASE WHEN k IS NULL THEN 1 END) AS null_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage (the semi-join twin of order_priority_distinct):
+    customers that never placed an URGENT order, counted per market
+    segment. The filter lives on the anti-join build side, so it prunes
+    before the join."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    no_urgent = cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return no_urgent.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_custkey").alias("min_custkey"),
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment, COUNT(*) AS n_customers, MIN(c_custkey) AS min_custkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def q_events_minutely_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: per-minute event counts per type
+    over the FULL observed range, empty minutes materialized as zero rows.
+    The dense axis comes from sequence+explode of the (broadcast) global
+    min/max — no driver-side loop; integer minute buckets keep it TZ-proof."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 60000000"
+    )
+    counts = ev.select(bucket.alias("minute_bucket"), "event_type").groupBy(
+        "minute_bucket", "event_type"
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.min(bucket).alias("lo"), F.max(bucket).alias("hi")
+    )
+    types = ev.select("event_type").distinct()
+    axis = (
+        bounds.select(F.explode(F.sequence("lo", "hi")).alias("minute_bucket"))
+        .crossJoin(F.broadcast(types))
+    )
+    return axis.join(counts, ["minute_bucket", "event_type"], "left").select(
+        "minute_bucket",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+
+
+SQL_EVENTS_MINUTELY_GAPFILL = """
+WITH b AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute_bucket, event_type
+  FROM events
+),
+counts AS (
+  SELECT minute_bucket, event_type, COUNT(*) AS n FROM b GROUP BY 1, 2
+),
+axis AS (
+  SELECT UNNEST(range((SELECT MIN(minute_bucket) FROM b),
+                      (SELECT MAX(minute_bucket) FROM b) + 1)) AS minute_bucket
+)
+SELECT a.minute_bucket, t.event_type, COALESCE(c.n, 0) AS n
+FROM axis a
+CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+LEFT JOIN counts c
+  ON c.minute_bucket = a.minute_bucket AND c.event_type = t.event_type
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
+    "customers_without_orders": (
+        q_customers_without_orders,
+        SQL_CUSTOMERS_WITHOUT_ORDERS,
+    ),
+    "events_minutely_gapfill": (
+        q_events_minutely_gapfill,
+        SQL_EVENTS_MINUTELY_GAPFILL,
+    ),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
     "lineitem_cube": (q_lineitem_cube, SQL_LINEITEM_CUBE),

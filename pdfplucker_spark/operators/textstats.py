@@ -162,8 +162,32 @@ FROM documents
 """
 
 
+def q_text_regex_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar-function coverage (extract / count / replace), all
+    JVM-side. Patterns are kept to the common Java-regex ∩ RE2 subset so
+    engine and oracle agree; the replace result is compared by md5 — a
+    byte-exact check without shipping megabyte strings through the gate."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "ta[a-z]*", 0).alias("first_ta_word"),
+        F.expr("regexp_count(text, 'ta[a-z]*')").cast("int").alias("n_ta_words"),
+        F.md5(F.regexp_replace("text", "a+", "@")).alias("replaced_md5"),
+    )
+
+
+SQL_TEXT_REGEX_STATS = """
+SELECT doc_id,
+       regexp_extract(text, 'ta[a-z]*', 0) AS first_ta_word,
+       CAST(len(regexp_extract_all(text, 'ta[a-z]*')) AS INT) AS n_ta_words,
+       md5(regexp_replace(text, 'a+', '@', 'g')) AS replaced_md5
+FROM documents
+"""
+
+
 QUERIES = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_regex_stats": (q_text_regex_stats, SQL_TEXT_REGEX_STATS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
