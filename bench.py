@@ -67,7 +67,7 @@ def main():
         app="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        arrow_batch_rows=512,
+        arrow_batch_rows=4096,  # kernel re-splits by span count (extract.py)
     )
     docs = spark.read.parquet(bench_path)
     n_docs = docs.count()  # warms FS cache + JVM
@@ -177,7 +177,7 @@ def _scale_worker(n: int, bench_path: str) -> None:
     from pdfplucker_spark.plans.partitioning import balance_docs
 
     s = get_spark(
-        app=f"scale{n}", master=f"local[{n}]", shuffle_partitions=n, arrow_batch_rows=512
+        app=f"scale{n}", master=f"local[{n}]", shuffle_partitions=n, arrow_batch_rows=4096,  # kernel re-splits by span count (extract.py)
     )
     paths = [bench_path] * 2  # 100k docs of work per level
     df = s.read.parquet(*paths)

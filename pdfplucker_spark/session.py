@@ -20,7 +20,7 @@ def get_spark(
     app: str = "pdfplucker_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 256,
+    arrow_batch_rows: int = 1024,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -47,8 +47,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # docs vary 5..100k spans; keep Arrow batches small enough that a
-        # run of giant docs doesn't blow the Python worker (SURVEY §7.4 skew)
+        # docs vary 5..100k spans. The row cap is a coarse knob (it cannot
+        # see payload size); the extract kernel re-splits any batch above
+        # MAX_SPANS_PER_KERNEL_BATCH (extract.py:524), so larger row caps
+        # are safe and measurably faster (512→4096 ≈ 18% on the headline)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.parquet.compression.codec", "zstd")
         # Python-heavy pipelines want more, smaller scan tasks than the

@@ -78,3 +78,61 @@ def test_kernel_batch_splitting_preserves_equality(monkeypatch):
         exp = extract_doc(doc_id, spans)
         assert got[doc_id]["status"] == exp["status"]
         assert got[doc_id]["spans"] == exp["spans"], doc_id
+
+
+def test_asof_join_matches_python_reference_on_adversarial_ts(spark, tmp_path):
+    """q_events_asof_purchase vs a direct per-event Python reference on a
+    crafted stream with timestamp collisions: multiple purchases at the
+    same (user, ts), query events landing exactly ON a purchase ts, and
+    users with no purchases at all."""
+    import datetime as dt
+    import os
+    import random
+
+    from pdfplucker_spark.operators.pipeline import q_events_asof_purchase
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for _ in range(400):
+        user = rng.randrange(6)
+        # coarse second grid → guaranteed collisions
+        ts = base + dt.timedelta(seconds=rng.randrange(50))
+        etype = rng.choice(
+            ["purchase", "click", "view"] if user < 5 else ["click", "view"]
+        )
+        rows.append((eid, ts, user, etype, float(eid), "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    got = {
+        r.event_id: (r.last_purchase_id, r.last_purchase_ts_epoch)
+        for r in q_events_asof_purchase(spark, sf_dir).collect()
+    }
+    assert len(got) == len(rows)
+
+    # reference: purchases deduped to max event_id per (user, ts);
+    # per event, the purchase with greatest ts <= event ts
+    purchases = {}
+    for e, ts, u, k, _v, _p in rows:
+        if k == "purchase":
+            key = (u, ts)
+            purchases[key] = max(purchases.get(key, -1), e)
+    by_user = {}
+    for (u, ts), pid in purchases.items():
+        by_user.setdefault(u, []).append((ts, pid))
+    for e, ts, u, _k, _v, _p in rows:
+        cands = [(pts, pid) for pts, pid in by_user.get(u, []) if pts <= ts]
+        if cands:
+            pts, pid = max(cands)
+            exp = (pid, int(pts.replace(tzinfo=dt.timezone.utc).timestamp()))
+        else:
+            exp = (None, None)
+        assert got[e] == exp, (e, got[e], exp)
