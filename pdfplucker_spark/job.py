@@ -222,7 +222,13 @@ def _run_locked(
             else:
                 df.writeTo(target).create()
         else:
-            df.write.mode(mode).parquet(os.path.join(output, name))
+            # partitionBy(run_id): committed_view's run filter and resume's
+            # docs_out scan become directory-level partition PRUNING (torn
+            # runs are never even read) instead of a post-scan filter. One
+            # directory per run — no small-file explosion.
+            df.write.mode(mode).partitionBy("run_id").parquet(
+                os.path.join(output, name)
+            )
 
     detail_cols = ["pages", "images", "tables"] if details else []
     if layout == "nested":

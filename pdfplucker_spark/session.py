@@ -53,6 +53,10 @@ def get_spark(
         # are safe and measurably faster (512→4096 ≈ 18% on the headline)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # run_id partition dirs must read back as STRING even when a caller
+        # picks an all-digit run id (inference would flip them to int and
+        # break the committed-run filters)
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         # Python-heavy pipelines want more, smaller scan tasks than the
         # 128MB JVM default — nested-span batches expand a lot in flight
         .config("spark.sql.files.maxPartitionBytes", "33554432")
