@@ -26,26 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registry() -> dict[str, tuple]:
-    reg: dict[str, tuple] = {}
-    from pdfplucker_spark.operators import spans_sql
+    from pdfplucker_spark.registry import all_queries
 
-    reg.update(spans_sql.QUERIES)
-    for mod_name in (
-        "relational",
-        "textstats",
-        "dedup",
-        "similarity",
-        "multimodal",
-        "pipeline",
-    ):
-        try:
-            mod = __import__(
-                f"pdfplucker_spark.operators.{mod_name}", fromlist=["QUERIES"]
-            )
-            reg.update(mod.QUERIES)
-        except ImportError:
-            pass
-    return reg
+    return all_queries()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,26 @@
+"""Central query registry: every named operator the engine exposes,
+as (callable(spark, sf_dir) -> DataFrame, oracle_sql | None) pairs.
+`__spark_entry__.py` (the driver contract) and the query CLI both read it.
+"""
+
+from __future__ import annotations
+
+_OPERATOR_MODULES = (
+    "spans_sql",
+    "relational",
+    "textstats",
+    "dedup",
+    "similarity",
+    "multimodal",
+    "pipeline",
+)
+
+
+def all_queries() -> dict[str, tuple]:
+    reg: dict[str, tuple] = {}
+    for mod_name in _OPERATOR_MODULES:
+        mod = __import__(
+            f"pdfplucker_spark.operators.{mod_name}", fromlist=["QUERIES"]
+        )
+        reg.update(mod.QUERIES)
+    return reg
