@@ -432,8 +432,40 @@ LEFT JOIN counts c
 """
 
 
+_Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN supplier ON l_suppkey   = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_regional_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue, submitted through the
+    spark.sql() TEXT entry path over temp views — the SQL API surface,
+    same Catalyst plan as the DataFrame build (6-way join, dims broadcast
+    by AQE, decimal-exact sums). The oracle is the identical statement in
+    DuckDB — one SQL string, two engines."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q5_SQL)
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "regional_revenue_sql": (q_regional_revenue_sql, _Q5_SQL),
     "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
     "customers_without_orders": (
         q_customers_without_orders,

@@ -126,6 +126,58 @@ def stream_dedup_exact(
     )
 
 
+def stream_user_running_totals(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Custom stateful operator via applyInPandasWithState — the arbitrary-
+    state API for semantics the declarative operators can't express (here:
+    per-user lifetime running totals emitted once per trigger). State is one
+    (count, total) pair per user — O(users), not O(events); Arrow moves each
+    micro-batch group as a pandas frame, so the Python hop is batched, not
+    per-row."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+        )
+
+    out = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, tot double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_sessionize(
     spark: SparkSession,
     input_dir: str,

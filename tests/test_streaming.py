@@ -104,6 +104,45 @@ def test_streaming_dedup_exact_replayed_input(spark, tmp_path):
     assert res.where(F.col("event_id").isNull()).count() == 0
 
 
+def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
+    """Custom arbitrary-state operator: the LAST emitted running total per
+    user equals the batch aggregation over the drained stream."""
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.streaming.stream import stream_user_running_totals
+
+    in_dir = str(tmp_path / "ev")
+    os.makedirs(in_dir)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", in_dir + "/events.parquet")
+
+    q = stream_user_running_totals(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    res = spark.read.parquet(str(tmp_path / "out"))
+    # several triggers may emit several snapshots; the max count per user
+    # is the final state
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in res.orderBy("n_events").collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.tv)
+        for r in spark.read.parquet(in_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for u, (n, tv) in batch.items():
+        assert final[u][0] == n, u
+        assert final[u][1] == _pytest.approx(tv, rel=1e-9), u
+
+
 def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     """Stateful session_window streaming sessionization equals the batch
     gap-sessionize (relational.py q_events_sessionize boundary rule) on the
