@@ -321,10 +321,20 @@ def main(argv=None):
     p.add_argument("--details", action="store_true", help="also write pages/images/tables detail tables")
     p.add_argument("--layout", choices=["nested", "flat"], default="nested")
     p.add_argument("--span-budget", type=int, default=None, help="fail docs above this span count (S8 straggler guard)")
+    p.add_argument(
+        "--codec",
+        choices=["snappy", "zstd", "lz4", "gzip"],
+        default="snappy",
+        help="sink compression: snappy = fastest writes (default), zstd = -30%% storage for archival",
+    )
     p.add_argument("--master", default=None)
     a = p.parse_args(argv)
 
-    spark = get_spark(app="pdfplucker_spark.job", master=a.master)
+    spark = get_spark(
+        app="pdfplucker_spark.job",
+        master=a.master,
+        extra_conf={"spark.sql.parquet.compression.codec": a.codec},
+    )
     try:
         m = run(
             spark,

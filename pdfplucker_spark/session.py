@@ -52,7 +52,11 @@ def get_spark(
         # MAX_SPANS_PER_KERNEL_BATCH (extract.py:524), so larger row caps
         # are safe and measurably faster (512→4096 ≈ 18% on the headline)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # snappy (Spark's default): measured 85 MB zstd / 4.26 s vs 122 MB
+        # snappy / 2.52 s on the 50k-doc extract sink — the write path is
+        # ~1.7x faster for +44% bytes. Hot/intermediate tables want snappy;
+        # archival tables should opt into zstd via job --codec.
+        .config("spark.sql.parquet.compression.codec", "snappy")
         # run_id partition dirs must read back as STRING even when a caller
         # picks an all-digit run id (inference would flip them to int and
         # break the committed-run filters)
