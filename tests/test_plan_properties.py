@@ -1,0 +1,61 @@
+"""Plan-shape regression guards: the scale properties BENCH/PLANS.md
+documents are asserted here so a refactor cannot silently lose them."""
+
+from pyspark.sql import functions as F
+
+from pdfplucker_spark.operators.extract import extract_spans
+from pdfplucker_spark.operators.relational import q_pricing_summary, q_top_orders
+from pdfplucker_spark.plans.partitioning import balance_docs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(q_pricing_summary(spark, SF))
+    scan = plan[plan.index("FileScan") :]
+    assert "PushedFilters" in scan and "LessThan(l_shipdate" in scan
+    # column pruning: the projection leads with the referenced columns
+    # (Spark truncates the ReadSchema string, so assert the visible prefix
+    # and that the pushed filter proves l_shipdate reaches the reader)
+    read_schema = scan[scan.index("ReadSchema") : scan.index("ReadSchema") + 120]
+    for col in ("l_quantity", "l_extendedprice", "l_discount"):
+        assert col in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_extract_bulk_path_has_no_exchange(spark, tmp_path):
+    from pdfplucker_spark.sources.tables import derived_spans_nested
+
+    docs = derived_spans_nested(spark, SF)
+    # materialize a parquet input so the plan is scan→extract, not derive
+    p = str(tmp_path / "docs")
+    docs.write.parquet(p)
+    routed = balance_docs(spark.read.parquet(p), 8)
+    plan = _plan(extract_spans(routed))
+    # the small tier flows scan → filter → mapInArrow with NO exchange;
+    # exactly one exchange total (the giant-tier hash routing)
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "MapInArrow" in plan
+
+
+def test_top_orders_broadcasts_dimensions(spark):
+    plan = _plan(q_top_orders(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the only shuffle keys are the group-by, never the join keys of the
+    # broadcast dims
+    assert "TakeOrderedAndProject" in plan  # top-k never sorts the world
+
+
+def test_asof_single_user_shuffle(spark):
+    from pdfplucker_spark.operators.pipeline import q_events_asof_purchase
+
+    plan = _plan(q_events_asof_purchase(spark, SF))
+    # one exchange for the resolving window + one for the tiny purchase
+    # pre-agg; an inequality-join implementation would show a cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window [last") == 1
