@@ -30,7 +30,19 @@ from pdfplucker_spark.job import (
     committed_view,
 )
 
-TABLES_DEFAULT = ("spans_out", "docs_out", "fails", "lineage", "metrics")
+def discover_tables(output: str) -> tuple[str, ...]:
+    """Every table directory under the output — including detail tables
+    (pages/images/tables) when the job ran with --details. Compaction MUST
+    cover all of them: it retires the commit markers globally, so a table
+    left out would have its committed data orphaned."""
+    try:
+        return tuple(
+            d
+            for d in sorted(os.listdir(output))
+            if os.path.isdir(os.path.join(output, d)) and not d.startswith("_")
+        )
+    except FileNotFoundError:
+        return ()
 
 
 def _run_dirs(output: str, table: str) -> dict[str, str]:
@@ -45,12 +57,12 @@ def _run_dirs(output: str, table: str) -> dict[str, str]:
     return out
 
 
-def vacuum(output: str, tables=TABLES_DEFAULT) -> dict[str, list[str]]:
+def vacuum(output: str, tables=None) -> dict[str, list[str]]:
     """Physically delete partition dirs of UNCOMMITTED (torn) runs.
     Readers never saw them; resume already reprocesses their docs."""
     committed = set(committed_run_ids(output))
     removed: dict[str, list[str]] = {}
-    for table in tables:
+    for table in tables or discover_tables(output):
         for run_id, path in _run_dirs(output, table).items():
             if run_id not in committed:
                 shutil.rmtree(path, ignore_errors=True)
@@ -61,12 +73,13 @@ def vacuum(output: str, tables=TABLES_DEFAULT) -> dict[str, list[str]]:
 def compact(
     spark: SparkSession,
     output: str,
-    tables=TABLES_DEFAULT,
+    tables=None,
     target_mb: int = 128,
 ) -> str:
     """Rewrite all committed runs of each table into ONE new run with
     right-sized files. Returns the new run_id."""
     new_run = f"compact{uuid.uuid4().hex[:10]}"
+    tables = tables or discover_tables(output)
     lock = _acquire_lock(output, new_run)
     try:
         old_runs = committed_run_ids(output)

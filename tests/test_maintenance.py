@@ -41,6 +41,19 @@ def test_compact_preserves_data_and_consolidates_runs(spark, t1_path, tmp_path):
     assert m["total_docs"] == 0
 
 
+def test_compact_covers_detail_tables(spark, t1_path, tmp_path):
+    """Compaction discovers EVERY table dir (incl. --details sidecars);
+    leaving one out would orphan its committed data when markers retire."""
+    out = str(tmp_path / "out")
+    job.run(spark, t1_path, out, run_id="d1", partitions=4, details=True)
+    before = {t: _fingerprint(spark, out, t) for t in ("spans_out", "pages", "images", "tables")}
+
+    compact(spark, out)
+
+    for t, fp in before.items():
+        assert _fingerprint(spark, out, t) == fp, t
+
+
 def test_vacuum_removes_only_torn_runs(spark, t1_path, tmp_path):
     out = str(tmp_path / "out")
     job.run(spark, t1_path, out, run_id="good", partitions=4, limit=50)
