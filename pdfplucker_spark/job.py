@@ -47,27 +47,53 @@ def read_docs(spark, input_path: str, fmt: str) -> DataFrame:
 def committed_run_ids(output: str) -> list[str]:
     """Runs whose ENTIRE output set landed durably. Under Iceberg this is
     the snapshot log; the parquet fallback uses per-run commit markers
-    written only after every table append for the run succeeded."""
+    written only after every table append for the run succeeded.
+
+    A marker may carry a ``supersedes: r1 r2 ...`` line (written by
+    compaction): the listed runs are excluded even if their marker files
+    still exist, which makes a compaction's old→new switch ATOMIC — one
+    marker-file creation flips the whole committed set."""
     d = os.path.join(output, "_commits")
     try:
-        return sorted(os.listdir(d))
+        names = sorted(os.listdir(d))
     except FileNotFoundError:
         return []
+    superseded: set[str] = set()
+    for n in names:
+        try:
+            with open(os.path.join(d, n)) as f:
+                for line in f:
+                    if line.startswith("supersedes:"):
+                        superseded.update(line.split(":", 1)[1].split())
+        except OSError:
+            continue
+    return [n for n in names if n not in superseded]
 
 
-def _mark_committed(output: str, run_id: str) -> None:
+def _mark_committed(output: str, run_id: str, supersedes: list[str] | None = None) -> None:
     d = os.path.join(output, "_commits")
     os.makedirs(d, exist_ok=True)
-    with open(os.path.join(d, run_id), "w") as f:
+    # write-then-rename: the marker appears atomically with full content
+    tmp = os.path.join(d, f".{run_id}.tmp")
+    with open(tmp, "w") as f:
         f.write("ok\n")
+        if supersedes:
+            f.write("supersedes: " + " ".join(supersedes) + "\n")
+    os.replace(tmp, os.path.join(d, run_id))
 
 
 def _acquire_lock(output: str, run_id: str, stale_sec: float = 24 * 3600) -> str:
     """Single-writer lease for the parquet fallback. Iceberg gets real
     optimistic concurrency from the catalog; the parquet commit protocol
     (append + marker) is exactly-once only under one concurrent writer, so
-    refuse to start while another live run holds the lease. A lease older
-    than ``stale_sec`` is treated as abandoned (crashed run) and taken over."""
+    refuse to start while another live run holds the lease.
+
+    A lease older than ``stale_sec`` is treated as abandoned (crashed run)
+    and taken over ATOMICALLY: the stale file is renamed away first, so of
+    N simultaneous takeover attempts exactly one rename succeeds and the
+    losers fall back to the O_EXCL race on the fresh path — two writers can
+    never both believe they own the lease. Jobs expected to run longer than
+    ``stale_sec`` must raise it (there is no background renewal)."""
     path = os.path.join(output, "_RUN_LOCK")
     os.makedirs(output, exist_ok=True)
     try:
@@ -82,7 +108,18 @@ def _acquire_lock(output: str, run_id: str, stale_sec: float = 24 * 3600) -> str
                 "the parquet commit protocol is single-writer — wait for it to "
                 "finish or delete the stale lock"
             )
-        fd = os.open(path, os.O_CREAT | os.O_WRONLY | os.O_TRUNC)
+        try:
+            os.rename(path, f"{path}.stale.{run_id}")  # one winner only
+            os.remove(f"{path}.stale.{run_id}")
+        except FileNotFoundError:
+            pass  # another taker won the rename; contend on the fresh path
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"lost the takeover race for {path}; another run now holds "
+                "the writer lease"
+            ) from None
     with os.fdopen(fd, "w") as f:
         f.write(run_id + "\n")
     return path
@@ -284,21 +321,20 @@ def _run_locked(
         docs_out = docs_out.join(docs.select("doc_id", "metadata"), "doc_id", "left")
     else:
         docs_out = docs_out.withColumn("metadata", F.lit(None).cast(METADATA_TYPE))
-    _write(docs_out, "docs_out")
-    extracted.unpersist()  # accounting below reads back the written parquet
 
-    if fmt == "iceberg":
-        written = spark.read.table(f"{output}.docs_out").where(F.col("run_id") == run_id)
-    else:
-        written = spark.read.parquet(os.path.join(output, "docs_out")).where(
-            F.col("run_id") == run_id
-        )
-
-    _write(fails_table(written, run_id), "fails")
-    _write(lineage_table(written), "lineage")
-    metrics_df = run_metrics(written, run_id, initial_time=t0)
+    # Accounting derives from the PERSISTED docs_out frame (no read-back
+    # scan), and docs_out is written LAST: under Iceberg a run_id present in
+    # docs_out therefore guarantees every other table append for that run —
+    # including fails/lineage/metrics — already committed, which is exactly
+    # the premise the catalog committed_view semi-joins on. Under parquet
+    # the commit marker gates everything, so order is free there.
+    _write(fails_table(docs_out, run_id), "fails")
+    _write(lineage_table(docs_out), "lineage")
+    metrics_df = run_metrics(docs_out, run_id, initial_time=t0)
     _write(metrics_df, "metrics")
     row = metrics_df.collect()[0].asDict()
+    _write(docs_out, "docs_out")
+    extracted.unpersist()
     if fmt != "iceberg":
         _mark_committed(output, run_id)  # the run's atomic commit point
     try:

@@ -7,12 +7,20 @@ storage + list costs forever) and (b) many small committed run directories
 `rewrite_data_files`; the parquet fallback gets the same two operations
 here, both guarded by the job's single-writer lease.
 
-Crash-consistency of compact(): the new consolidated run is written first
-(invisible: no marker), then old markers are removed, then the new marker
-is written, then old data dirs are deleted. Every crash window leaves the
-table either fully on the old runs, briefly EMPTY-committed (readers see a
-consistent zero-run view, resume reprocesses — correct, never duplicated),
-or fully on the new run. Duplicates are never visible.
+Crash-consistency of compact(): the consolidated run is written first
+(invisible: no marker), then ONE marker file is created whose
+``supersedes:`` line atomically retires every old run from the committed
+set (committed_run_ids excludes superseded runs even while their marker
+files still exist). Old markers and data dirs are deleted afterwards as
+idempotent cleanup. Every crash window therefore shows either exactly the
+old runs or exactly the new run — never duplicates, never a partial set —
+and leftover superseded/uncommitted dirs are reclaimed by the next
+vacuum(), which runs under the same lease so it can never race a live
+writer.
+
+Provenance: compaction rewrites the physical run layout, so each row keeps
+its original run attribution in ``source_run_id`` (fails/lineage/metrics
+keyed by run would otherwise lose which run produced them).
 """
 
 from __future__ import annotations
@@ -29,6 +37,7 @@ from pdfplucker_spark.job import (
     committed_run_ids,
     committed_view,
 )
+
 
 def discover_tables(output: str) -> tuple[str, ...]:
     """Every table directory under the output — including detail tables
@@ -57,9 +66,7 @@ def _run_dirs(output: str, table: str) -> dict[str, str]:
     return out
 
 
-def vacuum(output: str, tables=None) -> dict[str, list[str]]:
-    """Physically delete partition dirs of UNCOMMITTED (torn) runs.
-    Readers never saw them; resume already reprocesses their docs."""
+def _vacuum_locked(output: str, tables) -> dict[str, list[str]]:
     committed = set(committed_run_ids(output))
     removed: dict[str, list[str]] = {}
     for table in tables or discover_tables(output):
@@ -67,7 +74,32 @@ def vacuum(output: str, tables=None) -> dict[str, list[str]]:
             if run_id not in committed:
                 shutil.rmtree(path, ignore_errors=True)
                 removed.setdefault(table, []).append(run_id)
+    # superseded markers are redundant once their data is gone
+    d = os.path.join(output, "_commits")
+    live = committed | set()
+    try:
+        for n in os.listdir(d):
+            if n not in live and not n.startswith("."):
+                os.remove(os.path.join(d, n))
+    except FileNotFoundError:
+        pass
     return removed
+
+
+def vacuum(output: str, tables=None) -> dict[str, list[str]]:
+    """Physically delete partition dirs of UNCOMMITTED or SUPERSEDED runs.
+    Readers never see them; resume already reprocesses torn runs' docs.
+    Takes the single-writer lease: an in-flight job's not-yet-committed run
+    directories look torn, so vacuuming concurrently with a writer would
+    destroy its output mid-run."""
+    lock = _acquire_lock(output, f"vacuum{uuid.uuid4().hex[:8]}")
+    try:
+        return _vacuum_locked(output, tables)
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
 
 
 def compact(
@@ -77,7 +109,8 @@ def compact(
     target_mb: int = 128,
 ) -> str:
     """Rewrite all committed runs of each table into ONE new run with
-    right-sized files. Returns the new run_id."""
+    right-sized files. Returns the new run_id. Original per-run attribution
+    is preserved in ``source_run_id``."""
     new_run = f"compact{uuid.uuid4().hex[:10]}"
     tables = tables or discover_tables(output)
     lock = _acquire_lock(output, new_run)
@@ -87,7 +120,13 @@ def compact(
             return new_run
         # 1) write the consolidated data as a new (uncommitted) run
         for table in tables:
-            df = committed_view(spark, output, table).withColumn(
+            df = committed_view(spark, output, table)
+            src = (
+                F.coalesce(F.col("source_run_id"), F.col("run_id"))
+                if "source_run_id" in df.columns
+                else F.col("run_id")
+            )
+            df = df.withColumn("source_run_id", src).withColumn(
                 "run_id", F.lit(new_run)
             )
             n_bytes = sum(
@@ -101,13 +140,16 @@ def compact(
             df.repartition(n_files).write.mode("append").partitionBy(
                 "run_id"
             ).parquet(os.path.join(output, table))
-        # 2) retire old markers (readers see a consistent empty-committed
-        #    view for an instant — never duplicates)
+        # 2) THE atomic switch: one marker creation commits the new run and
+        #    supersedes every old one in the same instant
+        _mark_committed(output, new_run, supersedes=old_runs)
+        # 3) idempotent cleanup (crash here leaves superseded markers/dirs
+        #    that the next vacuum reclaims; readers already see only new_run)
         for rid in old_runs:
-            os.remove(os.path.join(output, "_commits", rid))
-        # 3) commit the consolidated run
-        _mark_committed(output, new_run)
-        # 4) physically drop the old data
+            try:
+                os.remove(os.path.join(output, "_commits", rid))
+            except FileNotFoundError:
+                pass
         for table in tables:
             for rid, path in _run_dirs(output, table).items():
                 if rid in old_runs:

@@ -62,7 +62,8 @@ def q_dedup_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_BAG = """
-SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_hash,
+SELECT md5(coalesce(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '), '')) AS bag_hash,
+       -- coalesce: Spark's concat_ws maps a NULL token array to '' — match it
        MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs
 FROM documents
 GROUP BY 1

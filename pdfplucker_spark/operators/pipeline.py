@@ -242,7 +242,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_CANONICAL = """
 SELECT bag_hash, canonical_doc_id, canonical_n_chars, group_size FROM (
-  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_hash,
+  SELECT md5(coalesce(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '), '')) AS bag_hash,
          doc_id AS canonical_doc_id, n_chars AS canonical_n_chars,
          ROW_NUMBER() OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
                             ORDER BY n_chars DESC, doc_id ASC) AS rn,
@@ -306,7 +306,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CORPUS_FILTER = f"""
 WITH t AS (
   SELECT doc_id, source, n_chars,
-         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_hash,
+         md5(coalesce(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '), '')) AS bag_hash,
          len(string_split(text, ' ')) AS n_tok,
          len(list_distinct(string_split(text, ' '))) AS n_dis,
          len(list_filter(string_split(text, ' '),

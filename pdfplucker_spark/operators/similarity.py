@@ -132,27 +132,38 @@ def _bucket_sql(t: int, col: str = "embedding") -> str:
     )
 
 
-def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket occupancy stats per (table, bucket) — the ANN index histogram.
-    At scale this is the skew diagnostic for the (table, bucket) shuffle key."""
-    emb = load(spark, sf_dir, "embeddings")
-    per = None
+def _lsh_keys(emb):
+    """(vec_id, lsh_table, bucket) rows — the shared index-key derivation
+    for every LSH consumer (one definition, engine side)."""
+    keys = None
     for t in range(N_TABLES):
         part = emb.select(
             "vec_id", F.lit(t).alias("lsh_table"), _bucket_col(t).alias("bucket")
         )
-        per = part if per is None else per.unionByName(part)
-    return per.groupBy("lsh_table", "bucket").agg(
+        keys = part if keys is None else keys.unionByName(part)
+    return keys
+
+
+def _lsh_keys_sql() -> str:
+    """The same derivation, oracle side (one definition)."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS lsh_table, {_bucket_sql(t)} AS bucket FROM embeddings"
+        for t in range(N_TABLES)
+    )
+
+
+def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket occupancy stats per (table, bucket) — the ANN index histogram.
+    At scale this is the skew diagnostic for the (table, bucket) shuffle key."""
+    emb = load(spark, sf_dir, "embeddings")
+    return _lsh_keys(emb).groupBy("lsh_table", "bucket").agg(
         F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
     )
 
 
 SQL_SIM_LSH_BUCKETS = f"""
 WITH b AS (
-  {" UNION ALL ".join(
-      f"SELECT vec_id, {t} AS lsh_table, {_bucket_sql(t)} AS bucket FROM embeddings"
-      for t in range(N_TABLES)
-  )}
+  {_lsh_keys_sql()}
 )
 SELECT lsh_table, bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
 FROM b GROUP BY lsh_table, bucket
@@ -171,12 +182,7 @@ def q_sim_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicated, then verified with the exact cosine. Double accumulation
     is sequential in both engines so values match bit-for-bit."""
     emb = load(spark, sf_dir, "embeddings")
-    keys = None
-    for t in range(N_TABLES):
-        part = emb.select(
-            "vec_id", F.lit(t).alias("lsh_table"), _bucket_col(t).alias("bucket")
-        )
-        keys = part if keys is None else keys.unionByName(part)
+    keys = _lsh_keys(emb)
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(
@@ -211,10 +217,7 @@ def q_sim_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SIM_COSINE_DUP_PAIRS = f"""
 WITH k AS (
-  {" UNION ALL ".join(
-      f"SELECT vec_id, {t} AS lsh_table, {_bucket_sql(t)} AS bucket FROM embeddings"
-      for t in range(N_TABLES)
-  )}
+  {_lsh_keys_sql()}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -241,12 +244,7 @@ def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     set from N to the query's bucket occupancy (~N/2^r per table) — the
     broadcast of the tiny query-side key set replaces the full scan."""
     emb = load(spark, sf_dir, "embeddings")
-    keys = None
-    for t in range(N_TABLES):
-        part = emb.select(
-            "vec_id", F.lit(t).alias("lsh_table"), _bucket_col(t).alias("bucket")
-        )
-        keys = part if keys is None else keys.unionByName(part)
+    keys = _lsh_keys(emb)
     qkeys = keys.where(F.col("vec_id") == QUERY_VEC_ID).select("lsh_table", "bucket")
     cand = (
         keys.where(F.col("vec_id") != QUERY_VEC_ID)
@@ -274,10 +272,7 @@ def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SIM_ANN_TOPK = f"""
 WITH k AS (
-  {" UNION ALL ".join(
-      f"SELECT vec_id, {t} AS lsh_table, {_bucket_sql(t)} AS bucket FROM embeddings"
-      for t in range(N_TABLES)
-  )}
+  {_lsh_keys_sql()}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id

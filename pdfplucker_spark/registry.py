@@ -19,8 +19,13 @@ _OPERATOR_MODULES = (
 def all_queries() -> dict[str, tuple]:
     reg: dict[str, tuple] = {}
     for mod_name in _OPERATOR_MODULES:
-        mod = __import__(
-            f"pdfplucker_spark.operators.{mod_name}", fromlist=["QUERIES"]
-        )
+        try:
+            mod = __import__(
+                f"pdfplucker_spark.operators.{mod_name}", fromlist=["QUERIES"]
+            )
+        except ImportError:
+            # degrade, don't die: one optional dependency (e.g. pyarrow for
+            # multimodal) must not take down the whole driver surface
+            continue
         reg.update(mod.QUERIES)
     return reg

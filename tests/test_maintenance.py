@@ -1,4 +1,5 @@
-"""Vacuum + compaction: data-preserving, torn-run-removing, resume-safe."""
+"""Vacuum + compaction: data-preserving, torn-run-removing, resume-safe,
+attribution-preserving, and atomic at the marker level."""
 
 import os
 
@@ -17,8 +18,13 @@ def t1_path(tmp_path_factory):
 def _fingerprint(spark, out, table="spans_out"):
     from pyspark.sql import functions as F
 
-    df = job.committed_view(spark, out, table).drop("run_id")
-    rows = df.select(F.md5(F.to_json(F.struct("*"))).alias("h")).collect()
+    df = job.committed_view(spark, out, table)
+    drop = [c for c in ("run_id", "source_run_id") if c in df.columns]
+    rows = (
+        df.drop(*drop)
+        .select(F.md5(F.to_json(F.struct("*"))).alias("h"))
+        .collect()
+    )
     return sorted(r.h for r in rows)
 
 
@@ -36,9 +42,43 @@ def test_compact_preserves_data_and_consolidates_runs(spark, t1_path, tmp_path):
     assert _fingerprint(spark, out) == before
     assert _fingerprint(spark, out, "docs_out") == docs_before
 
+    # per-run attribution survives in source_run_id (metrics/lineage/fails
+    # are keyed by run — compaction must not flatten their history)
+    metrics = job.committed_view(spark, out, "metrics")
+    assert sorted(
+        r.source_run_id for r in metrics.select("source_run_id").collect()
+    ) == ["r1", "r2"]
+
     # resume after compaction is still a no-op (docs_out survived intact)
     m = job.run(spark, t1_path, out, run_id="r3", partitions=4, resume=True)
     assert m["total_docs"] == 0
+
+
+def test_compact_twice_keeps_original_attribution(spark, t1_path, tmp_path):
+    out = str(tmp_path / "out")
+    job.run(spark, t1_path, out, run_id="orig", partitions=4, limit=30)
+    compact(spark, out)
+    compact(spark, out)
+    lin = job.committed_view(spark, out, "lineage")
+    assert {r.source_run_id for r in lin.select("source_run_id").collect()} == {
+        "orig"
+    }
+
+
+def test_compact_marker_switch_is_atomic(spark, t1_path, tmp_path):
+    """After compact's marker lands, the old runs are superseded even though
+    their marker files may still exist (the crash-window state): the
+    committed set must already be exactly the new run."""
+    out = str(tmp_path / "out")
+    job.run(spark, t1_path, out, run_id="old1", partitions=4, limit=40)
+    new_run = compact(spark, out)
+    # recreate the crash-window state: old marker resurrected post-switch
+    with open(os.path.join(out, "_commits", "old1"), "w") as f:
+        f.write("ok\n")
+    assert job.committed_run_ids(out) == [new_run]  # still superseded
+    # and vacuum (under the lease) reclaims the redundant marker
+    vacuum(out)
+    assert not os.path.exists(os.path.join(out, "_commits", "old1"))
 
 
 def test_compact_covers_detail_tables(spark, t1_path, tmp_path):
@@ -54,11 +94,18 @@ def test_compact_covers_detail_tables(spark, t1_path, tmp_path):
         assert _fingerprint(spark, out, t) == fp, t
 
 
-def test_vacuum_removes_only_torn_runs(spark, t1_path, tmp_path):
+def test_vacuum_removes_only_torn_runs_and_takes_lease(spark, t1_path, tmp_path):
     out = str(tmp_path / "out")
     job.run(spark, t1_path, out, run_id="good", partitions=4, limit=50)
     job.run(spark, t1_path, out, run_id="torn", partitions=4, resume=True)
     os.remove(os.path.join(out, "_commits", "torn"))  # simulate crash
+
+    # a live writer's lease blocks vacuum (it would delete in-flight data)
+    with open(os.path.join(out, "_RUN_LOCK"), "w") as f:
+        f.write("live-run\n")
+    with pytest.raises(RuntimeError, match="single-writer"):
+        vacuum(out)
+    os.remove(os.path.join(out, "_RUN_LOCK"))
 
     removed = vacuum(out)
     assert "torn" in removed["spans_out"]
