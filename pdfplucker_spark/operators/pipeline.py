@@ -253,6 +253,83 @@ SELECT bag_hash, canonical_doc_id, canonical_n_chars, group_size FROM (
 
 
 # ---------------------------------------------------------------------------
+# connected-component dup clusters (iterative min-label propagation)
+# ---------------------------------------------------------------------------
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the n-gram pair graph: connected components
+    via iterative min-label propagation — labels converge to the component
+    minimum regardless of iteration order, so the fixpoint is deterministic.
+    Each iteration is one edges⋈labels join + a min-aggregate (all
+    distributed; the only driver traffic is a 1-row convergence check).
+    Dup clusters have tiny diameters (near-cliques), so convergence is 2-3
+    rounds; the cap is a safety net for pathological chains. The oracle is
+    an independent formulation: DuckDB recursive-CTE transitive closure."""
+    from pdfplucker_spark.operators.dedup import q_dedup_ngram_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_dedup_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).persist()
+    prev_sum = None
+    for _ in range(20):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        # monotone convergence check: the label sum strictly decreases
+        # until the fixpoint (labels only ever shrink toward the min)
+        cur = labels.agg(F.sum("label")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    from pdfplucker_spark.operators.dedup import SQL_DEDUP_NGRAM_PAIRS
+
+    return f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_NGRAM_PAIRS}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""
+
+
+# ---------------------------------------------------------------------------
 # the composite cleaning pipeline (what a training-data team actually runs)
 # ---------------------------------------------------------------------------
 QUALITY_MIN = 0.34  # ~median of the synthetic corpus — keeps a real subset
@@ -342,5 +419,6 @@ QUERIES = {
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),
     "docs_sample": (q_docs_sample, SQL_DOCS_SAMPLE),
+    "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
 }
