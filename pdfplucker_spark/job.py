@@ -73,13 +73,66 @@ def committed_run_ids(output: str) -> list[str]:
 def _mark_committed(output: str, run_id: str, supersedes: list[str] | None = None) -> None:
     d = os.path.join(output, "_commits")
     os.makedirs(d, exist_ok=True)
-    # write-then-rename: the marker appears atomically with full content
+    # write-then-rename: the marker appears atomically with full content.
+    # seq orders commits for latest_view (doc-level reprocessing reads).
     tmp = os.path.join(d, f".{run_id}.tmp")
     with open(tmp, "w") as f:
         f.write("ok\n")
+        f.write(f"seq: {time.time_ns()}\n")
         if supersedes:
             f.write("supersedes: " + " ".join(supersedes) + "\n")
     os.replace(tmp, os.path.join(d, run_id))
+
+
+def commit_seqs(output: str) -> dict[str, int]:
+    """Commit order of the committed runs (marker seq; 0 for legacy
+    markers, lexical run_id breaks remaining ties deterministically)."""
+    d = os.path.join(output, "_commits")
+    out: dict[str, int] = {}
+    for rid in committed_run_ids(output):
+        seq = 0
+        try:
+            with open(os.path.join(d, rid)) as f:
+                for line in f:
+                    if line.startswith("seq:"):
+                        seq = int(line.split(":", 1)[1].strip())
+        except (OSError, ValueError):
+            pass
+        out[rid] = seq
+    return out
+
+
+def latest_view(spark, output: str, table: str = "spans_out") -> DataFrame:
+    """Doc-level reprocessing read: when changed upstream docs are re-run
+    WITHOUT --resume, multiple committed runs legitimately carry the same
+    doc_id; this view keeps each doc's NEWEST committed copy (commit seq,
+    run_id as tie-break). The winner set is decided on the compact docs_out
+    table (one row per doc per run), then semi-joined onto the requested
+    table — the big span payloads never flow through the ranking window."""
+    from pyspark.sql import Window
+
+    seqs = commit_seqs(output)
+    seq_col = F.coalesce(
+        *[
+            F.when(F.col("run_id") == rid, F.lit(s))
+            for rid, s in sorted(seqs.items())
+        ],
+        F.lit(0),
+    ) if seqs else F.lit(0)
+    docs = committed_view(spark, output, "docs_out").select("doc_id", "run_id")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("commit_seq"), F.desc("run_id")
+    )
+    winners = (
+        docs.withColumn("commit_seq", seq_col)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "run_id")
+    )
+    # no broadcast hint: winners is doc-cardinality (huge at 100 TB) — AQE
+    # picks broadcast only when the doc count actually fits
+    tbl = committed_view(spark, output, table)
+    return tbl.join(winners, ["doc_id", "run_id"], "left_semi")
 
 
 def _acquire_lock(output: str, run_id: str, stale_sec: float = 24 * 3600) -> str:
