@@ -104,6 +104,37 @@ def test_metadata_struct_passes_through_docs_out(spark, t1_path, tmp_path):
     assert d2.where(F.col("metadata").isNotNull()).count() == 0
 
 
+def test_docs_out_schema_evolution_across_job_versions(spark, t1_path, tmp_path):
+    """A pre-metadata-era docs_out run (no metadata column) must remain
+    readable next to new runs: committed_view over mixed-schema run dirs
+    merges to the union schema with nulls for the old rows."""
+    import shutil
+
+    out = str(tmp_path / "out")
+    job.run(spark, t1_path, out, run_id="old", partitions=4, limit=30)
+
+    # simulate the old-version run: rewrite its partition without metadata
+    old_dir = os.path.join(out, "docs_out", "run_id=old")
+    legacy = spark.read.parquet(old_dir).drop("metadata")
+    tmp_dir = str(tmp_path / "legacy")
+    legacy.write.parquet(tmp_dir)
+    shutil.rmtree(old_dir)
+    shutil.move(tmp_dir, old_dir)
+
+    job.run(spark, t1_path, out, run_id="new", partitions=4, resume=True)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "docs_out")
+    )
+    assert "metadata" in merged.columns
+    assert merged.count() == 100
+    from pyspark.sql import functions as F
+
+    assert merged.where(F.col("run_id") == "old").where(
+        F.col("metadata").isNotNull()
+    ).count() == 0
+
+
 def test_writer_lease_blocks_concurrent_run(spark, t1_path, tmp_path):
     out = str(tmp_path / "out_lock")
     os.makedirs(out, exist_ok=True)

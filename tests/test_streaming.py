@@ -104,6 +104,45 @@ def test_streaming_dedup_exact_replayed_input(spark, tmp_path):
     assert res.where(F.col("event_id").isNull()).count() == 0
 
 
+def test_sessionize_stream_restart_is_exactly_once(spark, tmp_path):
+    """Kill-and-restart from checkpoint across a late-arriving file: the
+    stateful session store must resume without duplicating or dropping
+    finalized sessions."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.streaming.stream import stream_sessionize
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").orderBy(
+        "ts", "event_id"
+    )
+    rows = src.collect()
+    half = len(rows) // 2
+    in_dir = str(tmp_path / "ev")
+    os.makedirs(in_dir)
+    spark.createDataFrame(rows[:half], src.schema).write.parquet(in_dir + "/p1")
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_sessionize(spark, in_dir + "/*", out, ckpt)
+    q.awaitTermination(120)
+
+    spark.createDataFrame(rows[half:], src.schema).write.parquet(in_dir + "/p2")
+    q2 = stream_sessionize(spark, in_dir + "/*", out, ckpt)  # restart
+    q2.awaitTermination(120)
+
+    res = spark.read.parquet(out)
+    # exactly-once: no (user, session_start) emitted twice across restarts
+    dups = (
+        res.groupBy("user_id", "session_start")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0
+    assert res.count() > 0
+
+
 def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
     """Custom arbitrary-state operator: the LAST emitted running total per
     user equals the batch aggregation over the drained stream."""
