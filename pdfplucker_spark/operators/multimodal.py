@@ -6,12 +6,19 @@ pipeline needs — a typed ``binary`` column fetched by ref (here synthesized
 content-addressed: md5(media_ref || doc_id) as 16 fake bytes), pushed
 through a vectorized Arrow decode stage that parses per-item metadata.
 
-THE DECODER IS A STUB: real image decoding (PIL/libvips) is not in this
-container, so ``_decode_stub`` derives deterministic fake metadata from the
-bytes. The Spark-side plumbing — binary Arrow column, mapInArrow batch
-shape, schema, partition-agnostic map-only plan — is real and oracle-tested
-(the DuckDB oracle reproduces the same metadata from md5 arithmetic).
-Swap ``_decode_stub`` for a real decoder to productionize.
+Two tiers:
+  - ``media_features`` / ``media_frames``: the OPAQUE-codec path.
+    ``_decode_stub`` stands in for PIL/libvips/ffmpeg (not in this
+    container) with deterministic fake metadata; the Spark plumbing —
+    binary Arrow column, mapInArrow batch shape, schema, map-only plan —
+    is real and oracle-tested.
+  - ``media_decode_image`` / ``media_decode_audio``: REAL codecs. P6 PPM
+    and RIFF/PCM16 WAV need only numpy/struct, so these stages encode real
+    file bytes and genuinely parse them back (magic numbers, headers,
+    pixel/sample buffers); the oracle recomputes the expected statistics
+    in closed form from the generating parameters, so a parser bug breaks
+    the value compare. Swap the synthesized bytes for fetched ones to
+    productionize.
 """
 
 from __future__ import annotations
@@ -223,7 +230,263 @@ SELECT doc_id, media_ref, media_kind,
 FROM counted"""
 
 
+# ---------------------------------------------------------------------------
+# REAL codecs: PPM (P6) images and WAV (RIFF/PCM16) audio — both decodable
+# with numpy/struct alone, no external libraries. Unlike the stub above,
+# these stages genuinely ENCODE real file bytes and then genuinely PARSE
+# them back (magic numbers, headers, sample buffers); the oracle recomputes
+# the expected statistics in closed form from the generating parameters, so
+# any parser bug breaks the value-level compare.
+# ---------------------------------------------------------------------------
+IMAGE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+_ARROW_IMG = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("sum_r", pa.int64()),
+        pa.field("sum_g", pa.int64()),
+        pa.field("sum_b", pa.int64()),
+    ]
+)
+
+
+def _encode_ppm(w: int, h: int, s: int) -> bytes:
+    """A real binary P6 PPM: ASCII header + packed RGB bytes."""
+    import numpy as np
+
+    header = f"P6\n{w} {h}\n255\n".encode()
+    x = np.arange(w)
+    y = np.arange(h)
+    base = x[None, :] + y[:, None]
+    px = np.stack([(base + s + ch) % 256 for ch in range(3)], axis=-1)
+    return header + px.astype(np.uint8).tobytes()
+
+
+def _decode_ppm(blob: bytes):
+    """A real PPM parser: magic check, header ints, pixel buffer."""
+    import numpy as np
+
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    magic, dims, maxval, raw = blob.split(b"\n", 3)
+    w, h = map(int, dims.split())
+    if int(maxval) != 255:
+        raise ValueError("unsupported maxval")
+    px = np.frombuffer(raw, dtype=np.uint8)[: w * h * 3].reshape(h, w, 3)
+    sums = px.astype(np.int64).sum(axis=(0, 1))
+    return w, h, int(sums[0]), int(sums[1]), int(sums[2])
+
+
+def _img_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        doc = batch.column(batch.schema.get_field_index("doc_id"))
+        ref = batch.column(batch.schema.get_field_index("media_ref"))
+        wcol = batch.column(batch.schema.get_field_index("w")).to_pylist()
+        hcol = batch.column(batch.schema.get_field_index("h")).to_pylist()
+        scol = batch.column(batch.schema.get_field_index("s")).to_pylist()
+        out = {k: [] for k in ("w", "h", "r", "g", "b")}
+        for w, h, s in zip(wcol, hcol, scol):
+            blob = _encode_ppm(w, h, s)  # real bytes...
+            dw, dh, r, g, b = _decode_ppm(blob)  # ...really parsed back
+            out["w"].append(dw)
+            out["h"].append(dh)
+            out["r"].append(r)
+            out["g"].append(g)
+            out["b"].append(b)
+        yield pa.RecordBatch.from_arrays(
+            [
+                doc,
+                ref,
+                pa.array(out["w"], pa.int32()),
+                pa.array(out["h"], pa.int32()),
+                pa.array(out["r"], pa.int64()),
+                pa.array(out["g"], pa.int64()),
+                pa.array(out["b"], pa.int64()),
+            ],
+            schema=_ARROW_IMG,
+        )
+
+
+def _media_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-picture codec parameters (same md5 arithmetic the
+    oracle uses — the CONTENT round-trips through real bytes, only the
+    parameters are shared)."""
+    pics = derived_spans_flat(spark, sf_dir).where(F.col("kind") == "picture")
+    hx = lambda start, ln: F.conv(
+        F.substring(F.md5(F.concat("media_ref", "doc_id")), start, ln), 16, 10
+    ).cast("long")
+    return pics.select(
+        "doc_id",
+        "media_ref",
+        (4 + hx(1, 8) % 16).cast("int").alias("w"),
+        (4 + hx(9, 8) % 16).cast("int").alias("h"),
+        (hx(17, 8) % 256).cast("int").alias("s"),
+        (100 + hx(1, 8) % 900).cast("int").alias("n"),
+        (1 + hx(9, 8) % 1000).cast("int").alias("step"),
+        F.element_at(
+            F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+            (hx(17, 8) % 3 + 1).cast("int"),
+        ).alias("rate"),
+    )
+
+
+def q_media_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode: encode a P6 PPM per picture, parse it back
+    (header + pixel buffer), emit per-channel pixel sums."""
+    return _media_params(spark, sf_dir).mapInArrow(_img_batches, IMAGE_DECODE_SCHEMA)
+
+
+def _sql_hx(start: int, ln: int) -> str:
+    return f"CAST('0x' || substr(md5(media_ref || doc_id), {start}, {ln}) AS BIGINT)"
+
+
+def _sql_chan_sum(ch: int) -> str:
+    # closed form of the pixel pattern the PPM really carries
+    return (
+        "list_reduce([CAST(0 AS BIGINT)] || flatten(list_transform(range(h), "
+        f"y -> list_transform(range(w), x -> (x + y + s + {ch}) % 256))), "
+        "(a, b) -> a + b)"
+    )
+
+
+SQL_MEDIA_DECODE_IMAGE = f"""WITH {DERIVED_SPANS_CTE},
+m AS (
+  SELECT doc_id, media_ref,
+         CAST(4 + {_sql_hx(1, 8)} % 16 AS INT) AS w,
+         CAST(4 + {_sql_hx(9, 8)} % 16 AS INT) AS h,
+         CAST({_sql_hx(17, 8)} % 256 AS INT) AS s
+  FROM spans WHERE kind = 'picture'
+)
+SELECT doc_id, media_ref, w AS width, h AS height,
+       {_sql_chan_sum(0)} AS sum_r,
+       {_sql_chan_sum(1)} AS sum_g,
+       {_sql_chan_sum(2)} AS sum_b
+FROM m"""
+
+
+AUDIO_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+    ]
+)
+
+_ARROW_AUD = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("sample_rate", pa.int32()),
+        pa.field("n_samples", pa.int32()),
+        pa.field("sum_abs", pa.int64()),
+    ]
+)
+
+
+def _encode_wav(n: int, rate: int, step: int) -> bytes:
+    """A real RIFF/WAVE container with PCM16 mono samples."""
+    import struct
+
+    import numpy as np
+
+    samples = ((np.arange(n, dtype=np.int64) * step) % 65536 - 32768).astype(
+        "<i2"
+    )
+    data = samples.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _decode_wav(blob: bytes):
+    """A real RIFF parser: magic checks, fmt chunk, PCM16 sample buffer."""
+    import struct
+
+    import numpy as np
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    if blob[12:16] != b"fmt " or blob[36:40] != b"data":
+        raise ValueError("unexpected chunk layout")
+    rate = struct.unpack("<I", blob[24:28])[0]
+    nbytes = struct.unpack("<I", blob[40:44])[0]
+    samples = np.frombuffer(blob[44 : 44 + nbytes], dtype="<i2")
+    return rate, len(samples), int(np.abs(samples.astype(np.int64)).sum())
+
+
+def _aud_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        doc = batch.column(batch.schema.get_field_index("doc_id"))
+        ref = batch.column(batch.schema.get_field_index("media_ref"))
+        ncol = batch.column(batch.schema.get_field_index("n")).to_pylist()
+        stepcol = batch.column(batch.schema.get_field_index("step")).to_pylist()
+        ratecol = batch.column(batch.schema.get_field_index("rate")).to_pylist()
+        rates, counts, sums = [], [], []
+        for n, step, rate in zip(ncol, stepcol, ratecol):
+            blob = _encode_wav(n, rate, step)
+            r, c, sa = _decode_wav(blob)
+            rates.append(r)
+            counts.append(c)
+            sums.append(sa)
+        yield pa.RecordBatch.from_arrays(
+            [
+                doc,
+                ref,
+                pa.array(rates, pa.int32()),
+                pa.array(counts, pa.int32()),
+                pa.array(sums, pa.int64()),
+            ],
+            schema=_ARROW_AUD,
+        )
+
+
+def q_media_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode: encode a PCM16 WAV per item, parse the RIFF
+    container back, emit rate / sample count / total absolute amplitude."""
+    return _media_params(spark, sf_dir).mapInArrow(_aud_batches, AUDIO_DECODE_SCHEMA)
+
+
+SQL_MEDIA_DECODE_AUDIO = f"""WITH {DERIVED_SPANS_CTE},
+m AS (
+  SELECT doc_id, media_ref,
+         CAST(100 + {_sql_hx(1, 8)} % 900 AS INT) AS n,
+         CAST(1 + {_sql_hx(9, 8)} % 1000 AS INT) AS step,
+         CAST(CASE {_sql_hx(17, 8)} % 3
+              WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS rate
+  FROM spans WHERE kind = 'picture'
+)
+SELECT doc_id, media_ref, rate AS sample_rate, n AS n_samples,
+       list_reduce([CAST(0 AS BIGINT)] ||
+                   list_transform(range(n), i -> abs((i * step) % 65536 - 32768)),
+                   (a, b) -> a + b) AS sum_abs
+FROM m"""
+
+
 QUERIES = {
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
+    "media_decode_image": (q_media_decode_image, SQL_MEDIA_DECODE_IMAGE),
+    "media_decode_audio": (q_media_decode_audio, SQL_MEDIA_DECODE_AUDIO),
 }
