@@ -242,6 +242,7 @@ IMAGE_DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
         T.StructField("media_ref", T.StringType(), True),
+        T.StructField("status", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("sum_r", T.LongType(), True),
@@ -254,6 +255,7 @@ _ARROW_IMG = pa.schema(
     [
         pa.field("doc_id", pa.string()),
         pa.field("media_ref", pa.string()),
+        pa.field("status", pa.string()),
         pa.field("width", pa.int32()),
         pa.field("height", pa.int32()),
         pa.field("sum_r", pa.int64()),
@@ -297,19 +299,25 @@ def _img_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         wcol = batch.column(batch.schema.get_field_index("w")).to_pylist()
         hcol = batch.column(batch.schema.get_field_index("h")).to_pylist()
         scol = batch.column(batch.schema.get_field_index("s")).to_pylist()
-        out = {k: [] for k in ("w", "h", "r", "g", "b")}
+        out = {k: [] for k in ("st", "w", "h", "r", "g", "b")}
         for w, h, s in zip(wcol, hcol, scol):
             blob = _encode_ppm(w, h, s)  # real bytes...
-            dw, dh, r, g, b = _decode_ppm(blob)  # ...really parsed back
-            out["w"].append(dw)
-            out["h"].append(dh)
-            out["r"].append(r)
-            out["g"].append(g)
-            out["b"].append(b)
+            if s % 23 == 0:  # deterministic corruption injection (~4%)
+                blob = blob[: len(blob) // 2][::-1]
+            try:
+                dw, dh, r, g, b = _decode_ppm(blob)  # ...really parsed back
+                row = ("ok", dw, dh, r, g, b)
+            except Exception:
+                # F12 philosophy: a bad blob is a data row, never a task
+                # failure — one corrupt object can't kill a 100 TB job
+                row = ("error", None, None, None, None, None)
+            for k, v in zip(("st", "w", "h", "r", "g", "b"), row):
+                out[k].append(v)
         yield pa.RecordBatch.from_arrays(
             [
                 doc,
                 ref,
+                pa.array(out["st"], pa.string()),
                 pa.array(out["w"], pa.int32()),
                 pa.array(out["h"], pa.int32()),
                 pa.array(out["r"], pa.int64()),
@@ -370,10 +378,13 @@ m AS (
          CAST({_sql_hx(17, 8)} % 256 AS INT) AS s
   FROM spans WHERE kind = 'picture'
 )
-SELECT doc_id, media_ref, w AS width, h AS height,
-       {_sql_chan_sum(0)} AS sum_r,
-       {_sql_chan_sum(1)} AS sum_g,
-       {_sql_chan_sum(2)} AS sum_b
+SELECT doc_id, media_ref,
+       CASE WHEN s % 23 = 0 THEN 'error' ELSE 'ok' END AS status,
+       CASE WHEN s % 23 = 0 THEN NULL ELSE w END AS width,
+       CASE WHEN s % 23 = 0 THEN NULL ELSE h END AS height,
+       CASE WHEN s % 23 = 0 THEN NULL ELSE {_sql_chan_sum(0)} END AS sum_r,
+       CASE WHEN s % 23 = 0 THEN NULL ELSE {_sql_chan_sum(1)} END AS sum_g,
+       CASE WHEN s % 23 = 0 THEN NULL ELSE {_sql_chan_sum(2)} END AS sum_b
 FROM m"""
 
 

@@ -463,9 +463,53 @@ def q_regional_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q5_SQL)
 
 
+def q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation for a HOT grouping key: events has only
+    5 event_type values, so a direct groupBy concentrates each group's
+    entire partial state on one reducer. Phase 1 groups by (key, salt) — 16
+    uniform md5-derived shards per hot key — phase 2 merges the shards.
+    Equivalent by algebra to the direct groupBy (the oracle), but the big
+    shuffle fans out over 5x16 reducers instead of 5. The pattern matters
+    for aggregates whose per-group state is large (exact distinct sets,
+    collect_list) where partial aggregation alone can't shrink the hot
+    reducer."""
+    from pdfplucker_spark.functions.hashing import md5_long
+
+    ev = load(spark, sf_dir, "events")
+    salt = (md5_long(F.col("event_id").cast("string")) % 16).alias("salt")
+    phase1 = (
+        ev.select("event_type", "value", "user_id", salt)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+            F.collect_set("user_id").alias("pu"),
+        )
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("pu")))).alias(
+                "n_users"
+            ),
+        )
+    )
+
+
+SQL_EVENTS_SALTED_AGG = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS INT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "regional_revenue_sql": (q_regional_revenue_sql, _Q5_SQL),
+    "events_salted_agg": (q_events_salted_agg, SQL_EVENTS_SALTED_AGG),
     "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
     "customers_without_orders": (
         q_customers_without_orders,
