@@ -50,6 +50,17 @@ def test_top_orders_broadcasts_dimensions(spark):
     assert "TakeOrderedAndProject" in plan  # top-k never sorts the world
 
 
+def test_salted_agg_two_phase_shape(spark):
+    from pdfplucker_spark.operators.relational import q_events_salted_agg
+
+    plan = _plan(q_events_salted_agg(spark, SF))
+    # phase 1 shuffles on (event_type, salt), phase 2 on event_type —
+    # the hot key fans out before it concentrates
+    assert "hashpartitioning(event_type" in plan
+    assert "salt" in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2500]
+
+
 def test_asof_single_user_shuffle(spark):
     from pdfplucker_spark.operators.pipeline import q_events_asof_purchase
 
