@@ -26,6 +26,7 @@ from pdfplucker_spark.functions.hashing import (
     sql_expr_md5_long,
     sql_md5_long,
 )
+from pdfplucker_spark.plans.guards import DEFAULT_BUCKET_CAP, drop_oversized_buckets
 from pdfplucker_spark.sources.tables import load
 
 N_HASHES = 8
@@ -108,9 +109,14 @@ FROM documents
 """
 
 
-def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_minhash_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = DEFAULT_BUCKET_CAP
+) -> DataFrame:
     """LSH banding (4 bands × 2 rows) → candidate pairs → exact-Jaccard
-    verification at {threshold}. The scalable near-dup pipeline."""
+    verification at {threshold}. The scalable near-dup pipeline. Band keys
+    over ``bucket_cap`` occupancy are dropped-and-logged before the
+    self-join (plans/guards.py) — a degenerate corpus cannot make the
+    within-bucket join quadratic."""
     d = load(spark, sf_dir, "documents")
     # persist: the signature table feeds BOTH sides of the banded self-join;
     # without it the minhash scan of the corpus runs twice. Per-doc sigs are
@@ -131,6 +137,9 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("key"),
         )
         bands = part if bands is None else bands.unionByName(part)
+    bands = drop_oversized_buckets(
+        bands.persist(), ("band", "key"), bucket_cap, "dedup_minhash_pairs"
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     cand = (
@@ -239,12 +248,15 @@ _SHINGLE_EXPR = (
 )
 
 
-def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_ngram_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = DEFAULT_BUCKET_CAP
+) -> DataFrame:
     """3-gram (token trigram) Jaccard near-dup pairs, blocked by MinHash-LSH
     buckets over the shingle set (8 bands × 1 row). The self-join is keyed on
     uniform md5-derived min-hashes, so bucket cardinality is bounded by the
     near-dup cluster size — not O(block²) on a metadata column — and the
-    exact-Jaccard verification only touches candidate pairs."""
+    exact-Jaccard verification only touches candidate pairs. Band keys over
+    ``bucket_cap`` occupancy are dropped-and-logged (plans/guards.py)."""
     d = load(spark, sf_dir, "documents")
     # persist: sh feeds sig computation AND the exact-Jaccard verify join;
     # sigs feed both sides of the banded self-join — without persists the
@@ -264,6 +276,7 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band", "key"
         ),
     )
+    bands = drop_oversized_buckets(bands, ("band", "key"), bucket_cap, "dedup_ngram_pairs")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

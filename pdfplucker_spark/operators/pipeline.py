@@ -255,50 +255,92 @@ SELECT bag_hash, canonical_doc_id, canonical_n_chars, group_size FROM (
 # ---------------------------------------------------------------------------
 # connected-component dup clusters (iterative min-label propagation)
 # ---------------------------------------------------------------------------
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS from the n-gram pair graph: connected components
-    via iterative min-label propagation — labels converge to the component
-    minimum regardless of iteration order, so the fixpoint is deterministic.
-    Each iteration is one edges⋈labels join + a min-aggregate (all
-    distributed; the only driver traffic is a 1-row convergence check).
-    Dup clusters have tiny diameters (near-cliques), so convergence is 2-3
-    rounds; the cap is a safety net for pathological chains. The oracle is
-    an independent formulation: DuckDB recursive-CTE transitive closure."""
-    from pdfplucker_spark.operators.dedup import q_dedup_ngram_pairs
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Connected components via iterative min-label propagation: labels
+    converge to the component minimum regardless of iteration order, so
+    the fixpoint is deterministic. Each iteration is one edges⋈labels join
+    + a min-aggregate (all distributed; the only driver traffic is a 1-row
+    convergence check).
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    pairs = q_dedup_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    Loop hygiene at cluster scale: every iteration materializes the new
+    labels (the convergence check is an action on the persisted frame) and
+    UNPERSISTS the superseded one — executor storage is O(1) in iteration
+    count, not O(iters). Every 3rd iteration ``localCheckpoint`` truncates
+    the lineage, so a pathological long-chain graph never carries an
+    iters-deep join plan into the next round. The loop runs until the
+    monotone convergence check fires; ``max_iters`` is a safety net that
+    LOGS when hit (labels are then still valid per-node upper bounds, but
+    distant components may not have merged — silence would misread as
+    convergence).
+
+    Args: ``nodes`` — one column ``node``; ``pairs`` — columns
+    ``(src, dst)``, one direction per undirected edge. Returns
+    ``(node, label)``."""
+    import logging
+
     edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        pairs.select(F.col("src"), F.col("dst"))
+        .union(pairs.select(F.col("dst"), F.col("src")))
         .toDF("src", "dst")
         .persist()
     )
-    labels = docs.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
-    ).persist()
+    labels = nodes.select("node", F.col("node").alias("label")).persist()
     prev_sum = None
-    for _ in range(20):
+    converged = False
+    for i in range(max_iters):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        labels = (
-            labels.join(neigh, labels.node == neigh.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
+        old = labels
+        labels = labels.join(neigh, labels.node == neigh.src, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                "label"
+            ),
         )
+        if i % 3 == 2:
+            # eager localCheckpoint: materializes AND truncates lineage —
+            # the next iteration's plan starts from stored partitions
+            labels = labels.localCheckpoint()
+        else:
+            labels = labels.persist()
         # monotone convergence check: the label sum strictly decreases
-        # until the fixpoint (labels only ever shrink toward the min)
+        # until the fixpoint (labels only ever shrink toward the min);
+        # this action also materializes `labels`, making the unpersist of
+        # the superseded frame safe.
         cur = labels.agg(F.sum("label")).collect()[0][0]
+        old.unpersist()
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    edges.unpersist()
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "connected_components: hit the %d-iteration safety cap before "
+            "convergence — a component with diameter > %d may be split",
+            max_iters,
+            max_iters,
+        )
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the n-gram pair graph: connected components
+    (min-label propagation, see ``connected_components``). Dup clusters have
+    tiny diameters (near-cliques), so convergence is 2-3 rounds. The oracle
+    is an independent formulation: DuckDB recursive-CTE transitive closure."""
+    from pdfplucker_spark.operators.dedup import q_dedup_ngram_pairs
+
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    pairs = q_dedup_ngram_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(docs, pairs)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),

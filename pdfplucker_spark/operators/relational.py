@@ -469,33 +469,40 @@ def q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     entire partial state on one reducer. Phase 1 groups by (key, salt) — 16
     uniform md5-derived shards per hot key — phase 2 merges the shards.
     Equivalent by algebra to the direct groupBy (the oracle), but the big
-    shuffle fans out over 5x16 reducers instead of 5. The pattern matters
-    for aggregates whose per-group state is large (exact distinct sets,
-    collect_list) where partial aggregation alone can't shrink the hot
-    reducer."""
+    shuffle fans out over 5x16 reducers instead of 5.
+
+    The exact-distinct leg deliberately does NOT ride the salted shards:
+    merging per-shard ``collect_set`` arrays would materialize the union of
+    ALL distinct users of a hot key as ONE array on ONE row (gigabytes at
+    10^8 users — executor OOM). Instead it is a two-level distinct: level 1
+    dedups on (event_type, user_id) — the shuffle key includes user_id, so
+    it is uniform and the per-row state is a bare key — level 2 counts the
+    survivors with ordinary map-side partial counts. Both legs are
+    shuffle-safe at any key skew; the join that recombines them is on the
+    5-row post-aggregate frames."""
     from pdfplucker_spark.functions.hashing import md5_long
 
     ev = load(spark, sf_dir, "events")
     salt = (md5_long(F.col("event_id").cast("string")) % 16).alias("salt")
     phase1 = (
-        ev.select("event_type", "value", "user_id", salt)
+        ev.select("event_type", "value", salt)
         .groupBy("event_type", "salt")
         .agg(
             F.count("*").alias("pn"),
             F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
-            F.collect_set("user_id").alias("pu"),
         )
     )
-    return (
-        phase1.groupBy("event_type")
-        .agg(
-            F.sum("pn").alias("n_events"),
-            F.sum("pv").cast("double").alias("total_value"),
-            F.size(F.array_distinct(F.flatten(F.collect_list("pu")))).alias(
-                "n_users"
-            ),
-        )
+    merged = phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast("double").alias("total_value"),
     )
+    n_users = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("int").alias("n_users"))
+    )
+    return merged.join(n_users, "event_type")
 
 
 SQL_EVENTS_SALTED_AGG = """

@@ -34,6 +34,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from pdfplucker_spark.plans.guards import DEFAULT_BUCKET_CAP, drop_oversized_buckets
 from pdfplucker_spark.sources.tables import load
 
 TOP_K = 10
@@ -144,6 +145,8 @@ def _lsh_keys(emb):
     return keys
 
 
+
+
 def _lsh_keys_sql() -> str:
     """The same derivation, oracle side (one definition)."""
     return " UNION ALL ".join(
@@ -175,14 +178,25 @@ FROM b GROUP BY lsh_table, bucket
 COSINE_DUP_THRESHOLD = 0.30
 
 
-def q_sim_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sim_cosine_dup_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = DEFAULT_BUCKET_CAP
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via AND-OR banded sign-LSH:
     candidates = same r-bit bucket in ANY of the T tables (join keyed on
     (table, bucket) — the shuffle key whose cardinality grows with 2^r),
     deduplicated, then verified with the exact cosine. Double accumulation
-    is sequential in both engines so values match bit-for-bit."""
+    is sequential in both engines so values match bit-for-bit.
+
+    keys is persisted: it feeds BOTH sides of the self-join (and the bucket
+    guard) — unpersisted, each consumer re-evaluates 16 interpreted
+    higher-order plane-dot folds over the corpus. Over-capacity buckets are
+    dropped-and-logged (``bucket_cap``) so a degenerate corpus cannot make
+    the within-bucket self-join quadratic."""
     emb = load(spark, sf_dir, "embeddings")
-    keys = _lsh_keys(emb)
+    keys = _lsh_keys(emb).persist()
+    keys = drop_oversized_buckets(
+        keys, ("lsh_table", "bucket"), bucket_cap, "sim_cosine_dup_pairs"
+    )
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(
@@ -242,9 +256,13 @@ def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline, but score ONLY the candidates that share an LSH bucket with
     the query vector in any table. At 10^9 vectors this prunes the scored
     set from N to the query's bucket occupancy (~N/2^r per table) — the
-    broadcast of the tiny query-side key set replaces the full scan."""
+    broadcast of the tiny query-side key set replaces the full scan.
+
+    keys is persisted — it feeds both the query-side key lookup and the
+    corpus-side candidate filter (two consumers of the same 16-fold plane
+    derivation)."""
     emb = load(spark, sf_dir, "embeddings")
-    keys = _lsh_keys(emb)
+    keys = _lsh_keys(emb).persist()
     qkeys = keys.where(F.col("vec_id") == QUERY_VEC_ID).select("lsh_table", "bucket")
     cand = (
         keys.where(F.col("vec_id") != QUERY_VEC_ID)

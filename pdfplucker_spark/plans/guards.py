@@ -1,0 +1,53 @@
+"""Shuffle-skew guards for LSH candidate self-joins.
+
+A banded-LSH pair stage joins a key table to itself on the band key; its
+cost is sum(occupancy^2) over buckets. On honest corpora occupancy tracks
+near-dup cluster size (BENCH/PLANS.md capacity math), but a degenerate
+corpus — boilerplate-heavy crawl, constant column — collapses into a few
+giant buckets and the within-bucket self-join goes quadratic. A bucket that
+large is non-discriminative BY DEFINITION (everything matches everything:
+it carries no similarity signal), so the scale-correct move is to drop it,
+loudly, before the join.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, functions as F
+
+log = logging.getLogger(__name__)
+
+# Never fires on the driver corpora (max observed band-key occupancy at
+# sf0.1 is ~3 orders of magnitude below); at 10^9 rows the r/T scaling knobs
+# (similarity.py docstring, BENCH/PLANS.md) keep honest buckets far under it.
+DEFAULT_BUCKET_CAP = 100_000
+
+
+def drop_oversized_buckets(
+    keys: DataFrame,
+    key_cols: tuple[str, ...],
+    cap: int | None,
+    log_label: str,
+) -> DataFrame:
+    """Drop rows of bucket keys whose occupancy exceeds ``cap``.
+
+    One counting aggregation on the SAME shuffle key as the downstream
+    candidate join (the exchange is reused), then an inner join keeps only
+    rows of surviving buckets. Dropped buckets are counted and logged —
+    silence here would read as full recall when it isn't. ``keys`` should be
+    persisted by the caller (the guard is its second consumer)."""
+    if cap is None:
+        return keys
+    cols = list(key_cols)
+    occ = keys.groupBy(*cols).agg(F.count("*").alias("_occ"))
+    n_dropped = occ.where(F.col("_occ") > cap).count()
+    if n_dropped:
+        log.warning(
+            "%s: dropped %d over-capacity LSH buckets (cap=%d) — "
+            "non-discriminative keys excluded from the candidate join",
+            log_label,
+            n_dropped,
+            cap,
+        )
+    return keys.join(occ.where(F.col("_occ") <= cap).select(*cols), cols)

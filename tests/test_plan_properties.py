@@ -54,11 +54,28 @@ def test_salted_agg_two_phase_shape(spark):
     from pdfplucker_spark.operators.relational import q_events_salted_agg
 
     plan = _plan(q_events_salted_agg(spark, SF))
-    # phase 1 shuffles on (event_type, salt), phase 2 on event_type —
-    # the hot key fans out before it concentrates
+    # sum/count leg: phase 1 shuffles on (event_type, salt), phase 2 on
+    # event_type — the hot key fans out before it concentrates
     assert "hashpartitioning(event_type" in plan
     assert "salt" in plan
-    assert plan.count("Exchange hashpartitioning") == 2, plan[:2500]
+    # distinct leg: level-1 dedup shuffles on (event_type, user_id) — a
+    # uniform key — never a per-key set/array merge on one reducer
+    assert "user_id" in plan
+    for banned in ("collect_set", "collect_list", "array_distinct", "flatten"):
+        assert banned not in plan, f"{banned} rebuilds the hot reducer:\n{plan[:2500]}"
+
+
+def test_lsh_keys_persisted_for_self_join(spark):
+    from pdfplucker_spark.operators.similarity import (
+        q_sim_ann_topk,
+        q_sim_cosine_dup_pairs,
+    )
+
+    # the 16-fold plane-dot derivation feeds both sides of the candidate
+    # self-join — it must come from cache, not be re-evaluated per side
+    for q in (q_sim_cosine_dup_pairs, q_sim_ann_topk):
+        plan = _plan(q(spark, SF))
+        assert "InMemoryTableScan" in plan, plan[:3000]
 
 
 def test_asof_single_user_shuffle(spark):

@@ -1,0 +1,97 @@
+"""Degenerate-input guards: the failure modes that only show up at scale.
+
+- LSH bucket-size caps: a boilerplate-heavy corpus collapses into a few
+  giant band buckets; the within-bucket self-join must stay bounded (keys
+  over the cap are dropped-and-logged, never joined quadratically).
+- connected_components loop hygiene: a long-chain graph (diameter > the old
+  20-iteration cap) must still converge, with lineage truncated by periodic
+  localCheckpoint so plan depth does not grow with iteration count.
+"""
+
+import logging
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from pdfplucker_spark.operators.dedup import q_dedup_ngram_pairs
+from pdfplucker_spark.operators.pipeline import connected_components
+from pdfplucker_spark.operators.similarity import q_sim_cosine_dup_pairs
+
+BOILERPLATE = "terms of service apply to all users of this site please read carefully"
+
+
+def _write_degenerate_docs(spark, path: str, n: int = 400) -> None:
+    rows = [
+        Row(
+            doc_id=i,
+            text=BOILERPLATE,
+            lang="en",
+            source="crawl",
+            n_chars=len(BOILERPLATE),
+        )
+        for i in range(n)
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{path}/documents.parquet")
+
+
+def test_ngram_bucket_guard_bounds_degenerate_corpus(spark, tmp_path, caplog):
+    """400 identical boilerplate docs: every band key has occupancy 400 —
+    unguarded, the self-join is ~400^2/2 * 8 bands of candidates. With the
+    cap, the non-discriminative buckets are dropped (logged) and the
+    operator returns no pairs instead of going quadratic."""
+    _write_degenerate_docs(spark, str(tmp_path))
+    with caplog.at_level(logging.WARNING, logger="pdfplucker_spark.plans.guards"):
+        out = q_dedup_ngram_pairs(spark, str(tmp_path), bucket_cap=100)
+        assert out.count() == 0
+    assert any("dedup_ngram_pairs" in r.message and "dropped" in r.message
+               for r in caplog.records)
+
+
+def test_ngram_bucket_guard_silent_on_honest_corpus(spark):
+    """The default cap must never fire on the driver corpus: guarded and
+    unguarded results are identical at sf0.001."""
+    sf = "/root/testdata/sf0.001"
+    guarded = q_dedup_ngram_pairs(spark, sf)
+    unguarded = q_dedup_ngram_pairs(spark, sf, bucket_cap=None)
+    assert guarded.exceptAll(unguarded).count() == 0
+    assert unguarded.exceptAll(guarded).count() == 0
+
+
+def test_sim_bucket_guard_bounds_degenerate_embeddings(spark, tmp_path, caplog):
+    """400 identical embeddings land in the same bucket of every LSH table;
+    the cap drops those buckets so the candidate join stays bounded."""
+    vec = [0.5] * 64
+    rows = [Row(vec_id=i, embedding=vec, label=0) for i in range(400)]
+    spark.createDataFrame(rows).selectExpr(
+        "vec_id", "cast(embedding as array<float>) embedding", "label"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    with caplog.at_level(logging.WARNING, logger="pdfplucker_spark.plans.guards"):
+        out = q_sim_cosine_dup_pairs(spark, str(tmp_path), bucket_cap=100)
+        assert out.count() == 0
+    assert any("sim_cosine_dup_pairs" in r.message for r in caplog.records)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 24-node chain has diameter 23 > the old hard 20-iteration cap:
+    the convergence-driven loop must still collapse it to one component."""
+    n = 24
+    nodes = spark.createDataFrame([Row(node=i) for i in range(n)])
+    pairs = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
+    labels = connected_components(nodes, pairs)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # lineage hygiene: localCheckpoint every 3 iterations truncates the
+    # plan — after ~24 iterations the final frame's plan must NOT carry an
+    # iters-deep join chain (at most the joins since the last checkpoint)
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 4, plan[:3000]
+
+
+def test_connected_components_cap_logs_not_silent(spark, caplog):
+    """Hitting the safety cap before convergence must be loud."""
+    n = 10
+    nodes = spark.createDataFrame([Row(node=i) for i in range(n)])
+    pairs = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
+    with caplog.at_level(logging.WARNING, logger="pdfplucker_spark.operators.pipeline"):
+        connected_components(nodes, pairs, max_iters=3).collect()
+    assert any("safety cap" in r.message for r in caplog.records)
