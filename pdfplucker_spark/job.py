@@ -52,10 +52,17 @@ def committed_run_ids(output: str) -> list[str]:
     A marker may carry a ``supersedes: r1 r2 ...`` line (written by
     compaction): the listed runs are excluded even if their marker files
     still exist, which makes a compaction's old→new switch ATOMIC — one
-    marker-file creation flips the whole committed set."""
+    marker-file creation flips the whole committed set.
+
+    Only real marker names count: dotfiles (``.{run_id}.tmp`` orphaned by a
+    crash between _mark_committed's tmp write and os.replace) are NOT
+    markers — honoring a dead tmp's ``supersedes:`` line would retire the
+    old runs while the new run never committed, leaving readers with
+    neither (and a later vacuum would delete both). vacuum() reclaims
+    stale tmps under the lease."""
     d = os.path.join(output, "_commits")
     try:
-        names = sorted(os.listdir(d))
+        names = sorted(n for n in os.listdir(d) if not n.startswith("."))
     except FileNotFoundError:
         return []
     superseded: set[str] = set()
@@ -145,8 +152,14 @@ def _acquire_lock(output: str, run_id: str, stale_sec: float = 24 * 3600) -> str
     and taken over ATOMICALLY: the stale file is renamed away first, so of
     N simultaneous takeover attempts exactly one rename succeeds and the
     losers fall back to the O_EXCL race on the fresh path — two writers can
-    never both believe they own the lease. Jobs expected to run longer than
-    ``stale_sec`` must raise it (there is no background renewal)."""
+    never both believe they own the lease. The renamed file is re-checked
+    AFTER the rename: between the staleness check and the rename the old
+    holder may have released and a NEW writer acquired, so a rename that
+    captured a still-fresh lease restores it (hard-link back, which cannot
+    clobber a newer lock) and backs off. Jobs expected to run longer than
+    ``stale_sec`` must raise it (there is no background renewal); release
+    goes through ``_release_lock`` which only removes the file while it
+    still names the releasing run."""
     path = os.path.join(output, "_RUN_LOCK")
     os.makedirs(output, exist_ok=True)
     try:
@@ -161,11 +174,27 @@ def _acquire_lock(output: str, run_id: str, stale_sec: float = 24 * 3600) -> str
                 "the parquet commit protocol is single-writer — wait for it to "
                 "finish or delete the stale lock"
             )
+        grabbed = f"{path}.stale.{run_id}"
         try:
-            os.rename(path, f"{path}.stale.{run_id}")  # one winner only
-            os.remove(f"{path}.stale.{run_id}")
+            os.rename(path, grabbed)  # one winner only
         except FileNotFoundError:
             pass  # another taker won the rename; contend on the fresh path
+        else:
+            if time.time() - os.path.getmtime(grabbed) < stale_sec:
+                # TOCTOU: we captured a FRESH lease (new writer acquired
+                # between our check and rename) — put it back and back off
+                try:
+                    os.link(grabbed, path)  # never clobbers a newer lock
+                except FileExistsError:
+                    pass
+                os.remove(grabbed)
+                with open(path) as f:
+                    holder = f.read().strip()
+                raise RuntimeError(
+                    f"run {holder!r} acquired the writer lease {path} during "
+                    "takeover; backing off"
+                )
+            os.remove(grabbed)
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
@@ -176,6 +205,19 @@ def _acquire_lock(output: str, run_id: str, stale_sec: float = 24 * 3600) -> str
     with os.fdopen(fd, "w") as f:
         f.write(run_id + "\n")
     return path
+
+
+def _release_lock(path: str, run_id: str) -> None:
+    """Remove the lease only while it still names ``run_id``: a job that
+    outlived ``stale_sec`` and was taken over must NOT delete the usurper's
+    live lock on exit (that would admit a third concurrent writer)."""
+    try:
+        with open(path) as f:
+            if f.read().strip() != run_id:
+                return  # lease was taken over — no longer ours to release
+        os.remove(path)
+    except FileNotFoundError:
+        pass
 
 
 def _committed_doc_ids(spark, output: str, fmt: str) -> DataFrame | None:
@@ -198,18 +240,32 @@ def _committed_doc_ids(spark, output: str, fmt: str) -> DataFrame | None:
     return docs.where(F.col("run_id").isin(runs)).select("doc_id")
 
 
-def committed_view(spark, output: str, table: str = "spans_out", fmt: str = "parquet") -> DataFrame:
+def committed_view(
+    spark,
+    output: str,
+    table: str = "spans_out",
+    fmt: str = "parquet",
+    merge_schema: bool = False,
+) -> DataFrame:
     """Read an output table filtered to committed runs only — the reader-side
     half of exactly-once. Parquet fallback: torn appends from a crashed run
     carry a run_id with no commit marker and are dropped; re-processing after
     resume keeps exactly one committed copy per doc. Catalog (iceberg) mode:
     docs_out is written last, so a run_id present in docs_out means every
-    earlier table append for that run committed — semi-join on it."""
+    earlier table append for that run committed — semi-join on it.
+
+    ``merge_schema``: unions footers across run directories instead of
+    inferring from one footer — required wherever mixed per-run schemas are
+    load-bearing (compact reads: an evolved column like ``source_run_id`` or
+    ``metadata`` present in only some runs must not be silently dropped)."""
     if fmt == "iceberg":
         df = spark.read.table(f"{output}.{table}")
         runs = spark.read.table(f"{output}.docs_out").select("run_id").distinct()
         return df.join(F.broadcast(runs), "run_id", "left_semi")
-    df = spark.read.parquet(os.path.join(output, table))
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(os.path.join(output, table))
     return df.where(F.col("run_id").isin(committed_run_ids(output)))
 
 
@@ -241,10 +297,7 @@ def run(
         )
     finally:
         if lock is not None:
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
+            _release_lock(lock, run_id)
 
 
 def _run_locked(

@@ -34,6 +34,7 @@ from pyspark.sql import SparkSession, functions as F
 from pdfplucker_spark.job import (
     _acquire_lock,
     _mark_committed,
+    _release_lock,
     committed_run_ids,
     committed_view,
 )
@@ -74,12 +75,15 @@ def _vacuum_locked(output: str, tables) -> dict[str, list[str]]:
             if run_id not in committed:
                 shutil.rmtree(path, ignore_errors=True)
                 removed.setdefault(table, []).append(run_id)
-    # superseded markers are redundant once their data is gone
+    # superseded markers are redundant once their data is gone; dotfiles are
+    # tmp markers orphaned by a crash mid-_mark_committed — never honored by
+    # committed_run_ids, safe to reclaim under the lease (no writer can be
+    # mid-commit while we hold it)
     d = os.path.join(output, "_commits")
     live = committed | set()
     try:
         for n in os.listdir(d):
-            if n not in live and not n.startswith("."):
+            if n.startswith(".") or n not in live:
                 os.remove(os.path.join(d, n))
     except FileNotFoundError:
         pass
@@ -92,14 +96,12 @@ def vacuum(output: str, tables=None) -> dict[str, list[str]]:
     Takes the single-writer lease: an in-flight job's not-yet-committed run
     directories look torn, so vacuuming concurrently with a writer would
     destroy its output mid-run."""
-    lock = _acquire_lock(output, f"vacuum{uuid.uuid4().hex[:8]}")
+    op_id = f"vacuum{uuid.uuid4().hex[:8]}"
+    lock = _acquire_lock(output, op_id)
     try:
         return _vacuum_locked(output, tables)
     finally:
-        try:
-            os.remove(lock)
-        except FileNotFoundError:
-            pass
+        _release_lock(lock, op_id)
 
 
 def compact(
@@ -110,17 +112,34 @@ def compact(
 ) -> str:
     """Rewrite all committed runs of each table into ONE new run with
     right-sized files. Returns the new run_id. Original per-run attribution
-    is preserved in ``source_run_id``."""
+    is preserved in ``source_run_id``.
+
+    ``tables`` must cover EVERY discovered table (or be None): the marker's
+    ``supersedes:`` line retires the old runs globally, so a table left out
+    would have its committed rows orphaned and then vacuumed. A strict
+    subset is rejected rather than silently destroying data."""
     new_run = f"compact{uuid.uuid4().hex[:10]}"
-    tables = tables or discover_tables(output)
+    discovered = discover_tables(output)
+    if tables is not None and set(tables) < set(discovered):
+        missing = sorted(set(discovered) - set(tables))
+        raise ValueError(
+            f"compact(tables=...) omits committed tables {missing}: the "
+            "supersedes switch is global, so a partial compact would orphan "
+            "their data — pass tables=None to compact everything"
+        )
+    tables = tables or discovered
     lock = _acquire_lock(output, new_run)
     try:
         old_runs = committed_run_ids(output)
         if not old_runs:
             return new_run
-        # 1) write the consolidated data as a new (uncommitted) run
+        # 1) write the consolidated data as a new (uncommitted) run.
+        #    merge_schema: evolved columns present in only some runs
+        #    (source_run_id from a prior compact, metadata on docs_out)
+        #    must survive the rewrite, not depend on which footer Spark
+        #    happens to infer from.
         for table in tables:
-            df = committed_view(spark, output, table)
+            df = committed_view(spark, output, table, merge_schema=True)
             src = (
                 F.coalesce(F.col("source_run_id"), F.col("run_id"))
                 if "source_run_id" in df.columns
@@ -156,10 +175,7 @@ def compact(
                     shutil.rmtree(path, ignore_errors=True)
         return new_run
     finally:
-        try:
-            os.remove(lock)
-        except FileNotFoundError:
-            pass
+        _release_lock(lock, new_run)
 
 
 def main(argv=None) -> int:

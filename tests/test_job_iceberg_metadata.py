@@ -148,3 +148,17 @@ def test_writer_lease_blocks_concurrent_run(spark, t1_path, tmp_path):
     m = job.run(spark, t1_path, out, run_id="takeover", partitions=4)
     assert m["total_docs"] == 100
     assert not os.path.exists(old)
+
+
+def test_release_lock_checks_ownership(tmp_path):
+    """A run that outlived stale_sec and was taken over must NOT delete the
+    usurper's live lock on exit (that would admit a third writer)."""
+    out = str(tmp_path / "out_rel")
+    lock = job._acquire_lock(out, "runA")
+    # simulate takeover: the lease now names another run
+    with open(lock, "w") as f:
+        f.write("runB\n")
+    job._release_lock(lock, "runA")
+    assert os.path.exists(lock)  # not ours anymore — left alone
+    job._release_lock(lock, "runB")
+    assert not os.path.exists(lock)  # the real holder releases fine

@@ -94,6 +94,58 @@ def test_compact_covers_detail_tables(spark, t1_path, tmp_path):
         assert _fingerprint(spark, out, t) == fp, t
 
 
+def test_orphaned_tmp_marker_is_inert_and_vacuumed(spark, t1_path, tmp_path):
+    """A crash between _mark_committed's tmp write and os.replace leaves
+    ``.{run}.tmp`` in _commits/. Its supersedes line must NOT retire the old
+    runs (the new run never committed — honoring it would leave readers with
+    neither old nor new data), and vacuum must reclaim the tmp without
+    touching the still-committed old run."""
+    out = str(tmp_path / "out")
+    job.run(spark, t1_path, out, run_id="r1", partitions=4, limit=40)
+    before = _fingerprint(spark, out)
+    # crash-window state: compaction's marker write died pre-replace
+    with open(os.path.join(out, "_commits", ".compactdead.tmp"), "w") as f:
+        f.write("ok\nseq: 999\nsupersedes: r1\n")
+
+    assert job.committed_run_ids(out) == ["r1"]  # tmp is not a marker
+    assert _fingerprint(spark, out) == before
+
+    vacuum(out)
+    assert not os.path.exists(os.path.join(out, "_commits", ".compactdead.tmp"))
+    assert set(_run_dirs(out, "spans_out")) == {"r1"}  # data survived
+    assert _fingerprint(spark, out) == before
+
+
+def test_compact_rejects_table_subset(spark, t1_path, tmp_path):
+    """The supersedes switch is global: compacting a strict subset of the
+    discovered tables would orphan the omitted tables' committed rows."""
+    out = str(tmp_path / "out")
+    job.run(spark, t1_path, out, run_id="r1", partitions=4, limit=30)
+    with pytest.raises(ValueError, match="omits committed tables"):
+        compact(spark, out, tables=("spans_out",))
+    # full explicit list is equivalent to None
+    from pdfplucker_spark.maintenance import discover_tables
+
+    compact(spark, out, tables=discover_tables(out))
+
+
+def test_compact_merges_mixed_run_schemas(spark, t1_path, tmp_path):
+    """After a compact (which adds source_run_id) a NEW job run appends
+    rows WITHOUT that column; the next compact must read with mergeSchema
+    so provenance survives regardless of which footer Spark would have
+    inferred the schema from."""
+    out = str(tmp_path / "out")
+    job.run(spark, t1_path, out, run_id="first", partitions=4, limit=50)
+    compact(spark, out)
+    job.run(spark, t1_path, out, run_id="second", partitions=4, resume=True)
+    compact(spark, out)
+    lin = job.committed_view(spark, out, "lineage")
+    assert {r.source_run_id for r in lin.select("source_run_id").collect()} == {
+        "first",
+        "second",
+    }
+
+
 def test_vacuum_removes_only_torn_runs_and_takes_lease(spark, t1_path, tmp_path):
     out = str(tmp_path / "out")
     job.run(spark, t1_path, out, run_id="good", partitions=4, limit=50)
