@@ -52,9 +52,7 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def q_dedup_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-exact: same multiset-insensitive token SET (sorted distinct)."""
-    d = load(spark, sf_dir, "documents")
+def _bag_groups(d: DataFrame) -> DataFrame:
     key = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))))
     return d.groupBy(key.alias("bag_hash")).agg(
         F.min("doc_id").alias("canonical_doc_id"),
@@ -62,13 +60,61 @@ def q_dedup_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_BAG = """
-SELECT md5(coalesce(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '), '')) AS bag_hash,
+def q_dedup_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact: same multiset-insensitive token SET (sorted distinct)."""
+    return _bag_groups(load(spark, sf_dir, "documents"))
+
+
+def _sql_bag(table: str = "documents", prelude: str = "") -> str:
+    return f"""
+{prelude}SELECT md5(coalesce(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '), '')) AS bag_hash,
        -- coalesce: Spark's concat_ws maps a NULL token array to '' — match it
        MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs
-FROM documents
+FROM {table}
 GROUP BY 1
 """
+
+
+SQL_DEDUP_BAG = _sql_bag()
+
+
+# ---------------------------------------------------------------------------
+# null-text corpus tier: the same operators over a corpus that CONTAINS
+# null-text documents, so the null-propagation choices in the keys
+# (F.concat vs DuckDB ||, concat_ws('')-vs-coalesce) are exercised by the
+# oracle gate where they matter — not just claimed in comments. The view is
+# derived deterministically and identically in both engines: every 97th doc
+# reappears (doc_id + 10^7) with NULL text.
+# ---------------------------------------------------------------------------
+def docs_with_nulls(d: DataFrame) -> DataFrame:
+    nulls = d.where(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        "lang",
+        "source",
+        F.lit(0).cast("long").alias("n_chars"),
+    )
+    return d.unionByName(nulls)
+
+
+SQL_DOCS_WITH_NULLS_CTE = """documents_nulls AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, CAST(NULL AS VARCHAR), lang, source, CAST(0 AS BIGINT)
+  FROM documents WHERE doc_id % 97 = 0
+)"""
+
+
+def q_dedup_bag_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag dedup over the null-bearing corpus: all null-text docs collapse
+    into the md5('') group in BOTH engines (Spark concat_ws maps a NULL
+    token array to ''; the oracle coalesces to match)."""
+    return _bag_groups(docs_with_nulls(load(spark, sf_dir, "documents")))
+
+
+SQL_DEDUP_BAG_NULLS = _sql_bag(
+    "documents_nulls", f"WITH {SQL_DOCS_WITH_NULLS_CTE}\n"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -117,7 +163,10 @@ def q_dedup_minhash_pairs(
     over ``bucket_cap`` occupancy are dropped-and-logged before the
     self-join (plans/guards.py) — a degenerate corpus cannot make the
     within-bucket join quadratic."""
-    d = load(spark, sf_dir, "documents")
+    return _minhash_pairs(load(spark, sf_dir, "documents"), bucket_cap)
+
+
+def _minhash_pairs(d: DataFrame, bucket_cap: int | None) -> DataFrame:
     # persist: the signature table feeds BOTH sides of the banded self-join;
     # without it the minhash scan of the corpus runs twice. Per-doc sigs are
     # 8 longs — ~80 GB at 1e9 docs, spillable (MEMORY_AND_DISK default).
@@ -153,11 +202,9 @@ def q_dedup_minhash_pairs(
         .distinct()
     )
     # persisted: referenced by BOTH aliases of the verification join
-    toks = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
-        .persist()
-    )
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    ).persist()
     verified = (
         cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
         .join(toks.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
@@ -175,11 +222,12 @@ def q_dedup_minhash_pairs(
     return verified
 
 
-SQL_DEDUP_MINHASH_PAIRS = f"""
-WITH sigs AS (
+def _sql_minhash_pairs(table: str = "documents", prelude: str = "") -> str:
+    return f"""
+WITH {prelude}sigs AS (
   SELECT doc_id,
   {_sql_sigs()}
-  FROM documents
+  FROM {table}
 ),
 bands AS (
   {" UNION ALL ".join(
@@ -192,7 +240,7 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ),
-toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)
+toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM {table})
 SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
   SELECT doc_a, doc_b,
          CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
@@ -200,6 +248,26 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
   FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b
 ) WHERE jac >= {JACCARD_THRESHOLD}
 """
+
+
+SQL_DEDUP_MINHASH_PAIRS = _sql_minhash_pairs()
+
+
+def q_dedup_minhash_pairs_nulls(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """The LSH pair pipeline over the null-bearing corpus: null-text docs
+    get NULL signatures, and the band key uses null-PROPAGATING concat
+    (F.concat, matching the oracle's ||) so they never join — engine and
+    oracle must agree that null-text docs produce no candidate pairs."""
+    return _minhash_pairs(
+        docs_with_nulls(load(spark, sf_dir, "documents")), bucket_cap
+    )
+
+
+SQL_DEDUP_MINHASH_PAIRS_NULLS = _sql_minhash_pairs(
+    "documents_nulls", f"{SQL_DOCS_WITH_NULLS_CTE},\n"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -340,6 +408,11 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_bag": (q_dedup_bag, SQL_DEDUP_BAG),
+    "dedup_bag_nulls": (q_dedup_bag_nulls, SQL_DEDUP_BAG_NULLS),
+    "dedup_minhash_pairs_nulls": (
+        q_dedup_minhash_pairs_nulls,
+        SQL_DEDUP_MINHASH_PAIRS_NULLS,
+    ),
     "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),

@@ -1,0 +1,114 @@
+"""Sketch-tier aggregations: the 100 TB path for distinct counts and
+quantiles.
+
+Exact ``countDistinct`` keeps every distinct key in the aggregation state;
+exact ``percentile`` buffers every value per group. At 10^8+ distinct keys
+per group that state is unaffordable — the honest alternative is a bounded
+sketch: HyperLogLog++ (``approx_count_distinct``, fixed kilobytes of state
+per group, mergeable map-side) and the Greenwald-Khanna-style quantile
+summary (``percentile_approx``, state bounded by the accuracy knob, not by
+n). Both are deterministic given the data — the error is approximation
+error, not randomness.
+
+Oracle strategy (documented limitation): DuckDB cannot reproduce Spark's
+sketch values bit-for-bit (different HLL/quantile implementations), so the
+registered queries return the EXACT aggregate plus a boolean asserting the
+sketch landed within its documented error bound; the oracle computes the
+exact aggregate and a literal TRUE. The hash gate therefore verifies (a)
+the exact value and (b) that the sketch honored its bound on this corpus —
+while the sketch itself runs in the engine under test. Direct relative-error
+bounds are additionally pytest-asserted (tests/test_sketches.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pdfplucker_spark.sources.tables import load
+
+# HLL++ relative standard deviation knob; the acceptance bound is 2.5 sigma.
+HLL_RSD = 0.02
+HLL_BOUND = 0.05
+# percentile_approx accuracy: rank error <= n / ACCURACY. Values accepted
+# within 2% relative of the exact percentile.
+PCT_ACCURACY = 10_000
+PCT_BOUND = 0.02
+QUANTILES = (0.25, 0.5, 0.75)
+
+
+def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type, sketch-tier: HyperLogLog++ alongside
+    the exact count, returning the exact value + the sketch's bound check.
+    At 100 TB the exact leg is dropped and only the O(kB)-state sketch
+    runs; here the exact leg IS the oracle comparison."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("n_users_approx"),
+    )
+    rel_err = F.abs(F.col("n_users_approx") - F.col("n_users_exact")) / F.col(
+        "n_users_exact"
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (rel_err <= HLL_BOUND).alias("approx_within_bound"),
+    )
+
+
+SQL_EVENTS_APPROX_DISTINCT = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS approx_within_bound
+FROM events GROUP BY event_type
+"""
+
+
+def q_lineitem_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped price quantiles, sketch-tier: percentile_approx (bounded
+    state) alongside the exact interpolated percentile; returns the exact
+    values + one flag asserting every approximate quantile landed within
+    PCT_BOUND relative error."""
+    li = load(spark, sf_dir, "lineitem")
+    qs = ", ".join(str(q) for q in QUANTILES)
+    exact = F.expr(f"percentile(cast(l_extendedprice as double), array({qs}))")
+    approx = F.expr(
+        f"percentile_approx(cast(l_extendedprice as double), array({qs}), {PCT_ACCURACY})"
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        exact.alias("ex"),
+        approx.alias("ap"),
+    )
+    ok = F.expr(
+        f"forall(zip_with(ap, ex, (a, e) -> abs(a - e) <= {PCT_BOUND} * abs(e)), x -> x)"
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        *[
+            F.round(F.element_at(F.col("ex"), i + 1), 6).alias(f"p{int(q * 100)}")
+            for i, q in enumerate(QUANTILES)
+        ],
+        ok.alias("approx_within_bound"),
+    )
+
+
+SQL_LINEITEM_APPROX_QUANTILES = f"""
+SELECT l_returnflag, COUNT(*) AS n,
+       {", ".join(
+           f"round(quantile_cont(CAST(l_extendedprice AS DOUBLE), {q}), 6) AS p{int(q * 100)}"
+           for q in QUANTILES
+       )},
+       TRUE AS approx_within_bound
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES = {
+    "events_approx_distinct": (q_events_approx_distinct, SQL_EVENTS_APPROX_DISTINCT),
+    "lineitem_approx_quantiles": (
+        q_lineitem_approx_quantiles,
+        SQL_LINEITEM_APPROX_QUANTILES,
+    ),
+}

@@ -13,6 +13,7 @@ _OPERATOR_MODULES = (
     "similarity",
     "multimodal",
     "pipeline",
+    "sketches",
 )
 
 
