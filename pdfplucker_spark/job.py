@@ -109,16 +109,32 @@ def commit_seqs(output: str) -> dict[str, int]:
     return out
 
 
-def latest_view(spark, output: str, table: str = "spans_out") -> DataFrame:
+def latest_view(
+    spark, output: str, table: str = "spans_out", fmt: str = "parquet"
+) -> DataFrame:
     """Doc-level reprocessing read: when changed upstream docs are re-run
     WITHOUT --resume, multiple committed runs legitimately carry the same
     doc_id; this view keeps each doc's NEWEST committed copy (commit seq,
     run_id as tie-break). The winner set is decided on the compact docs_out
     table (one row per doc per run), then semi-joined onto the requested
-    table — the big span payloads never flow through the ranking window."""
+    table — the big span payloads never flow through the ranking window.
+
+    Commit order source: the parquet marker's ``seq`` line, or in catalog
+    (iceberg) mode the ``commits`` table the job appends after docs_out
+    (a run missing there — crash in the window — coalesces to seq 0,
+    exactly like a legacy marker)."""
     from pyspark.sql import Window
 
-    seqs = commit_seqs(output)
+    if fmt == "iceberg":
+        try:
+            seqs = {
+                r["run_id"]: r["seq"]
+                for r in spark.read.table(f"{output}.commits").collect()
+            }
+        except Exception:
+            seqs = {}
+    else:
+        seqs = commit_seqs(output)
     seq_col = F.coalesce(
         *[
             F.when(F.col("run_id") == rid, F.lit(s))
@@ -126,7 +142,9 @@ def latest_view(spark, output: str, table: str = "spans_out") -> DataFrame:
         ],
         F.lit(0),
     ) if seqs else F.lit(0)
-    docs = committed_view(spark, output, "docs_out").select("doc_id", "run_id")
+    docs = committed_view(spark, output, "docs_out", fmt=fmt).select(
+        "doc_id", "run_id"
+    )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("commit_seq"), F.desc("run_id")
     )
@@ -138,7 +156,7 @@ def latest_view(spark, output: str, table: str = "spans_out") -> DataFrame:
     )
     # no broadcast hint: winners is doc-cardinality (huge at 100 TB) — AQE
     # picks broadcast only when the doc count actually fits
-    tbl = committed_view(spark, output, table)
+    tbl = committed_view(spark, output, table, fmt=fmt)
     return tbl.join(winners, ["doc_id", "run_id"], "left_semi")
 
 
@@ -443,6 +461,17 @@ def _run_locked(
     extracted.unpersist()
     if fmt != "iceberg":
         _mark_committed(output, run_id)  # the run's atomic commit point
+    else:
+        # catalog analogue of the marker's seq: one ordering row per run,
+        # appended AFTER docs_out. Committedness still keys on docs_out;
+        # a crash in this window leaves the run committed with seq 0
+        # (latest_view coalesces), same as a legacy parquet marker.
+        _write(
+            spark.createDataFrame(
+                [(run_id, time.time_ns())], "run_id string, seq long"
+            ),
+            "commits",
+        )
     try:
         row["observed"] = obs.get  # in-flight metrics from the write action
     except Exception:

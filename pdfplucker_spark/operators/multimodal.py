@@ -348,6 +348,10 @@ def _media_params(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
             (hx(17, 8) % 3 + 1).cast("int"),
         ).alias("rate"),
+        # video params: C420 needs even dims; 2-9 frames
+        (4 + 2 * (hx(1, 8) % 8)).cast("int").alias("vw"),
+        (4 + 2 * (hx(9, 8) % 8)).cast("int").alias("vh"),
+        (2 + hx(25, 8) % 8).cast("int").alias("nf"),
     )
 
 
@@ -495,9 +499,189 @@ SELECT doc_id, media_ref, rate AS sample_rate, n AS n_samples,
 FROM m"""
 
 
+# ---------------------------------------------------------------------------
+# REAL video codec: YUV4MPEG2 (Y4M) — the uncompressed video container,
+# numpy-parseable like PPM/WAV. The stage ENCODES a genuine multi-frame Y4M
+# stream (header tokens, FRAME markers, planar C420 Y/U/V payloads) and
+# genuinely PARSES it back with offset arithmetic the oracle would expose:
+# a mis-sized chroma plane shifts every later frame's luma sum. One row per
+# decoded frame (the real 1→N expansion media_frames stubs); corrupt blobs
+# (~4% injected) become error ROWS, never task failures.
+# ---------------------------------------------------------------------------
+VIDEO_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("sum_y", T.LongType(), True),
+        T.StructField("sum_uv", T.LongType(), True),
+    ]
+)
+
+_ARROW_VID = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("status", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("frame_idx", pa.int32()),
+        pa.field("sum_y", pa.int64()),
+        pa.field("sum_uv", pa.int64()),
+    ]
+)
+
+
+def _encode_y4m(w: int, h: int, nf: int, s: int) -> bytes:
+    """A real YUV4MPEG2 stream: ASCII stream header, then per frame a
+    FRAME marker + packed planar C420 Y/U/V bytes."""
+    import numpy as np
+
+    header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+    x = np.arange(w)
+    y = np.arange(h)[:, None]
+    xu = np.arange(w // 2)
+    yu = np.arange(h // 2)[:, None]
+    parts = [header]
+    for f in range(nf):
+        yp = ((x + y + 7 * f + s) % 256).astype(np.uint8)
+        up = ((xu + 2 * yu + 11 * f + s + 1) % 256).astype(np.uint8)
+        vp = ((xu + 3 * yu + 13 * f + s + 2) % 256).astype(np.uint8)
+        parts.append(b"FRAME\n" + yp.tobytes() + up.tobytes() + vp.tobytes())
+    return b"".join(parts)
+
+
+def _decode_y4m(blob: bytes):
+    """A real Y4M parser: stream-header token scan, per-frame marker check,
+    plane-offset arithmetic over the packed C420 payload."""
+    import numpy as np
+
+    nl = blob.index(b"\n")
+    toks = blob[:nl].decode("ascii", errors="strict").split(" ")
+    if toks[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    chroma = "420jpeg"
+    for t in toks[1:]:
+        if t[:1] == "W":
+            w = int(t[1:])
+        elif t[:1] == "H":
+            h = int(t[1:])
+        elif t[:1] == "C":
+            chroma = t[1:]
+    if not w or not h:
+        raise ValueError("missing stream dimensions")
+    if not chroma.startswith("420"):
+        raise ValueError(f"unsupported chroma subsampling {chroma!r}")
+    ysz = w * h
+    fsz = ysz + 2 * ((w // 2) * (h // 2))
+    pos = nl + 1
+    frames = []
+    while pos < len(blob):
+        if blob[pos : pos + 6] != b"FRAME\n":
+            raise ValueError("bad FRAME marker")
+        pos += 6
+        if pos + fsz > len(blob):
+            raise ValueError("truncated frame payload")
+        buf = np.frombuffer(blob[pos : pos + fsz], dtype=np.uint8).astype(np.int64)
+        frames.append((int(buf[:ysz].sum()), int(buf[ysz:].sum())))
+        pos += fsz
+    if not frames:
+        raise ValueError("no frames")
+    return w, h, frames
+
+
+def _vid_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        doc = batch.column(batch.schema.get_field_index("doc_id")).to_pylist()
+        ref = batch.column(batch.schema.get_field_index("media_ref")).to_pylist()
+        wcol = batch.column(batch.schema.get_field_index("vw")).to_pylist()
+        hcol = batch.column(batch.schema.get_field_index("vh")).to_pylist()
+        nfcol = batch.column(batch.schema.get_field_index("nf")).to_pylist()
+        scol = batch.column(batch.schema.get_field_index("s")).to_pylist()
+        out = {k: [] for k in ("doc", "ref", "st", "w", "h", "fi", "sy", "suv")}
+        for d, r, w, h, nf, s in zip(doc, ref, wcol, hcol, nfcol, scol):
+            blob = _encode_y4m(w, h, nf, s)  # real bytes...
+            if s % 23 == 0:  # deterministic corruption injection (~4%)
+                blob = blob[: len(blob) // 2][::-1]
+            try:
+                dw, dh, frames = _decode_y4m(blob)  # ...really parsed back
+                for fi, (sy, suv) in enumerate(frames):
+                    for k, v in zip(out, (d, r, "ok", dw, dh, fi, sy, suv)):
+                        out[k].append(v)
+            except Exception:
+                # a bad blob is a data row, never a task failure
+                for k, v in zip(out, (d, r, "error", None, None, None, None, None)):
+                    out[k].append(v)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out["doc"], pa.string()),
+                pa.array(out["ref"], pa.string()),
+                pa.array(out["st"], pa.string()),
+                pa.array(out["w"], pa.int32()),
+                pa.array(out["h"], pa.int32()),
+                pa.array(out["fi"], pa.int32()),
+                pa.array(out["sy"], pa.int64()),
+                pa.array(out["suv"], pa.int64()),
+            ],
+            schema=_ARROW_VID,
+        )
+
+
+def q_media_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video decode: encode a multi-frame Y4M per item, parse the
+    container back, emit one row per frame with luma/chroma sums."""
+    return _media_params(spark, sf_dir).mapInArrow(_vid_batches, VIDEO_DECODE_SCHEMA)
+
+
+def _sql_frame_sum_y() -> str:
+    return (
+        "list_reduce([CAST(0 AS BIGINT)] || flatten(list_transform(range(h), "
+        "y -> list_transform(range(w), x -> (x + y + 7 * frame_idx + s) % 256))), "
+        "(a, b) -> a + b)"
+    )
+
+
+def _sql_frame_sum_uv() -> str:
+    return (
+        "list_reduce([CAST(0 AS BIGINT)] || flatten(list_transform(range(h // 2), "
+        "y -> list_transform(range(w // 2), "
+        "x -> (x + 2 * y + 11 * frame_idx + s + 1) % 256 "
+        "+ (x + 3 * y + 13 * frame_idx + s + 2) % 256))), "
+        "(a, b) -> a + b)"
+    )
+
+
+SQL_MEDIA_DECODE_VIDEO = f"""WITH {DERIVED_SPANS_CTE},
+m AS (
+  SELECT doc_id, media_ref,
+         CAST(4 + 2 * ({_sql_hx(1, 8)} % 8) AS INT) AS w,
+         CAST(4 + 2 * ({_sql_hx(9, 8)} % 8) AS INT) AS h,
+         CAST({_sql_hx(17, 8)} % 256 AS INT) AS s,
+         CAST(2 + {_sql_hx(25, 8)} % 8 AS INT) AS nf
+  FROM spans WHERE kind = 'picture'
+),
+frames AS (
+  SELECT doc_id, media_ref, w, h, s,
+         CAST(UNNEST(range(nf)) AS INT) AS frame_idx
+  FROM m WHERE s % 23 <> 0
+)
+SELECT doc_id, media_ref, 'ok' AS status, w AS width, h AS height, frame_idx,
+       {_sql_frame_sum_y()} AS sum_y,
+       {_sql_frame_sum_uv()} AS sum_uv
+FROM frames
+UNION ALL
+SELECT doc_id, media_ref, 'error', NULL, NULL, NULL, NULL, NULL
+FROM m WHERE s % 23 = 0"""
+
+
 QUERIES = {
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
     "media_decode_image": (q_media_decode_image, SQL_MEDIA_DECODE_IMAGE),
     "media_decode_audio": (q_media_decode_audio, SQL_MEDIA_DECODE_AUDIO),
+    "media_decode_video": (q_media_decode_video, SQL_MEDIA_DECODE_VIDEO),
 }

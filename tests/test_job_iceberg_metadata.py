@@ -63,6 +63,39 @@ def test_iceberg_branch_end_to_end_with_resume(spark, t1_path, catalog_ns):
     assert spark.read.table(f"{ns}.spans_out").count() == 100
 
 
+def test_latest_view_iceberg_mode(spark, t1_path, catalog_ns):
+    """Doc-level reprocessing under the catalog branch: a re-run WITHOUT
+    resume duplicates doc_ids across runs; latest_view (ordered by the
+    commits table the job appends after docs_out) must keep exactly the
+    newest committed copy of each doc."""
+    ns = catalog_ns
+    spark.read.parquet(t1_path).write.saveAsTable(f"{ns}.docs_in")
+    job.run(spark, f"{ns}.docs_in", ns, run_id="a1", partitions=4, fmt="iceberg")
+    job.run(
+        spark, f"{ns}.docs_in", ns, run_id="a2", partitions=4, fmt="iceberg", limit=30
+    )
+
+    assert spark.read.table(f"{ns}.commits").count() == 2
+    lv = job.latest_view(spark, ns, "docs_out", fmt="iceberg")
+    win = {r.doc_id: r.run_id for r in lv.select("doc_id", "run_id").collect()}
+    assert len(win) == 100  # one winner per doc
+    redone = {
+        r.doc_id
+        for r in spark.read.table(f"{ns}.docs_out")
+        .where("run_id = 'a2'")
+        .select("doc_id")
+        .collect()
+    }
+    assert len(redone) == 30
+    assert all(win[d] == "a2" for d in redone)  # re-runs win
+    assert sum(1 for v in win.values() if v == "a2") == 30
+
+    # the big payload table follows the same winner set
+    sv = job.latest_view(spark, ns, "spans_out", fmt="iceberg")
+    assert sv.select("doc_id").distinct().count() == 100
+    assert sv.count() == 100  # no duplicated spans rows
+
+
 def test_metadata_struct_passes_through_docs_out(spark, t1_path, tmp_path):
     """S3 analogue (processor.py:268-282): a caller-supplied 6-field
     metadata struct rides through to docs_out; inputs without one still get

@@ -6,8 +6,10 @@ import pytest
 from pdfplucker_spark.operators.multimodal import (
     _decode_ppm,
     _decode_wav,
+    _decode_y4m,
     _encode_ppm,
     _encode_wav,
+    _encode_y4m,
 )
 
 
@@ -40,3 +42,32 @@ def test_corrupt_inputs_raise():
     # truncated-but-valid-magic WAV: chunk layout check catches it
     with pytest.raises((ValueError, Exception)):
         _decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")
+
+
+def test_y4m_roundtrip_exact():
+    w, h, nf, s = 6, 4, 3, 9
+    blob = _encode_y4m(w, h, nf, s)
+    assert blob.startswith(b"YUV4MPEG2 W6 H4 F25:1 Ip A1:1 C420jpeg\n")
+    dw, dh, frames = _decode_y4m(blob)
+    assert (dw, dh) == (w, h)
+    assert len(frames) == nf
+    for f, (sy, suv) in enumerate(frames):
+        exp_y = sum((x + y + 7 * f + s) % 256 for x in range(w) for y in range(h))
+        exp_uv = sum(
+            (x + 2 * y + 11 * f + s + 1) % 256 + (x + 3 * y + 13 * f + s + 2) % 256
+            for x in range(w // 2)
+            for y in range(h // 2)
+        )
+        assert (sy, suv) == (exp_y, exp_uv), f
+
+
+def test_y4m_corrupt_inputs_raise():
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        _decode_y4m(b"RIFF....\nFRAME\n")
+    good = _encode_y4m(4, 4, 2, 1)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_y4m(good[:-5])  # last frame payload cut short
+    with pytest.raises(ValueError, match="FRAME"):
+        _decode_y4m(good.replace(b"FRAME", b"FRAMX", 1))
+    with pytest.raises(ValueError, match="chroma"):
+        _decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + b"\x00" * 48)
