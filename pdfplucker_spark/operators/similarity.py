@@ -310,9 +310,164 @@ LIMIT {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the OTHER scale path beside sign-LSH.
+#
+# Coarse centroids partition the corpus into K inverted lists; a query
+# probes only the nprobe nearest lists. Spark-first shape:
+#   - assignment is MAP-ONLY: the K centroids are aggregated into one
+#     broadcast array row and each vector picks its argmax-score centroid
+#     with a higher-order fold — no shuffle, no window, at any N.
+#   - the probe is a broadcast semi-join of the nprobe centroid ids onto
+#     the assignment table, pruning the scored set from N to ~N*nprobe/K.
+# Centroids here are K deterministic corpus vectors (vec_id 1..K) so both
+# engines agree bit-for-bit; production swaps in k-means means without
+# touching the plumbing. Scores are scaled dots (dot / |centroid|): the
+# |vector| factor is constant per row, so the argmax is the cosine argmax,
+# and sequential double folds match DuckDB bit-for-bit. The ORACLE uses an
+# independent formulation (cross join + ROW_NUMBER) — same result, different
+# algorithm, stronger check.
+# ---------------------------------------------------------------------------
+IVF_K = 8
+IVF_NPROBE = 2
+
+_IVF_SCORES = (
+    "transform(cents, x -> named_struct("
+    "'s', aggregate(zip_with(cast(embedding as array<double>), x.cv, (a,b) -> a*b), 0D, (p,q) -> p+q)"
+    " / sqrt(aggregate(x.cv, 0D, (a,v) -> a + v*v)),"
+    " 'c', x.cid))"
+)
+# fold keeps the FIRST max: cents is sorted by cid, so ties break to the
+# smallest centroid id (the oracle orders s DESC, cid ASC)
+_IVF_BEST = (
+    f"aggregate({_IVF_SCORES}, named_struct('s', CAST(-1.0E308 AS DOUBLE), 'c', -1), "
+    "(acc, x) -> IF(x.s > acc.s, x, acc)).c"
+)
+
+
+def _ivf_centroids(emb):
+    return emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K)).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+
+
+def _ivf_assigned(emb):
+    """(vec_id, cid) — the inverted lists, via map-only broadcast argmax."""
+    cents = _ivf_centroids(emb).agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+    )
+    return emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", F.expr(_IVF_BEST).alias("cid")
+    )
+
+
+_SQL_IVF_ASSIGNED = f"""
+c AS (
+  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id BETWEEN 1 AND {IVF_K}
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+           / sqrt(list_dot_product(c.cv, c.cv)) AS s
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)"""
+
+
+def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list occupancy per centroid — the IVF skew diagnostic (a
+    centroid owning most of the corpus means the probe prunes nothing)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return _ivf_assigned(emb).groupBy("cid").agg(
+        F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+SQL_SIM_IVF_ASSIGN = f"""
+WITH {_SQL_IVF_ASSIGNED}
+SELECT cid, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+FROM assigned GROUP BY cid
+"""
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF query path: probe the {IVF_NPROBE} centroids nearest the query,
+    score only their inverted lists exactly, return the top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    cdot = "aggregate(zip_with(cv, qv, (a,b) -> a*b), 0D, (p,q) -> p+q)"
+    cnrm = "sqrt(aggregate(cv, 0D, (a,v) -> a + v*v))"
+    probe = (
+        _ivf_centroids(emb)
+        .crossJoin(F.broadcast(qv))
+        .select("cid", F.expr(f"{cdot} / {cnrm}").alias("s"))
+        .orderBy(F.desc("s"), F.asc("cid"))
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    cand = (
+        _ivf_assigned(emb)
+        .join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+    )
+    dot = "aggregate(zip_with(cast(embedding as array<double>), qv, (x,y) -> x*y), 0D, (a,b) -> a+b)"
+    n1 = "sqrt(aggregate(cast(embedding as array<double>), 0D, (a,x) -> a+x*x))"
+    n2 = "sqrt(aggregate(qv, 0D, (a,x) -> a+x*x))"
+    return (
+        load(spark, sf_dir, "embeddings")
+        .join(cand, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", F.expr(f"{dot} / ({n1} * {n2})").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("cos", 8).alias("cosine"))
+    )
+
+
+SQL_SIM_IVF_TOPK = f"""
+WITH {_SQL_IVF_ASSIGNED},
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid,
+           ROW_NUMBER() OVER (
+             ORDER BY list_dot_product(cv, (SELECT qv FROM q))
+                        / sqrt(list_dot_product(cv, cv)) DESC, cid ASC) AS rn
+    FROM c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT vec_id FROM assigned JOIN probe USING (cid)
+  WHERE vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, round(cos, 8) AS cosine FROM (
+  SELECT e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) AS cos
+  FROM embeddings e JOIN cand USING (vec_id)
+)
+ORDER BY cos DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
     "sim_cosine_dup_pairs": (q_sim_cosine_dup_pairs, SQL_SIM_COSINE_DUP_PAIRS),
     "sim_ann_topk": (q_sim_ann_topk, SQL_SIM_ANN_TOPK),
+    "sim_ivf_assign": (q_sim_ivf_assign, SQL_SIM_IVF_ASSIGN),
+    "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
 }

@@ -178,6 +178,71 @@ def stream_user_running_totals(
     )
 
 
+def stream_click_purchase_join(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Watermarked stream-stream INNER interval join — attribute each
+    purchase to the same user's clicks at most ``horizon`` before it.
+
+    The infinite-stream requirement: BOTH sides carry watermarks and the
+    join predicate is time-bounded, so Spark can expire buffered rows —
+    per-side state is bounded by (watermark + horizon) of event-time, never
+    by stream length. An unbounded-condition stream-stream join buffers
+    forever: the 100 TB failure mode this shape exists to avoid."""
+    from pyspark.sql import functions as F
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+    def _side(kind: str, prefix: str):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(input_dir)
+        )
+        return (
+            s.where(F.col("event_type") == kind)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", watermark)
+        )
+
+    clicks = _side("click", "click")
+    purchases = _side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "click_user = purchase_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
+        ),
+        "inner",
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_sessionize(
     spark: SparkSession,
     input_dir: str,

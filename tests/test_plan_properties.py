@@ -78,6 +78,18 @@ def test_lsh_keys_persisted_for_self_join(spark):
         assert "InMemoryTableScan" in plan, plan[:3000]
 
 
+def test_ivf_assignment_is_map_only(spark):
+    from pdfplucker_spark.operators.similarity import _ivf_assigned
+    from pdfplucker_spark.sources.tables import load
+
+    plan = _plan(_ivf_assigned(load(spark, SF, "embeddings")))
+    # the N-row side must never shuffle: centroids broadcast as ONE array
+    # row, argmax is a per-row fold — the scale property of IVF assignment
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
+
+
 def test_asof_single_user_shuffle(spark):
     from pdfplucker_spark.operators.pipeline import q_events_asof_purchase
 

@@ -182,6 +182,49 @@ def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
         assert final[u][1] == _pytest.approx(tv, rel=1e-9), u
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join over a drained file stream
+    equals the identical batch join — every (click, purchase-within-1h)
+    pair, exactly once."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.streaming.stream import stream_click_purchase_join
+
+    in_dir = str(tmp_path / "ev")
+    os.makedirs(in_dir)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", in_dir + "/events.parquet")
+
+    q = stream_click_purchase_join(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got, "stream join produced no pairs"
+
+    ev = spark.read.parquet(in_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    c = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    batch = c.join(
+        p,
+        F.expr("cu = pu AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR"),
+    ).select("cid", "pid")
+    exp = {(r.cid, r.pid) for r in batch.collect()}
+    assert got == exp
+    # exactly-once: no pair emitted twice
+    n = spark.read.parquet(str(tmp_path / "out")).count()
+    assert n == len(got)
+
+
 def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     """Stateful session_window streaming sessionization equals the batch
     gap-sessionize (relational.py q_events_sessionize boundary rule) on the
