@@ -372,6 +372,67 @@ FROM lab
 
 
 # ---------------------------------------------------------------------------
+# deterministic token-budget shard packing
+# ---------------------------------------------------------------------------
+PACK_STREAMS = 16
+PACK_BUDGET = 256  # tokens per shard
+
+
+def q_docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into token-budget training shards. Packing is
+    inherently sequential, so the scale shape is S independent pack
+    STREAMS: each doc hashes to a stream (uniform md5 key — the window
+    shuffle key is never hot), and within a stream a running token cumsum
+    assigns it to shard floor(start_offset / budget). Docs may straddle a
+    budget boundary (streaming-style packing: a shard owns every doc that
+    STARTS inside it) — the same contract as sequence-packing data loaders.
+    Deterministic: same corpus → same shards, any partitioning, any order.
+    At 100 TB raise PACK_STREAMS to O(cores); per-stream state is one
+    cumsum window, and shard ids stay globally unique via (stream, seq)."""
+    d = load(spark, sf_dir, "documents")
+    stream = (
+        md5_long(F.concat(F.lit("pk:"), F.col("doc_id").cast("string")))
+        % PACK_STREAMS
+    ).cast("int")
+    base = d.select(
+        "doc_id",
+        stream.alias("stream_id"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("stream_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    return base.select("doc_id", "stream_id", "n_tokens", start).select(
+        "doc_id",
+        "stream_id",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / PACK_BUDGET).cast("int").alias("shard_seq"),
+    )
+
+
+SQL_DOCS_PACK_SHARDS = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST({sql_md5_long("'pk:' || CAST(doc_id AS VARCHAR)")} % {PACK_STREAMS} AS INT) AS stream_id,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, stream_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tokens) OVER (PARTITION BY stream_id ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((SUM(n_tokens) OVER (PARTITION BY stream_id ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / {PACK_BUDGET}) AS INT) AS shard_seq
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
 # the composite cleaning pipeline (what a training-data team actually runs)
 # ---------------------------------------------------------------------------
 QUALITY_MIN = 0.34  # ~median of the synthetic corpus — keeps a real subset
@@ -463,4 +524,5 @@ QUERIES = {
     "docs_sample": (q_docs_sample, SQL_DOCS_SAMPLE),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
+    "docs_pack_shards": (q_docs_pack_shards, SQL_DOCS_PACK_SHARDS),
 }

@@ -185,8 +185,65 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scan + redaction. The synthetic corpus carries no PII, so the scan
+# runs over a derived view that INJECTS deterministic emails/phones into
+# every 13th doc identically in both engines — the detectors and the
+# redaction md5 are verified on text where they actually fire (and on text
+# where they must not). Patterns stay in the Java-regex ∩ RE2 subset.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+[a-z]"
+_PHONE_RE = "555-[0-9]+"
+
+
+def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect + redact contact PII per document: match counts for the
+    email/phone detectors and the md5 of the fully redacted text (byte-
+    exact check without shipping the strings). Map-only at any scale."""
+    d = load(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-0"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    p = d.select("doc_id", injected.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return p.select(
+        "doc_id",
+        F.expr(f"regexp_count(text, '{_EMAIL_RE}')").cast("int").alias("n_emails"),
+        F.expr(f"regexp_count(text, '{_PHONE_RE}')").cast("int").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+SQL_TEXT_PII_SCAN = f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or call 555-0' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM p
+"""
+
+
 QUERIES = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_pii_scan": (q_text_pii_scan, SQL_TEXT_PII_SCAN),
     "text_regex_stats": (q_text_regex_stats, SQL_TEXT_REGEX_STATS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
