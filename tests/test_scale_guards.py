@@ -87,6 +87,47 @@ def test_connected_components_long_chain_converges(spark):
     assert plan.count("Join") <= 4, plan[:3000]
 
 
+def test_connected_components_fuzz_vs_union_find(spark):
+    """Random graphs vs an independent pure-Python union-find: the min-label
+    fixpoint must equal the true components (same partition AND the same
+    min-id label) on shapes the driver corpus never produces — stars,
+    cycles, isolated nodes, multi-edges."""
+    import random
+
+    def union_find_labels(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # label = min node id of the component
+        comp = {}
+        for v in range(n):
+            comp.setdefault(find(v), []).append(v)
+        return {v: min(members) for members in comp.values() for v in members}
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        m = rng.choice([10, 35, 80])
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = spark.createDataFrame([Row(node=i) for i in range(n)])
+        pairs = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components(nodes, pairs).collect()
+        }
+        assert got == union_find_labels(n, edges), (trial, m)
+
+
 def test_connected_components_cap_logs_not_silent(spark, caplog):
     """Hitting the safety cap before convergence must be loud."""
     n = 10
