@@ -108,11 +108,19 @@ def compact(
     spark: SparkSession,
     output: str,
     tables=None,
-    target_mb: int = 128,
+    target_mb: float = 128,
+    cluster_by: str = "doc_id",
 ) -> str:
     """Rewrite all committed runs of each table into ONE new run with
     right-sized files. Returns the new run_id. Original per-run attribution
     is preserved in ``source_run_id``.
+
+    CLUSTERED rewrite (the Iceberg sort-order `rewrite_data_files`
+    analogue): tables carrying ``cluster_by`` are range-partitioned and
+    sorted on it, so each output file owns a disjoint key range and parquet
+    min/max stats give real file- AND row-group-level pruning for doc
+    lookups — a point read after compaction touches one file instead of
+    every appended run. Pass ``cluster_by=None`` for plain bin-packing.
 
     ``tables`` must cover EVERY discovered table (or be None): the marker's
     ``supersedes:`` line retires the old runs globally, so a table left out
@@ -156,9 +164,15 @@ def compact(
                 if f.endswith(".parquet")
             )
             n_files = max(1, round(n_bytes / (target_mb * 1024 * 1024)))
-            df.repartition(n_files).write.mode("append").partitionBy(
-                "run_id"
-            ).parquet(os.path.join(output, table))
+            if cluster_by and cluster_by in df.columns:
+                df = df.repartitionByRange(n_files, cluster_by).sortWithinPartitions(
+                    cluster_by
+                )
+            else:
+                df = df.repartition(n_files)
+            df.write.mode("append").partitionBy("run_id").parquet(
+                os.path.join(output, table)
+            )
         # 2) THE atomic switch: one marker creation commits the new run and
         #    supersedes every old one in the same instant
         _mark_committed(output, new_run, supersedes=old_runs)

@@ -146,6 +146,36 @@ def test_compact_merges_mixed_run_schemas(spark, t1_path, tmp_path):
     }
 
 
+def test_compact_clusters_files_by_doc_id(spark, t1_path, tmp_path):
+    """Clustered compaction: output files own DISJOINT doc_id ranges (range
+    partition + sort), so parquet min/max stats prune a point lookup to one
+    file. Data preservation is covered by the fingerprint tests; here we
+    check the physical layout."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "out")
+    job.run(spark, t1_path, out, run_id="c1", partitions=4, limit=50)
+    job.run(spark, t1_path, out, run_id="c2", partitions=4, resume=True)
+    before = _fingerprint(spark, out)
+
+    new_run = compact(spark, out, target_mb=0.05)  # force several files
+
+    run_dir = _run_dirs(out, "spans_out")[new_run]
+    ranges = []
+    for f in sorted(os.listdir(run_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(run_dir, f), columns=["doc_id"])
+        ids = t.column("doc_id").to_pylist()
+        assert ids == sorted(ids), f"{f} not sorted within file"
+        ranges.append((min(ids), max(ids)))
+    assert len(ranges) >= 2, "test needs multiple output files"
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"overlapping file ranges: {ranges}"
+    assert _fingerprint(spark, out) == before
+
+
 def test_vacuum_removes_only_torn_runs_and_takes_lease(spark, t1_path, tmp_path):
     out = str(tmp_path / "out")
     job.run(spark, t1_path, out, run_id="good", partitions=4, limit=50)
