@@ -19,11 +19,11 @@ _OPERATOR_MODULES = (
 
 def all_queries() -> dict[str, tuple]:
     reg: dict[str, tuple] = {}
-    for mod_name in _OPERATOR_MODULES:
+    modules = [f"pdfplucker_spark.operators.{m}" for m in _OPERATOR_MODULES]
+    modules.append("pdfplucker_spark.streaming.stream")
+    for mod_path in modules:
         try:
-            mod = __import__(
-                f"pdfplucker_spark.operators.{mod_name}", fromlist=["QUERIES"]
-            )
+            mod = __import__(mod_path, fromlist=["QUERIES"])
         except ImportError:
             # degrade, don't die: one optional dependency (e.g. pyarrow for
             # multimodal) must not take down the whole driver surface

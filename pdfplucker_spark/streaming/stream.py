@@ -178,6 +178,62 @@ def stream_user_running_totals(
     )
 
 
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str):
+    """DRIVER-GATED streaming: run the watermarked tumbling-window count as
+    a real StreamingQuery (file source → checkpointed sink, availableNow
+    drain) and return the finalized windows it emitted. The oracle encodes
+    the watermark CONTRACT in SQL: append mode emits exactly the windows
+    whose end ≤ final watermark (max event time − delay) — so the hash gate
+    verifies not just the aggregation values but Spark's late-data
+    finalization semantics against an independent engine.
+
+    The scratch dir must outlive the returned (lazy) DataFrame, so it is
+    left for the OS tmp reaper rather than deleted here."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="plkstream_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(in_dir, "events.parquet")
+    )
+    q = stream_windowed_event_counts(
+        spark, in_dir, os.path.join(work, "out"), os.path.join(work, "ckpt")
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(os.path.join(work, "out"))
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+    )
+
+
+SQL_STREAM_WINDOWED_COUNTS = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+w AS (
+  SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS window_start_epoch,
+         event_type
+  FROM events
+)
+SELECT window_start_epoch, event_type, COUNT(*) AS n_events
+FROM w, mx
+-- append mode finalizes a window when window_end <= watermark
+-- (= max event time - 2 min delay)
+WHERE window_start_epoch + 60 <= CAST(floor(epoch(m)) AS BIGINT) - 120
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
+}
+
+
 def stream_click_purchase_join(
     spark: SparkSession,
     input_dir: str,
