@@ -126,12 +126,16 @@ def latest_view(
     from pyspark.sql import Window
 
     if fmt == "iceberg":
-        try:
+        # only a MISSING commits table (pre-upgrade output) falls back to
+        # seq 0; any other read failure must propagate — silently ranking
+        # every run equal would hand ties to lexical run_id order and could
+        # serve STALE doc copies without any signal
+        if spark.catalog.tableExists(f"{output}.commits"):
             seqs = {
                 r["run_id"]: r["seq"]
                 for r in spark.read.table(f"{output}.commits").collect()
             }
-        except Exception:
+        else:
             seqs = {}
     else:
         seqs = commit_seqs(output)
@@ -200,11 +204,22 @@ def _acquire_lock(output: str, run_id: str, stale_sec: float = 24 * 3600) -> str
         else:
             if time.time() - os.path.getmtime(grabbed) < stale_sec:
                 # TOCTOU: we captured a FRESH lease (new writer acquired
-                # between our check and rename) — put it back and back off
+                # between our check and rename) — put it back and back off.
+                # link preserves the inode (content + mtime); if a third
+                # writer already recreated the path, KEEP the grabbed file
+                # (it is the displaced holder's lease record — deleting it
+                # would erase the evidence of the collision) and surface
+                # the conflict loudly. Residual double-writer windows are
+                # additionally fenced at the COMMIT point: _run_locked
+                # re-verifies lease ownership before writing the marker.
                 try:
                     os.link(grabbed, path)  # never clobbers a newer lock
                 except FileExistsError:
-                    pass
+                    raise RuntimeError(
+                        f"lease collision during takeover of {path}: a new "
+                        f"writer appeared while a fresh lease was displaced "
+                        f"to {grabbed} (left in place for inspection)"
+                    ) from None
                 os.remove(grabbed)
                 with open(path) as f:
                     holder = f.read().strip()
@@ -228,14 +243,28 @@ def _acquire_lock(output: str, run_id: str, stale_sec: float = 24 * 3600) -> str
 def _release_lock(path: str, run_id: str) -> None:
     """Remove the lease only while it still names ``run_id``: a job that
     outlived ``stale_sec`` and was taken over must NOT delete the usurper's
-    live lock on exit (that would admit a third concurrent writer)."""
+    live lock on exit (that would admit a third concurrent writer).
+
+    The check-and-remove is made atomic by renaming the lock to a
+    releaser-owned probe name first (one winner per inode), inspecting the
+    captured file, and hard-linking it back — content and mtime preserved —
+    if it turns out to belong to a usurper."""
+    probe = f"{path}.rel.{run_id}"
     try:
-        with open(path) as f:
-            if f.read().strip() != run_id:
-                return  # lease was taken over — no longer ours to release
-        os.remove(path)
+        os.rename(path, probe)
     except FileNotFoundError:
-        pass
+        return  # already released / taken over and released
+    with open(probe) as f:
+        owner = f.read().strip()
+    if owner == run_id:
+        os.remove(probe)
+        return
+    # not ours (takeover happened): restore the usurper's live lock
+    try:
+        os.link(probe, path)
+    except FileExistsError:
+        pass  # an even newer writer already holds the path
+    os.remove(probe)
 
 
 def _committed_doc_ids(spark, output: str, fmt: str) -> DataFrame | None:
@@ -460,6 +489,23 @@ def _run_locked(
     _write(docs_out, "docs_out")
     extracted.unpersist()
     if fmt != "iceberg":
+        # commit fence: even if the single-writer lease was stolen in a
+        # takeover race window (a job outliving stale_sec), only the
+        # CURRENT lease holder may commit — a displaced writer's appends
+        # stay torn (invisible to committed_view) and resume reprocesses
+        # them, instead of two writers both committing.
+        lock = os.path.join(output, "_RUN_LOCK")
+        try:
+            with open(lock) as f:
+                holder = f.read().strip()
+        except FileNotFoundError:
+            holder = None
+        if holder != run_id:
+            raise RuntimeError(
+                f"writer lease lost during run {run_id!r} (now held by "
+                f"{holder!r}); refusing to commit — this run's appends stay "
+                "torn and resume will reprocess its docs"
+            )
         _mark_committed(output, run_id)  # the run's atomic commit point
     else:
         # catalog analogue of the marker's seq: one ordering row per run,

@@ -127,17 +127,22 @@ def compact(
     would have its committed rows orphaned and then vacuumed. A strict
     subset is rejected rather than silently destroying data."""
     new_run = f"compact{uuid.uuid4().hex[:10]}"
-    discovered = discover_tables(output)
-    if tables is not None and set(tables) < set(discovered):
-        missing = sorted(set(discovered) - set(tables))
-        raise ValueError(
-            f"compact(tables=...) omits committed tables {missing}: the "
-            "supersedes switch is global, so a partial compact would orphan "
-            "their data — pass tables=None to compact everything"
-        )
-    tables = tables or discovered
     lock = _acquire_lock(output, new_run)
     try:
+        # discovery happens UNDER the lease: a writer committing a new
+        # table between a pre-lock snapshot and the supersede switch would
+        # have that table's rows orphaned. Explicit lists must match the
+        # discovered set exactly — a subset orphans data, an unknown name
+        # would fail mid-rewrite after writing torn run dirs.
+        discovered = discover_tables(output)
+        if tables is not None and set(tables) != set(discovered):
+            raise ValueError(
+                f"compact(tables=...) must name exactly the committed tables "
+                f"{sorted(discovered)} (got {sorted(set(tables))}): the "
+                "supersedes switch is global — pass tables=None to compact "
+                "everything"
+            )
+        tables = tables or discovered
         old_runs = committed_run_ids(output)
         if not old_runs:
             return new_run

@@ -496,13 +496,29 @@ def q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+    # COUNT(DISTINCT user_id) semantics: NULL user_ids never count, and a
+    # group whose users are ALL null still appears with n_users = 0 — hence
+    # the not-null filter and the LEFT join + coalesce (an inner join would
+    # drop such a group while the oracle's GROUP BY keeps it).
     n_users = (
-        ev.select("event_type", "user_id")
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
         .distinct()
         .groupBy("event_type")
         .agg(F.count("*").cast("int").alias("n_users"))
     )
-    return merged.join(n_users, "event_type")
+    # null-safe equality: a NULL event_type group must still pick up its
+    # distinct-user count (SQL GROUP BY groups nulls together)
+    return (
+        merged.alias("m")
+        .join(n_users.alias("u"), F.expr("m.event_type <=> u.event_type"), "left")
+        .select(
+            F.col("m.event_type").alias("event_type"),
+            "n_events",
+            "total_value",
+            F.coalesce("u.n_users", F.lit(0)).alias("n_users"),
+        )
+    )
 
 
 SQL_EVENTS_SALTED_AGG = """

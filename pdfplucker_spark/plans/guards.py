@@ -36,11 +36,14 @@ def drop_oversized_buckets(
     candidate join (the exchange is reused), then an inner join keeps only
     rows of surviving buckets. Dropped buckets are counted and logged —
     silence here would read as full recall when it isn't. ``keys`` should be
-    persisted by the caller (the guard is its second consumer)."""
+    persisted by the caller (the guard is its second consumer); the tiny
+    occupancy frame (one row per bucket) is persisted HERE so the logging
+    count and the filtering join share one aggregation pass instead of
+    recomputing it per consumer."""
     if cap is None:
         return keys
     cols = list(key_cols)
-    occ = keys.groupBy(*cols).agg(F.count("*").alias("_occ"))
+    occ = keys.groupBy(*cols).agg(F.count("*").alias("_occ")).persist()
     n_dropped = occ.where(F.col("_occ") > cap).count()
     if n_dropped:
         log.warning(

@@ -204,7 +204,11 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str):
     q = stream_windowed_event_counts(
         spark, in_dir, os.path.join(work, "out"), os.path.join(work, "ckpt")
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # timeout returns False WITHOUT stopping the query — reading the
+        # sink now would compare a partially-drained prefix to the oracle
+        q.stop()
+        raise RuntimeError("stream_windowed_counts: drain did not finish in 300s")
     out = spark.read.parquet(os.path.join(work, "out"))
     return out.select(
         F.unix_timestamp("window_start").alias("window_start_epoch"),

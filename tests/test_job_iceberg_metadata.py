@@ -183,6 +183,55 @@ def test_writer_lease_blocks_concurrent_run(spark, t1_path, tmp_path):
     assert not os.path.exists(old)
 
 
+def test_commit_fence_refuses_after_lease_theft(spark, t1_path, tmp_path, monkeypatch):
+    """If the lease is stolen mid-run (takeover after stale_sec), the
+    displaced writer must NOT commit: its appends stay torn (invisible to
+    committed_view) and resume reprocesses them — never two committers."""
+    import pdfplucker_spark.job as J
+
+    out = str(tmp_path / "out_fence")
+    orig = J.fails_table
+
+    def thief(df, run_id):  # fires late in _run_locked, before the marker
+        with open(os.path.join(out, "_RUN_LOCK"), "w") as f:
+            f.write("usurper\n")
+        return orig(df, run_id)
+
+    monkeypatch.setattr(J, "fails_table", thief)
+    with pytest.raises(RuntimeError, match="refusing to commit"):
+        J.run(spark, t1_path, out, run_id="victim", partitions=4, limit=20)
+    assert J.committed_run_ids(out) == []  # torn, invisible
+    # and the usurper's live lock survived the victim's release
+    with open(os.path.join(out, "_RUN_LOCK")) as f:
+        assert f.read().strip() == "usurper"
+
+
+def test_salted_agg_null_semantics(spark, tmp_path):
+    """COUNT(DISTINCT user_id) contract on a corpus with NULL user_ids and
+    a NULL event_type: nulls never count as users, and an all-null-user
+    group still appears with n_users = 0 (left null-safe join)."""
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.relational import q_events_salted_agg
+
+    rows = [
+        Row(event_id=1, ts=None, user_id=7, event_type="click", value=1.0, props=None),
+        Row(event_id=2, ts=None, user_id=None, event_type="click", value=2.0, props=None),
+        Row(event_id=3, ts=None, user_id=None, event_type="ghost", value=3.0, props=None),
+        Row(event_id=4, ts=None, user_id=9, event_type=None, value=4.0, props=None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.event_type: (r.n_events, r.n_users)
+        for r in q_events_salted_agg(spark, str(tmp_path)).collect()
+    }
+    assert got == {"click": (2, 1), "ghost": (1, 0), None: (1, 1)}
+
+
 def test_release_lock_checks_ownership(tmp_path):
     """A run that outlived stale_sec and was taken over must NOT delete the
     usurper's live lock on exit (that would admit a third writer)."""

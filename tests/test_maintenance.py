@@ -119,13 +119,16 @@ def test_orphaned_tmp_marker_is_inert_and_vacuumed(spark, t1_path, tmp_path):
 def test_compact_rejects_table_subset(spark, t1_path, tmp_path):
     """The supersedes switch is global: compacting a strict subset of the
     discovered tables would orphan the omitted tables' committed rows."""
-    out = str(tmp_path / "out")
-    job.run(spark, t1_path, out, run_id="r1", partitions=4, limit=30)
-    with pytest.raises(ValueError, match="omits committed tables"):
-        compact(spark, out, tables=("spans_out",))
-    # full explicit list is equivalent to None
     from pdfplucker_spark.maintenance import discover_tables
 
+    out = str(tmp_path / "out")
+    job.run(spark, t1_path, out, run_id="r1", partitions=4, limit=30)
+    with pytest.raises(ValueError, match="must name exactly"):
+        compact(spark, out, tables=("spans_out",))
+    # an unknown extra table is rejected up front too (not mid-rewrite)
+    with pytest.raises(ValueError, match="must name exactly"):
+        compact(spark, out, tables=tuple(discover_tables(out)) + ("bogus",))
+    # full explicit list is equivalent to None
     compact(spark, out, tables=discover_tables(out))
 
 
