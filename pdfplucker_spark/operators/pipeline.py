@@ -372,6 +372,60 @@ FROM lab
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination: n-gram overlap vs a held-out set
+# ---------------------------------------------------------------------------
+DECONTAM_MIN_SHARED = 3  # flag a train doc sharing >= this many shingles
+
+
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: flag corpus documents sharing >=
+    {DECONTAM_MIN_SHARED} distinct 3-gram shingles with any HELD-OUT doc
+    (here: the deterministic docs_sample stratum plays the benchmark set).
+    Scale shape: both sides explode to (shingle, doc) pairs and join on the
+    shingle — a uniform string key; the eval side is sample-sized, so AQE
+    broadcasts it and the train-side scan never shuffles. Returns one row
+    per contaminated (train, eval) pair with the overlap count — the
+    actionable removal list, not just a boolean."""
+    d = load(spark, sf_dir, "documents")
+    sh = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - 2, 1)), "
+        "i -> concat_ws(' ', slice(split(text,' '), i, 3))))"
+    )
+    gate = md5_long(F.concat("source", F.lit(":"), F.col("doc_id").cast("string")))
+    eval_side = (
+        d.where(gate % SAMPLE_MOD == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), F.explode(sh).alias("g"))
+    )
+    train_side = d.where(gate % SAMPLE_MOD != 0).select(
+        F.col("doc_id").alias("train_doc_id"), F.explode(sh).alias("g")
+    )
+    return (
+        train_side.join(eval_side, "g")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .where(F.col("n_shared_ngrams") >= DECONTAM_MIN_SHARED)
+    )
+
+
+SQL_DOCS_DECONTAMINATE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         {sql_md5_long("source || ':' || CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} AS gate,
+         UNNEST(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS g
+  FROM documents
+)
+SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+       COUNT(*) AS n_shared_ngrams
+FROM (SELECT doc_id, g FROM sh WHERE gate <> 0) t
+JOIN (SELECT doc_id, g FROM sh WHERE gate = 0) e USING (g)
+GROUP BY 1, 2
+HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
+"""
+
+
+# ---------------------------------------------------------------------------
 # deterministic token-budget shard packing
 # ---------------------------------------------------------------------------
 PACK_STREAMS = 16
@@ -525,4 +579,5 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
     "docs_pack_shards": (q_docs_pack_shards, SQL_DOCS_PACK_SHARDS),
+    "docs_decontaminate": (q_docs_decontaminate, SQL_DOCS_DECONTAMINATE),
 }

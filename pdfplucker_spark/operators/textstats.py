@@ -186,6 +186,53 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# repetition scoring (Gopher-style quality rule): the fraction of duplicated
+# n-grams WITHIN a document — boilerplate/spam detector. Map-only.
+# ---------------------------------------------------------------------------
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition: 1 - distinct/total for 2-gram and 3-gram
+    shingles (0 = no repetition, →1 = heavily looped text). The standard
+    repetition gate of quality-filter stacks; pure per-row expressions."""
+    d = load(spark, sf_dir, "documents")
+
+    def frac(n: int):
+        grams = (
+            f"transform(sequence(1, greatest(size(split(text,' ')) - {n - 1}, 1)), "
+            f"i -> concat_ws(' ', slice(split(text,' '), i, {n})))"
+        )
+        return F.round(
+            1
+            - F.expr(f"size(array_distinct({grams}))").cast("double")
+            / F.expr(f"size({grams})"),
+            6,
+        )
+
+    return d.select(
+        "doc_id",
+        frac(2).alias("dup_2gram_frac"),
+        frac(3).alias("dup_3gram_frac"),
+    )
+
+
+def _sql_gram_frac(n: int) -> str:
+    grams = (
+        f"list_transform(range(1, greatest(len(string_split(text, ' ')) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(string_split(text, ' ')[i:i+{n - 1}], ' '))"
+    )
+    return (
+        f"round(1 - CAST(len(list_distinct({grams})) AS DOUBLE) / len({grams}), 6)"
+    )
+
+
+SQL_TEXT_REPETITION = f"""
+SELECT doc_id,
+       {_sql_gram_frac(2)} AS dup_2gram_frac,
+       {_sql_gram_frac(3)} AS dup_3gram_frac
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII scan + redaction. The synthetic corpus carries no PII, so the scan
 # runs over a derived view that INJECTS deterministic emails/phones into
 # every 13th doc identically in both engines — the detectors and the
@@ -244,6 +291,7 @@ FROM p
 QUERIES = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_pii_scan": (q_text_pii_scan, SQL_TEXT_PII_SCAN),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_regex_stats": (q_text_regex_stats, SQL_TEXT_REGEX_STATS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
