@@ -81,6 +81,37 @@ def test_output_schema_stable(spark):
     assert [f.name for f in span_t.fields] == ["kind", "text", "media_ref", "offset"]
 
 
+def test_adversarial_inputs_are_rows_not_failures(spark):
+    """Spark-plumbing edges: a NULL spans array or a NULL span element is a
+    per-doc ERROR ROW (F12 — one bad doc can't kill a 100 TB job); empty
+    arrays and all-null fields extract to ok; an empty frame yields an
+    empty frame; a missing spans column fails analysis cleanly."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from pdfplucker_spark.schemas import INPUT_SCHEMA
+
+    rows = [
+        ("d_null_spans", None),
+        ("d_null_elem", [None]),
+        ("d_empty", []),
+        ("d_null_fields", [{"kind": None, "text": None, "media_ref": None, "offset": None}]),
+    ]
+    out = {
+        r["doc_id"]: r["status"]
+        for r in extract_spans(spark.createDataFrame(rows, INPUT_SCHEMA)).collect()
+    }
+    assert out == {
+        "d_null_spans": "error",
+        "d_null_elem": "error",
+        "d_empty": "ok",
+        "d_null_fields": "ok",
+    }
+    assert extract_spans(spark.createDataFrame([], INPUT_SCHEMA)).count() == 0
+    with pytest.raises(AnalysisException):
+        extract_spans(spark.createDataFrame([("x",)], "doc_id string")).collect()
+
+
 def test_no_shuffle_in_extract_plan(spark):
     """The extract stage must be map-only — no Exchange in the plan."""
     df = extract_spans(_spark_df_from_rows(spark, list(EDGE_DOCS)))
