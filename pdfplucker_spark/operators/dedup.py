@@ -281,6 +281,111 @@ SQL_DEDUP_MINHASH_PAIRS_NULLS = _sql_minhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing index (the production shape)
+# ---------------------------------------------------------------------------
+def q_dedup_incremental(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """Incremental near-dup detection — the shape a live pipeline actually
+    runs: an arriving BATCH is checked against the standing INDEX (band
+    keys of previously accepted docs), never against itself. The join is
+    batch-bands ⋈ index-bands on (band, key): index-side cardinality is
+    corpus-scale but the output tracks the batch's dup mass, and no N×N
+    self-join ever forms. Here the deterministic sample stratum plays the
+    arriving batch; everything else is the index. Returns each batch doc's
+    verified duplicates in the index."""
+    d = load(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", *_sig_cols()).persist()
+    bands = None
+    for b in range(N_BANDS):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat(
+                F.col(f"sig{2*b}").cast("string"),
+                F.lit("_"),
+                F.col(f"sig{2*b+1}").cast("string"),
+            ).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    bands = drop_oversized_buckets(
+        bands.persist(), ("band", "key"), bucket_cap, "dedup_incremental"
+    )
+    from pdfplucker_spark.functions.hashing import md5_long
+
+    gate = md5_long(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))) % 10
+    batch = bands.where(gate == 0).select(
+        F.col("doc_id").alias("batch_doc_id"), "band", "key"
+    )
+    index = bands.where(gate != 0).select(
+        F.col("doc_id").alias("index_doc_id"), "band", "key"
+    )
+    cand = batch.join(index, ["band", "key"]).select(
+        "batch_doc_id", "index_doc_id"
+    ).distinct()
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    ).persist()
+    ratio = F.least(F.size("ta.toks"), F.size("tb.toks")).cast(
+        "double"
+    ) / F.greatest(F.size("ta.toks"), F.size("tb.toks"))
+    return (
+        cand.join(toks.alias("ta"), F.col("batch_doc_id") == F.col("ta.doc_id"))
+        .join(toks.alias("tb"), F.col("index_doc_id") == F.col("tb.doc_id"))
+        .where(ratio >= JACCARD_THRESHOLD)
+        .select(
+            "batch_doc_id",
+            "index_doc_id",
+            (
+                F.size(F.array_intersect("ta.toks", "tb.toks")).cast("double")
+                / F.size(F.array_union("ta.toks", "tb.toks"))
+            ).alias("jac"),
+        )
+        .where(F.col("jac") >= JACCARD_THRESHOLD)
+        .select(
+            "batch_doc_id", "index_doc_id", F.round("jac", 6).alias("jaccard")
+        )
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    from pdfplucker_spark.functions.hashing import sql_md5_long
+
+    gate = f"{sql_md5_long(chr(39) + 'inc:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} % 10"
+    return f"""
+WITH sigs AS (
+  SELECT doc_id,
+  {_sql_sigs()}
+  FROM documents
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, CAST(sig{2*b} AS VARCHAR) || '_' || CAST(sig{2*b+1} AS VARCHAR) AS key FROM sigs"
+      for b in range(N_BANDS)
+  )}
+),
+gated AS (SELECT doc_id, band, key, {gate} AS gate FROM bands),
+cand AS (
+  SELECT DISTINCT a.doc_id AS batch_doc_id, b.doc_id AS index_doc_id
+  FROM (SELECT * FROM gated WHERE gate = 0) a
+  JOIN (SELECT * FROM gated WHERE gate <> 0) b
+    ON a.band = b.band AND a.key = b.key
+),
+toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)
+SELECT batch_doc_id, index_doc_id, round(jac, 6) AS jaccard FROM (
+  SELECT batch_doc_id, index_doc_id,
+         CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+           / len(list_distinct(ta.t || tb.t)) AS jac
+  FROM cand JOIN toks ta ON ta.doc_id = batch_doc_id
+            JOIN toks tb ON tb.doc_id = index_doc_id
+) WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+
+SQL_DEDUP_INCREMENTAL = _sql_dedup_incremental()
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +533,7 @@ QUERIES = {
         q_dedup_minhash_pairs_nulls,
         SQL_DEDUP_MINHASH_PAIRS_NULLS,
     ),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
