@@ -96,6 +96,17 @@ def main():
     queries["dedup_ngram_pairs"] = _timed(
         lambda: q_dedup_ngram_pairs(spark, sf_dir).count()
     )
+    # round-3 operators in the perf record: the fixed hot-key salted agg
+    # and the decontamination overlap join
+    from pdfplucker_spark.operators.pipeline import q_docs_decontaminate
+    from pdfplucker_spark.operators.relational import q_events_salted_agg
+
+    queries["events_salted_agg"] = _timed(
+        lambda: q_events_salted_agg(spark, sf_dir).collect()
+    )
+    queries["docs_decontaminate"] = _timed(
+        lambda: q_docs_decontaminate(spark, sf_dir).count()
+    )
     spark.stop()
 
     # --- scaling: the same full job (extract + sink) at N vs 4N CPUS on
