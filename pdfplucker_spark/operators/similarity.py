@@ -463,8 +463,50 @@ LIMIT {TOP_K}
 """
 
 
+def q_sim_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate CLUSTERS: connected components over the
+    sign-LSH cosine pair graph — the same distributed min-label operator
+    the text pipeline uses (operators/pipeline.connected_components),
+    composed over a different modality. Oracle: independent DuckDB
+    recursive-CTE transitive closure over the same pair SQL."""
+    from pdfplucker_spark.operators.pipeline import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    pairs = q_sim_cosine_dup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    labels = connected_components(nodes, pairs)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+SQL_SIM_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_SIM_COSINE_DUP_PAIRS}),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+lab AS (SELECT node AS vec_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+SELECT vec_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
+    "sim_dup_clusters": (q_sim_dup_clusters, SQL_SIM_DUP_CLUSTERS),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
     "sim_cosine_dup_pairs": (q_sim_cosine_dup_pairs, SQL_SIM_COSINE_DUP_PAIRS),
     "sim_ann_topk": (q_sim_ann_topk, SQL_SIM_ANN_TOPK),
