@@ -529,8 +529,93 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase, strictly increasing event
+    time per user): stage N counts users whose earliest stage-N event
+    happens AFTER their earliest qualifying stage-(N-1) event. Each stage
+    is one filter + min-aggregate + a user-keyed join (uniform key, partial
+    aggregation shrinks every shuffle) — no window over the full event
+    stream, no per-user event ordering materialized."""
+    ev = load(spark, sf_dir, "events")
+
+    def stage(kind: str, prev: DataFrame | None, prev_col: str, out: str) -> DataFrame:
+        s = ev.where(F.col("event_type") == kind)
+        if prev is not None:
+            s = s.join(prev, "user_id").where(F.col("ts") > F.col(prev_col))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    u1 = stage("view", None, "", "t1")
+    u2 = stage("click", u1, "t1", "t2")
+    u3 = stage("purchase", u2, "t2", "t3")
+    rows = None
+    for name, df in (("1_view", u1), ("2_click", u2), ("3_purchase", u3)):
+        r = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+SQL_EVENTS_FUNNEL = """
+WITH u1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+u2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > u1.t1
+  GROUP BY e.user_id
+),
+u3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN u2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM u1
+UNION ALL SELECT '2_click', COUNT(*) FROM u2
+UNION ALL SELECT '3_purchase', COUNT(*) FROM u3
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users cohorted by the epoch-week of their
+    FIRST event; each later active week counts them at its week offset.
+    Two hash aggregations + one user-keyed join; week ids are integer
+    epoch-week (floor(epoch/604800)) so both engines bucket identically
+    with no calendar/timezone semantics in play."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr(
+            "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) "
+            "div 1000000) div 604800"
+        ).alias("wk"),
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        e.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk FROM events
+),
+first AS (SELECT user_id, MIN(wk) AS cohort_week FROM e GROUP BY user_id)
+SELECT cohort_week, wk - cohort_week AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+FROM e JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+    "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "regional_revenue_sql": (q_regional_revenue_sql, _Q5_SQL),
     "events_salted_agg": (q_events_salted_agg, SQL_EVENTS_SALTED_AGG),
     "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
