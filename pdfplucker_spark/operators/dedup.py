@@ -166,16 +166,14 @@ def q_dedup_minhash_pairs(
     return _minhash_pairs(load(spark, sf_dir, "documents"), bucket_cap)
 
 
-def _minhash_pairs(d: DataFrame, bucket_cap: int | None) -> DataFrame:
-    # persist: the signature table feeds BOTH sides of the banded self-join;
-    # without it the minhash scan of the corpus runs twice. Per-doc sigs are
-    # 8 longs — ~80 GB at 1e9 docs, spillable (MEMORY_AND_DISK default).
-    sigs = d.select("doc_id", *_sig_cols()).persist()
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) rows from a minhash signature table — THE band
+    key definition, shared by every consumer (self-join, incremental).
+    F.concat (not concat_ws): null-propagating, matching the oracle's
+    ``||`` — a null-text doc gets a NULL key on BOTH sides and never joins,
+    so engine and oracle agree on null-text rows."""
     bands = None
     for b in range(N_BANDS):
-        # F.concat (not concat_ws): null-propagating, matching the oracle's
-        # `||` — a null-text doc gets a NULL key on BOTH sides and never
-        # joins, so engine and oracle agree on null-text rows.
         part = sigs.select(
             "doc_id",
             F.lit(b).alias("band"),
@@ -186,8 +184,47 @@ def _minhash_pairs(d: DataFrame, bucket_cap: int | None) -> DataFrame:
             ).alias("key"),
         )
         bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
+def _verify_jaccard(
+    cand: DataFrame, toks: DataFrame, left: str, right: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs — THE verify join,
+    shared by every pair operator. Includes the lossless size filter
+    (set-similarity join standard): |I| <= min(|A|,|B|) and |U| >=
+    max(|A|,|B|), so jaccard <= min/max — pairs failing the O(1)
+    length-ratio bound skip the O(|A|+|B|) intersect/union entirely (37%
+    of candidates on the sf0.1 corpus; far more at production thresholds).
+    ``toks`` must have columns (doc_id, toks) and should be persisted by
+    the caller (it feeds both aliases)."""
+    ratio = F.least(F.size("ta.toks"), F.size("tb.toks")).cast(
+        "double"
+    ) / F.greatest(F.size("ta.toks"), F.size("tb.toks"))
+    return (
+        cand.join(toks.alias("ta"), F.col(left) == F.col("ta.doc_id"))
+        .join(toks.alias("tb"), F.col(right) == F.col("tb.doc_id"))
+        .where(ratio >= threshold)
+        .select(
+            left,
+            right,
+            (
+                F.size(F.array_intersect("ta.toks", "tb.toks")).cast("double")
+                / F.size(F.array_union("ta.toks", "tb.toks"))
+            ).alias("jac"),
+        )
+        .where(F.col("jac") >= threshold)
+        .select(left, right, F.round("jac", 6).alias("jaccard"))
+    )
+
+
+def _minhash_pairs(d: DataFrame, bucket_cap: int | None) -> DataFrame:
+    # persist: the signature table feeds BOTH sides of the banded self-join;
+    # without it the minhash scan of the corpus runs twice. Per-doc sigs are
+    # 8 longs — ~80 GB at 1e9 docs, spillable (MEMORY_AND_DISK default).
+    sigs = d.select("doc_id", *_sig_cols()).persist()
     bands = drop_oversized_buckets(
-        bands.persist(), ("band", "key"), bucket_cap, "dedup_minhash_pairs"
+        _band_rows(sigs).persist(), ("band", "key"), bucket_cap, "dedup_minhash_pairs"
     )
     a = bands.alias("a")
     b_ = bands.alias("b")
@@ -205,31 +242,16 @@ def _minhash_pairs(d: DataFrame, bucket_cap: int | None) -> DataFrame:
     toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     ).persist()
-    # size filter (set-similarity join standard): |I| <= min(|A|,|B|) and
-    # |U| >= max(|A|,|B|), so jaccard <= min/max — pairs failing the O(1)
-    # length-ratio bound skip the O(|A|+|B|) intersect/union entirely
-    # (37% of candidates on the sf0.1 corpus; far more at production
-    # thresholds over natural size distributions). Provably lossless, so
-    # the oracle is unchanged.
-    ratio = F.least(F.size("ta.toks"), F.size("tb.toks")).cast(
-        "double"
-    ) / F.greatest(F.size("ta.toks"), F.size("tb.toks"))
-    verified = (
-        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
-        .join(toks.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
-        .where(ratio >= JACCARD_THRESHOLD)
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.size(F.array_intersect("ta.toks", "tb.toks")).cast("double")
-                / F.size(F.array_union("ta.toks", "tb.toks"))
-            ).alias("jac"),
-        )
-        .where(F.col("jac") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+    return _verify_jaccard(cand, toks, "doc_a", "doc_b", JACCARD_THRESHOLD)
+
+
+def _sql_band_cte() -> str:
+    """The oracle-side band key definition — single source, mirrored by
+    the engine-side _band_rows."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(sig{2*b} AS VARCHAR) || '_' || CAST(sig{2*b+1} AS VARCHAR) AS key FROM sigs"
+        for b in range(N_BANDS)
     )
-    return verified
 
 
 def _sql_minhash_pairs(table: str = "documents", prelude: str = "") -> str:
@@ -240,10 +262,7 @@ WITH {prelude}sigs AS (
   FROM {table}
 ),
 bands AS (
-  {" UNION ALL ".join(
-      f"SELECT doc_id, {b} AS band, CAST(sig{2*b} AS VARCHAR) || '_' || CAST(sig{2*b+1} AS VARCHAR) AS key FROM sigs"
-      for b in range(N_BANDS)
-  )}
+  {_sql_band_cte()}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -294,25 +313,13 @@ def q_dedup_incremental(
     self-join ever forms. Here the deterministic sample stratum plays the
     arriving batch; everything else is the index. Returns each batch doc's
     verified duplicates in the index."""
-    d = load(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", *_sig_cols()).persist()
-    bands = None
-    for b in range(N_BANDS):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat(
-                F.col(f"sig{2*b}").cast("string"),
-                F.lit("_"),
-                F.col(f"sig{2*b+1}").cast("string"),
-            ).alias("key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    bands = drop_oversized_buckets(
-        bands.persist(), ("band", "key"), bucket_cap, "dedup_incremental"
-    )
     from pdfplucker_spark.functions.hashing import md5_long
 
+    d = load(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", *_sig_cols()).persist()
+    bands = drop_oversized_buckets(
+        _band_rows(sigs).persist(), ("band", "key"), bucket_cap, "dedup_incremental"
+    )
     gate = md5_long(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))) % 10
     batch = bands.where(gate == 0).select(
         F.col("doc_id").alias("batch_doc_id"), "band", "key"
@@ -326,25 +333,8 @@ def q_dedup_incremental(
     toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     ).persist()
-    ratio = F.least(F.size("ta.toks"), F.size("tb.toks")).cast(
-        "double"
-    ) / F.greatest(F.size("ta.toks"), F.size("tb.toks"))
-    return (
-        cand.join(toks.alias("ta"), F.col("batch_doc_id") == F.col("ta.doc_id"))
-        .join(toks.alias("tb"), F.col("index_doc_id") == F.col("tb.doc_id"))
-        .where(ratio >= JACCARD_THRESHOLD)
-        .select(
-            "batch_doc_id",
-            "index_doc_id",
-            (
-                F.size(F.array_intersect("ta.toks", "tb.toks")).cast("double")
-                / F.size(F.array_union("ta.toks", "tb.toks"))
-            ).alias("jac"),
-        )
-        .where(F.col("jac") >= JACCARD_THRESHOLD)
-        .select(
-            "batch_doc_id", "index_doc_id", F.round("jac", 6).alias("jaccard")
-        )
+    return _verify_jaccard(
+        cand, toks, "batch_doc_id", "index_doc_id", JACCARD_THRESHOLD
     )
 
 
@@ -359,10 +349,7 @@ WITH sigs AS (
   FROM documents
 ),
 bands AS (
-  {" UNION ALL ".join(
-      f"SELECT doc_id, {b} AS band, CAST(sig{2*b} AS VARCHAR) || '_' || CAST(sig{2*b+1} AS VARCHAR) AS key FROM sigs"
-      for b in range(N_BANDS)
-  )}
+  {_sql_band_cte()}
 ),
 gated AS (SELECT doc_id, band, key, {gate} AS gate FROM bands),
 cand AS (
@@ -500,12 +487,18 @@ def _sql_ngram_band(i: int) -> str:
     )
 
 
+# the oracle-side trigram shingle definition — single source, mirrored by
+# the engine-side _SHINGLE_EXPR; decontamination imports both
+SQL_SHINGLE_LIST = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
+    "i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))"
+)
+
+
 SQL_DEDUP_NGRAM_PAIRS = f"""
 WITH sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+  SELECT doc_id, {SQL_SHINGLE_LIST} AS sh
   FROM documents
 ),
 bands AS (

@@ -386,11 +386,11 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it and the train-side scan never shuffles. Returns one row
     per contaminated (train, eval) pair with the overlap count — the
     actionable removal list, not just a boolean."""
+    # the shingle definition is dedup.py's — one source in each engine
+    from pdfplucker_spark.operators.dedup import _SHINGLE_EXPR
+
     d = load(spark, sf_dir, "documents")
-    sh = F.expr(
-        "array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - 2, 1)), "
-        "i -> concat_ws(' ', slice(split(text,' '), i, 3))))"
-    )
+    sh = F.expr(_SHINGLE_EXPR)
     gate = md5_long(F.concat("source", F.lit(":"), F.col("doc_id").cast("string")))
     eval_side = (
         d.where(gate % SAMPLE_MOD == 0)
@@ -407,13 +407,13 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from pdfplucker_spark.operators.dedup import SQL_SHINGLE_LIST as _SQL_SHINGLES
+
 SQL_DOCS_DECONTAMINATE = f"""
 WITH sh AS (
   SELECT doc_id,
          {sql_md5_long("source || ':' || CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} AS gate,
-         UNNEST(list_distinct(list_transform(
-           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS g
+         UNNEST({_SQL_SHINGLES}) AS g
   FROM documents
 )
 SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,

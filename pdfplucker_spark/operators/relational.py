@@ -544,8 +544,11 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = s.join(prev, "user_id").where(F.col("ts") > F.col(prev_col))
         return s.groupBy("user_id").agg(F.min("ts").alias(out))
 
-    u1 = stage("view", None, "", "t1")
-    u2 = stage("click", u1, "t1", "t2")
+    # u1/u2 each feed TWO consumers (their own count row and the next
+    # stage's join) — persist per CLAUDE.md's multi-consumer invariant so
+    # the events scan + aggregation run once per stage, not per consumer
+    u1 = stage("view", None, "", "t1").persist()
+    u2 = stage("click", u1, "t1", "t2").persist()
     u3 = stage("purchase", u2, "t2", "t3")
     rows = None
     for name, df in (("1_view", u1), ("2_click", u2), ("3_purchase", u3)):
@@ -582,14 +585,18 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users cohorted by the epoch-week of their
     FIRST event; each later active week counts them at its week offset.
     Two hash aggregations + one user-keyed join; week ids are integer
-    epoch-week (floor(epoch/604800)) so both engines bucket identically
-    with no calendar/timezone semantics in play."""
+    epoch-week — FLOOR(micros / week_micros) in both engines, never the
+    truncate-toward-zero `div` (which would disagree with the oracle's
+    floor for pre-1970 timestamps). Double math is exact here: |micros|
+    < 2^53 for any timestamp within ±250 years of the epoch."""
     ev = load(spark, sf_dir, "events")
     e = ev.select(
         "user_id",
-        F.expr(
-            "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) "
-            "div 1000000) div 604800"
+        F.floor(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+            / F.lit(604800000000.0)
         ).alias("wk"),
     )
     first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
@@ -602,7 +609,9 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENTS_RETENTION = """
 WITH e AS (
-  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk FROM events
+  SELECT user_id,
+         CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 604800000000) AS BIGINT) AS wk
+  FROM events
 ),
 first AS (SELECT user_id, MIN(wk) AS cohort_week FROM e GROUP BY user_id)
 SELECT cohort_week, wk - cohort_week AS week_offset,

@@ -192,32 +192,38 @@ FROM documents
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition: 1 - distinct/total for 2-gram and 3-gram
     shingles (0 = no repetition, →1 = heavily looped text). The standard
-    repetition gate of quality-filter stacks; pure per-row expressions."""
+    repetition gate of quality-filter stacks; pure per-row expressions.
+
+    NULL text coalesces to '' BEFORE tokenizing in BOTH engines (DuckDB's
+    list_distinct strips NULL grams while Spark's concat_ws maps them to ''
+    — coalescing first removes the divergence: both see one '' gram).
+    Interpreted-HOF discipline (CLAUDE.md): the gram arrays are projected
+    ONCE and the fracs computed from the materialized columns — not four
+    independent fold copies per row."""
     d = load(spark, sf_dir, "documents")
 
-    def frac(n: int):
-        grams = (
-            f"transform(sequence(1, greatest(size(split(text,' ')) - {n - 1}, 1)), "
-            f"i -> concat_ws(' ', slice(split(text,' '), i, {n})))"
-        )
-        return F.round(
-            1
-            - F.expr(f"size(array_distinct({grams}))").cast("double")
-            / F.expr(f"size({grams})"),
-            6,
+    def grams(n: int) -> str:
+        return (
+            f"transform(sequence(1, greatest(size(split(coalesce(text, ''),' ')) - {n - 1}, 1)), "
+            f"i -> concat_ws(' ', slice(split(coalesce(text, ''),' '), i, {n})))"
         )
 
+    frac = lambda c: F.round(
+        1 - F.expr(f"size(array_distinct({c}))").cast("double") / F.size(c), 6
+    )
     return d.select(
+        "doc_id", F.expr(grams(2)).alias("g2"), F.expr(grams(3)).alias("g3")
+    ).select(
         "doc_id",
-        frac(2).alias("dup_2gram_frac"),
-        frac(3).alias("dup_3gram_frac"),
+        frac("g2").alias("dup_2gram_frac"),
+        frac("g3").alias("dup_3gram_frac"),
     )
 
 
 def _sql_gram_frac(n: int) -> str:
     grams = (
-        f"list_transform(range(1, greatest(len(string_split(text, ' ')) - {n - 1}, 1) + 1), "
-        f"i -> array_to_string(string_split(text, ' ')[i:i+{n - 1}], ' '))"
+        f"list_transform(range(1, greatest(len(string_split(coalesce(text, ''), ' ')) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(string_split(coalesce(text, ''), ' ')[i:i+{n - 1}], ' '))"
     )
     return (
         f"round(1 - CAST(len(list_distinct({grams})) AS DOUBLE) / len({grams}), 6)"

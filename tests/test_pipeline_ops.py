@@ -34,6 +34,75 @@ def test_pack_shards_contiguous_budget_fill(spark):
     assert all(again[r.doc_id] == r.shard_seq for r in rows)
 
 
+def test_repetition_null_text_matches_oracle(spark, tmp_path):
+    """NULL text must score identically in both engines (Spark concat_ws
+    maps NULL grams to '' while DuckDB list_distinct strips NULLs — the
+    coalesce-first fix makes both see one '' gram → dup_frac 0.0)."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.textstats import (
+        SQL_TEXT_REPETITION,
+        q_text_repetition,
+    )
+
+    rows = [
+        Row(doc_id=1, text=None, lang="en", source="s", n_chars=0),
+        Row(doc_id=2, text="a a a b", lang="en", source="s", n_chars=7),
+    ]
+    p = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(rows).write.parquet(p)
+    got = {
+        r.doc_id: (r.dup_2gram_frac, r.dup_3gram_frac)
+        for r in q_text_repetition(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(SQL_TEXT_REPETITION).fetchall()
+    }
+    assert got == exp
+    assert got[1] == (0.0, 0.0)  # NULL text: one '' gram, no repetition
+
+
+def test_retention_pre_epoch_week_bucketing(spark, tmp_path):
+    """FLOOR (not truncate-toward-zero) week bucketing: a pre-1970 event
+    must land in week -1, matching the oracle's floor()."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.relational import (
+        SQL_EVENTS_RETENTION,
+        q_events_retention,
+    )
+
+    rows = [
+        (1, "1969-12-28 00:00:00", 1, "view", 1.0, None),
+        (2, "1970-01-08 00:00:00", 1, "view", 1.0, None),
+    ]
+    p = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) ts", "user_id",
+        "event_type", "value", "props"
+    ).write.parquet(p)
+    got = {
+        (r.cohort_week, r.week_offset): r.n_active_users
+        for r in q_events_retention(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    exp = {
+        (r[0], r[1]): r[2] for r in con.execute(SQL_EVENTS_RETENTION).fetchall()
+    }
+    assert got == exp
+    assert set(got) == {(-1, 0), (-1, 2)}  # cohort week -1, active again at +2
+
+
 def test_pii_scan_detects_exactly_the_injected_contacts(spark):
     rows = q_text_pii_scan(spark, SF).collect()
     assert rows
