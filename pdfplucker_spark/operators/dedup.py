@@ -459,24 +459,14 @@ def q_dedup_ngram_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # size filter: jaccard <= min(|A|,|B|)/max(|A|,|B|) — see _minhash_pairs
-    ratio = F.least(F.size("ta.sh"), F.size("tb.sh")).cast("double") / F.greatest(
-        F.size("ta.sh"), F.size("tb.sh")
-    )
-    return (
-        cand.join(sh.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
-        .join(sh.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
-        .where(ratio >= NGRAM_THRESHOLD)
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.size(F.array_intersect("ta.sh", "tb.sh")).cast("double")
-                / F.size(F.array_union("ta.sh", "tb.sh"))
-            ).alias("jac"),
-        )
-        .where(F.col("jac") >= NGRAM_THRESHOLD)
-        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+    # shared verify join (size filter + exact Jaccard); the rename is a
+    # projection over the persisted sh frame — the cache is still hit
+    return _verify_jaccard(
+        cand,
+        sh.withColumnRenamed("sh", "toks"),
+        "doc_a",
+        "doc_b",
+        NGRAM_THRESHOLD,
     )
 
 
