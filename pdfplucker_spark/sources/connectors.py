@@ -54,6 +54,21 @@ def write_documents(df: DataFrame, path: str, fmt: str) -> None:
         getattr(writer, fmt)(path)
 
 
+def read_media_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """RAW media ingestion — the production entry point for the multimodal
+    tier: Spark's ``binaryFile`` source reads whole files as one binary row
+    each (path, modificationTime, length, content), distributed and
+    partition-pruned like any other scan. Decode stages (multimodal.py)
+    consume the ``content`` column directly; ``pathGlobFilter`` prunes by
+    extension BEFORE any bytes are read."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def read_docs_nested(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     """Read the nested (doc_id, spans) input table from any format that can
     carry the nested struct array."""

@@ -61,6 +61,35 @@ def test_y4m_roundtrip_exact():
         assert (sy, suv) == (exp_y, exp_uv), f
 
 
+def test_binaryfile_ingestion_end_to_end(spark, tmp_path):
+    """The production multimodal entry point: REAL files on disk →
+    binaryFile source (glob-pruned) → magic-byte dispatch → the real
+    codecs, errors as rows."""
+    from pdfplucker_spark.operators.multimodal import media_decode_files
+    from pdfplucker_spark.sources.connectors import read_media_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.ppm").write_bytes(_encode_ppm(5, 3, 7))
+    (media / "b.wav").write_bytes(_encode_wav(250, 16000, 123))
+    (media / "c.y4m").write_bytes(_encode_y4m(4, 4, 2, 1))
+    (media / "d.bin").write_bytes(b"GARBAGE BYTES")
+    (media / "skip.txt").write_text("not media")  # pruned by the glob
+
+    files = read_media_files(spark, str(media), glob="*.{ppm,wav,y4m,bin}")
+    got = {r.path.rsplit("/", 1)[1]: r for r in media_decode_files(files).collect()}
+    assert set(got) == {"a.ppm", "b.wav", "c.y4m", "d.bin"}
+    a, b, c, d = got["a.ppm"], got["b.wav"], got["c.y4m"], got["d.bin"]
+    assert (a.media_kind, a.status, a.width, a.height) == ("image", "ok", 5, 3)
+    assert a.payload_sum == sum(
+        (x + y + 7 + ch) % 256 for x in range(5) for y in range(3) for ch in range(3)
+    )
+    assert (b.media_kind, b.status, b.n_samples) == ("audio", "ok", 250)
+    assert b.payload_sum == int(np.abs((np.arange(250) * 123) % 65536 - 32768).sum())
+    assert (c.media_kind, c.status, c.n_frames, c.width) == ("video", "ok", 2, 4)
+    assert (d.media_kind, d.status) == (None, "error")
+
+
 def test_y4m_corrupt_inputs_raise():
     with pytest.raises(ValueError, match="YUV4MPEG2"):
         _decode_y4m(b"RIFF....\nFRAME\n")
