@@ -504,9 +504,50 @@ FROM lab
 """
 
 
+def q_sim_ivf_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means UPDATE step for the IVF index: per assigned centroid,
+    the mean embedding — emitted FLAT as (cid, dim, centroid_val) rows so
+    no array reassembly (and no collect_list ordering hazard) is needed;
+    production folds this back with array_agg over sorted dims. Sums go
+    through DECIMAL so the mean is exact and order-independent — a double
+    sum would hash-differently between engines per partial-agg order. One
+    posexplode + one hash aggregation on (cid, dim): K*D cells, uniform."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = _ivf_assigned(emb)
+    cells = emb.join(assigned, "vec_id").select(
+        "cid", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    # exact decimal SUM (order-independent), then ONE double division —
+    # decimal division would truncate at engine-specific scales
+    return cells.groupBy("cid", "dim").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(27,10)")).cast("double")
+            / F.count("*"),
+            8,
+        ).alias("centroid_val"),
+    )
+
+
+SQL_SIM_IVF_RECENTER = f"""
+WITH {_SQL_IVF_ASSIGNED},
+cells AS (
+  SELECT a.cid,
+         UNNEST(range(len(e.embedding))) AS dim,
+         UNNEST(CAST(e.embedding AS DOUBLE[])) AS v
+  FROM embeddings e JOIN assigned a USING (vec_id)
+)
+SELECT cid, CAST(dim AS INT) AS dim, COUNT(*) AS n_vecs,
+       round(CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 8)
+         AS centroid_val
+FROM cells GROUP BY cid, dim
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_dup_clusters": (q_sim_dup_clusters, SQL_SIM_DUP_CLUSTERS),
+    "sim_ivf_recenter": (q_sim_ivf_recenter, SQL_SIM_IVF_RECENTER),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
     "sim_cosine_dup_pairs": (q_sim_cosine_dup_pairs, SQL_SIM_COSINE_DUP_PAIRS),
     "sim_ann_topk": (q_sim_ann_topk, SQL_SIM_ANN_TOPK),
