@@ -621,10 +621,61 @@ GROUP BY 1, 2
 """
 
 
+def q_events_daily_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily value totals per event_type with a 7-day moving average — the
+    sliding-frame window shape (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    the window coverage was missing. Day ids are integer epoch-days
+    (FLOOR, engine-agnostic); window sums stay in DECIMAL (exact at any
+    frame order) with one double division at the end. The window
+    partitions on event_type and orders on the unique (event_type, day)
+    key, so frame contents are deterministic."""
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        / F.lit(86400000000.0)
+    ).alias("day")
+    daily = (
+        ev.select("event_type", day, F.col("value").cast("decimal(18,6)").alias("v"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("dsum"), F.count("*").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("dsum").cast("double").alias("daily_value"),
+        F.round(
+            F.sum("dsum").over(w).cast("double") / F.count("*").over(w), 6
+        ).alias("ma7_value"),
+    )
+
+
+SQL_EVENTS_DAILY_MA = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000) AS BIGINT) AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS dsum,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n_events,
+       CAST(dsum AS DOUBLE) AS daily_value,
+       round(CAST(SUM(dsum) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 6) AS ma7_value
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
+    "events_daily_ma": (q_events_daily_ma, SQL_EVENTS_DAILY_MA),
     "regional_revenue_sql": (q_regional_revenue_sql, _Q5_SQL),
     "events_salted_agg": (q_events_salted_agg, SQL_EVENTS_SALTED_AGG),
     "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
