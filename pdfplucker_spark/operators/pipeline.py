@@ -372,6 +372,77 @@ FROM lab
 
 
 # ---------------------------------------------------------------------------
+# range join: events within each purchase's attribution window
+# ---------------------------------------------------------------------------
+RANGE_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_events_purchase_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN — the second interval operator Spark lacks natively
+    (beside as-of): count each user's events inside the 1-hour window
+    starting at each purchase. The naive inequality join plans as a
+    BroadcastNestedLoop/cartesian (O(events × purchases) per user); the
+    scale shape BUCKETS time at the window width: a 1-hour window overlaps
+    at most 2 hour-buckets, so the purchase side explodes into its 2
+    buckets and the join runs on (user_id, bucket) EQUALITY — an ordinary
+    hash join — with the exact range check as a residual filter. The
+    purchase event itself falls inside its own window (>= start)."""
+    ev = load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = ev.select(
+        "user_id",
+        us.alias("eus"),
+        F.floor(us / F.lit(float(RANGE_WINDOW_US))).alias("bk"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        us.alias("pus"),
+        F.floor(us / F.lit(float(RANGE_WINDOW_US))).alias("pbk"),
+    )
+    pb = p.select(
+        "user_id",
+        "purchase_id",
+        "pus",
+        F.explode(F.array(F.col("pbk"), F.col("pbk") + 1)).alias("bk"),
+    )
+    counts = (
+        pb.join(e, ["user_id", "bk"])
+        .where(
+            (F.col("eus") >= F.col("pus"))
+            & (F.col("eus") < F.col("pus") + RANGE_WINDOW_US)
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        p.join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce("n", F.lit(0)).alias("n_events_1h"),
+        )
+    )
+
+
+SQL_EVENTS_PURCHASE_RANGE_JOIN = f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+       CAST(COUNT(e.user_id) AS BIGINT) AS n_events_1h
+FROM p LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND epoch_us(e.ts) >= p.pus
+ AND epoch_us(e.ts) < p.pus + {RANGE_WINDOW_US}
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination: n-gram overlap vs a held-out set
 # ---------------------------------------------------------------------------
 DECONTAM_MIN_SHARED = 3  # flag a train doc sharing >= this many shingles
@@ -580,4 +651,8 @@ QUERIES = {
     "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
     "docs_pack_shards": (q_docs_pack_shards, SQL_DOCS_PACK_SHARDS),
     "docs_decontaminate": (q_docs_decontaminate, SQL_DOCS_DECONTAMINATE),
+    "events_purchase_range_join": (
+        q_events_purchase_range_join,
+        SQL_EVENTS_PURCHASE_RANGE_JOIN,
+    ),
 }

@@ -90,6 +90,16 @@ def test_ivf_assignment_is_map_only(spark):
     assert "Exchange hashpartitioning" not in plan, plan[:3000]
 
 
+def test_range_join_is_bucketed_hash_join(spark):
+    from pdfplucker_spark.operators.pipeline import q_events_purchase_range_join
+
+    plan = _plan(q_events_purchase_range_join(spark, SF))
+    # the bucket-equality rewrite must plan as a hash join — an inequality
+    # join would show a nested-loop/cartesian (O(events x purchases)/user)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_single_user_shuffle(spark):
     from pdfplucker_spark.operators.pipeline import q_events_asof_purchase
 
