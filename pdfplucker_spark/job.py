@@ -21,7 +21,9 @@ Cluster run:
 from __future__ import annotations
 
 import argparse
+import logging
 import os
+import re
 import time
 import uuid
 
@@ -36,6 +38,26 @@ from pdfplucker_spark.metrics import (
 from pdfplucker_spark.operators.extract import extract_bundle, extract_spans
 from pdfplucker_spark.plans.partitioning import DEFAULT_SKEW_THRESHOLD, balance_docs
 from pdfplucker_spark.session import get_spark
+
+
+# run_ids become partition-directory names AND commit-marker file names;
+# the marker namespace reserves dot-prefixes for in-flight tmp files
+# (ignored by readers, reclaimed by vacuum) and the marker body is a
+# whitespace-delimited line format. A caller-supplied id like '.foo' or
+# 'a b' would therefore silently fall outside the committed set (its data
+# vacuumed as torn) or corrupt a supersedes line — reject it up front.
+_RUN_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+def _validate_run_id(run_id: str) -> str:
+    if not _RUN_ID_RE.fullmatch(run_id):
+        raise ValueError(
+            f"invalid run_id {run_id!r}: must match {_RUN_ID_RE.pattern} "
+            "(no leading dot — reserved for tmp commit markers; no path "
+            "separators or whitespace — marker files and supersedes lines "
+            "use them as delimiters)"
+        )
+    return run_id
 
 
 def read_docs(spark, input_path: str, fmt: str) -> DataFrame:
@@ -78,6 +100,7 @@ def committed_run_ids(output: str) -> list[str]:
 
 
 def _mark_committed(output: str, run_id: str, supersedes: list[str] | None = None) -> None:
+    _validate_run_id(run_id)
     d = os.path.join(output, "_commits")
     os.makedirs(d, exist_ok=True)
     # write-then-rename: the marker appears atomically with full content.
@@ -263,7 +286,21 @@ def _release_lock(path: str, run_id: str) -> None:
     try:
         os.link(probe, path)
     except FileExistsError:
-        pass  # an even newer writer already holds the path
+        # a third writer O_EXCL-created the path inside this probe window:
+        # the probe is the DISPLACED usurper's lease record. Keep it (for
+        # inspection — deleting it would erase the only evidence that the
+        # usurper silently lost its lease) and surface the collision loudly;
+        # jobs are saved by the commit fence, but compact/vacuum holders
+        # rely on this signal.
+        logging.getLogger(__name__).error(
+            "lease collision during release of %s by run %r: a new writer "
+            "appeared while the displaced holder's lease was captured at %s "
+            "(left in place); the displaced holder no longer owns the lease",
+            path,
+            run_id,
+            probe,
+        )
+        return
     os.remove(probe)
 
 
@@ -333,7 +370,7 @@ def run(
     """Execute one extraction run; returns the metrics row as a dict
     (the analogue of process_batch's returned metrics, processor.py:454)."""
     t0 = time.time()
-    run_id = run_id or uuid.uuid4().hex[:12]
+    run_id = _validate_run_id(run_id) if run_id else uuid.uuid4().hex[:12]
     n_parts = partitions or spark.sparkContext.defaultParallelism
 
     lock = _acquire_lock(output, run_id) if fmt != "iceberg" else None

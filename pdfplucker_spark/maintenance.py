@@ -179,7 +179,23 @@ def compact(
                 os.path.join(output, table)
             )
         # 2) THE atomic switch: one marker creation commits the new run and
-        #    supersedes every old one in the same instant
+        #    supersedes every old one in the same instant. Same commit fence
+        #    as _run_locked: a compact that outlived stale_sec and had its
+        #    lease taken over must NOT retire the old runs while another
+        #    writer is live — its rewrite stays torn (invisible) and the
+        #    next vacuum reclaims it.
+        lock_path = os.path.join(output, "_RUN_LOCK")
+        try:
+            with open(lock_path) as f:
+                holder = f.read().strip()
+        except FileNotFoundError:
+            holder = None
+        if holder != new_run:
+            raise RuntimeError(
+                f"writer lease lost during compact {new_run!r} (now held by "
+                f"{holder!r}); refusing to commit the supersede switch — the "
+                "rewritten run stays torn and vacuum will reclaim it"
+            )
         _mark_committed(output, new_run, supersedes=old_runs)
         # 3) idempotent cleanup (crash here leaves superseded markers/dirs
         #    that the next vacuum reclaims; readers already see only new_run)

@@ -107,6 +107,121 @@ FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
 
 
 # ---------------------------------------------------------------------------
+# salt-tolerant as-of join: time-bucketed state carry
+# ---------------------------------------------------------------------------
+ASOF_BUCKET_US = 3_600_000_000  # 1 hour
+
+
+def q_events_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics as ``q_events_asof_purchase``, with the
+    skew-proof plan: that operator's single window partitions on ``user_id``
+    alone, so one pathological user (10⁹ events at 100 TB) serializes into
+    one reducer sort. Here the event-cardinality window partitions on
+    (user_id, time_bucket) — bounded by per-bucket traffic — and purchase
+    state crosses bucket boundaries via a PER-BUCKET SUMMARY join (the same
+    trick as ``q_events_purchase_range_join``):
+
+      1. per (user, bucket): the last purchase inside the bucket — a hash
+         aggregation (lexicographic struct max, no sort);
+      2. the carry: a window over ``user_id`` alone, but on the
+         BUCKET-summary frame — one row per active (user, bucket), so the
+         partition is time-range-bounded, never event-bounded;
+         rangeBetween(-∞, -1) reads "last purchase in any STRICTLY earlier
+         bucket";
+      3. in-bucket resolution: purchases ∪ events, one window per
+         (user, bucket) with state rows ordering before query rows at equal
+         ts (≤ semantics), exactly the union+last(ignorenulls) trick;
+      4. an event's as-of purchase = in-bucket state, else the carry —
+         joined back on (user, bucket), the same key the window already
+         shuffled on.
+
+    The oracle is the identical DuckDB ASOF JOIN the plain operator uses —
+    two Spark plans, one truth."""
+    ev = load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    bucket = lambda c: F.floor(c / F.lit(float(ASOF_BUCKET_US)))
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        bucket(us).alias("bk"),
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("pid"))
+        .select("user_id", us.alias("pus"), "pid")
+    )
+    state = F.struct(F.col("pus").alias("pts"), F.col("pid").alias("pid"))
+    # 1) last purchase per (user, bucket): hash agg, struct max = (ts, id)
+    psum = p.groupBy("user_id", bucket(F.col("pus")).alias("bk")).agg(
+        F.max(state).alias("bstate")
+    )
+    # 2) the carry over bucket summaries (bucket-cardinality rows only)
+    bkeys = (
+        e.select("user_id", "bk")
+        .distinct()
+        .unionByName(psum.select("user_id", "bk"))
+        .distinct()
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("bk")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    carried = (
+        bkeys.join(psum, ["user_id", "bk"], "left")
+        .withColumn("carry", F.last("bstate", ignorenulls=True).over(wb))
+        .select("user_id", "bk", "carry")
+    )
+    # 3) in-bucket resolution: the union+window trick, chopped by bucket
+    pseq = p.select(
+        "user_id",
+        bucket(F.col("pus")).alias("bk"),
+        F.col("pus").alias("us"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        state.alias("state"),
+    )
+    eseq = e.select(
+        "user_id",
+        "bk",
+        "us",
+        F.lit(1).alias("side"),
+        "event_id",
+        "event_type",
+        F.lit(None).cast("struct<pts:bigint,pid:bigint>").alias("state"),
+    )
+    wi = (
+        Window.partitionBy("user_id", "bk")
+        .orderBy("us", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inb = (
+        pseq.unionByName(eseq)
+        .withColumn("inb", F.last("state", ignorenulls=True).over(wi))
+        .where(F.col("side") == 1)
+    )
+    # 4) recombine on the key the window already shuffled on
+    return (
+        inb.join(carried, ["user_id", "bk"], "left")
+        .withColumn("asof", F.coalesce("inb", "carry"))
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("us div 1000000").alias("ts_epoch"),
+            "event_type",
+            F.col("asof.pid").alias("last_purchase_id"),
+            F.expr("asof.pts div 1000000").alias("last_purchase_ts_epoch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-doc top terms with TF-IDF
 # ---------------------------------------------------------------------------
 def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,9 +561,15 @@ GROUP BY 1, 2
 # benchmark decontamination: n-gram overlap vs a held-out set
 # ---------------------------------------------------------------------------
 DECONTAM_MIN_SHARED = 3  # flag a train doc sharing >= this many shingles
+# corpus-wide document-frequency cap on a join shingle; never fires on the
+# driver corpora (max df at sf0.1 is orders of magnitude below) — see the
+# guard rationale in q_docs_decontaminate
+DECONTAM_DF_CAP = 100_000
 
 
-def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_docs_decontaminate(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
     """Training-set decontamination: flag corpus documents sharing >=
     {DECONTAM_MIN_SHARED} distinct 3-gram shingles with any HELD-OUT doc
     (here: the deterministic docs_sample stratum plays the benchmark set).
@@ -456,19 +577,38 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle — a uniform string key; the eval side is sample-sized, so AQE
     broadcasts it and the train-side scan never shuffles. Returns one row
     per contaminated (train, eval) pair with the overlap count — the
-    actionable removal list, not just a boolean."""
+    actionable removal list, not just a boolean.
+
+    Hot-shingle guard: shingles are distinct per doc, so a shingle's row
+    count in the exploded frame IS its document frequency, and the join's
+    per-key fan-out is df_train(g) × df_eval(g) — a boilerplate trigram in
+    1% of both sides of a 100-TB corpus makes that quadratic on one key.
+    ``df_cap`` (default {DECONTAM_DF_CAP}) drops-and-logs shingles above
+    that corpus-wide document frequency via the same bucket guard the LSH
+    joins use; a shingle that common is non-discriminative BY DEFINITION
+    (boilerplate, not benchmark leakage), so dropping it is also *better*
+    decontamination, not just a bounded plan. The occupancy count shuffles
+    on the join's own key, so the exchange is reused."""
     # the shingle definition is dedup.py's — one source in each engine
     from pdfplucker_spark.operators.dedup import _SHINGLE_EXPR
+    from pdfplucker_spark.plans.guards import drop_oversized_buckets
 
+    if df_cap is None:
+        df_cap = DECONTAM_DF_CAP
     d = load(spark, sf_dir, "documents")
     sh = F.expr(_SHINGLE_EXPR)
     gate = md5_long(F.concat("source", F.lit(":"), F.col("doc_id").cast("string")))
-    eval_side = (
-        d.where(gate % SAMPLE_MOD == 0)
-        .select(F.col("doc_id").alias("eval_doc_id"), F.explode(sh).alias("g"))
+    # one exploded frame, persisted: it feeds the df-occupancy count AND
+    # both join sides (the eval/train split is a cheap filter over it)
+    ex = d.select(
+        "doc_id", (gate % SAMPLE_MOD == 0).alias("is_eval"), F.explode(sh).alias("g")
+    ).persist()
+    ex = drop_oversized_buckets(ex, ("g",), df_cap, "docs_decontaminate")
+    eval_side = ex.where(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
     )
-    train_side = d.where(gate % SAMPLE_MOD != 0).select(
-        F.col("doc_id").alias("train_doc_id"), F.explode(sh).alias("g")
+    train_side = ex.where(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc_id"), "g"
     )
     return (
         train_side.join(eval_side, "g")
@@ -486,11 +626,14 @@ WITH sh AS (
          {sql_md5_long("source || ':' || CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} AS gate,
          UNNEST({_SQL_SHINGLES}) AS g
   FROM documents
-)
+),
+-- the same document-frequency cap the engine applies (shingles are
+-- distinct per doc, so COUNT(*) per g is its document frequency)
+ok AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= {DECONTAM_DF_CAP})
 SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
        COUNT(*) AS n_shared_ngrams
-FROM (SELECT doc_id, g FROM sh WHERE gate <> 0) t
-JOIN (SELECT doc_id, g FROM sh WHERE gate = 0) e USING (g)
+FROM (SELECT doc_id, g FROM sh JOIN ok USING (g) WHERE gate <> 0) t
+JOIN (SELECT doc_id, g FROM sh JOIN ok USING (g) WHERE gate = 0) e USING (g)
 GROUP BY 1, 2
 HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
 """
@@ -499,11 +642,16 @@ HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
 # ---------------------------------------------------------------------------
 # deterministic token-budget shard packing
 # ---------------------------------------------------------------------------
-PACK_STREAMS = 16
+# the ORACLE-pinned stream count: the registry pair must agree on one
+# static value so the DuckDB SQL and the Spark plan pack identically; the
+# production entry point derives the count from the cluster instead
+ORACLE_PACK_STREAMS = 16
 PACK_BUDGET = 256  # tokens per shard
 
 
-def q_docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_docs_pack_shards(
+    spark: SparkSession, sf_dir: str, pack_streams: int | None = None
+) -> DataFrame:
     """Pack documents into token-budget training shards. Packing is
     inherently sequential, so the scale shape is S independent pack
     STREAMS: each doc hashes to a stream (uniform md5 key — the window
@@ -511,13 +659,20 @@ def q_docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigns it to shard floor(start_offset / budget). Docs may straddle a
     budget boundary (streaming-style packing: a shard owns every doc that
     STARTS inside it) — the same contract as sequence-packing data loaders.
-    Deterministic: same corpus → same shards, any partitioning, any order.
-    At 100 TB raise PACK_STREAMS to O(cores); per-stream state is one
-    cumsum window, and shard ids stay globally unique via (stream, seq)."""
+    Deterministic for a given ``pack_streams``: same corpus → same shards,
+    any partitioning, any order.
+
+    ``pack_streams`` defaults to ``defaultParallelism``: each stream's
+    cumsum window is one sorted partition holding 1/S of the corpus, so S
+    must scale with the cluster — a hard-coded S=16 would make each window
+    a single-reducer sort over 1/16 of 100 TB. Shard ids stay globally
+    unique across any S via shard_id = stream_id·2³² + shard_seq."""
+    if pack_streams is None:
+        pack_streams = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents")
     stream = (
         md5_long(F.concat(F.lit("pk:"), F.col("doc_id").cast("string")))
-        % PACK_STREAMS
+        % pack_streams
     ).cast("int")
     base = d.select(
         "doc_id",
@@ -536,25 +691,44 @@ def q_docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "start_offset",
         F.floor(F.col("start_offset") / PACK_BUDGET).cast("int").alias("shard_seq"),
+        (
+            F.col("stream_id").cast("long") * F.lit(1 << 32)
+            + F.floor(F.col("start_offset") / PACK_BUDGET)
+        ).alias("shard_id"),
     )
 
 
-SQL_DOCS_PACK_SHARDS = f"""
+def sql_docs_pack_shards(pack_streams: int) -> str:
+    """The DuckDB oracle, built from the SAME stream count as the Spark
+    call it is compared against (any fixed S is correct; S only has to
+    match across engines)."""
+    cum = (
+        "SUM(n_tokens) OVER (PARTITION BY stream_id ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
 WITH base AS (
   SELECT doc_id,
-         CAST({sql_md5_long("'pk:' || CAST(doc_id AS VARCHAR)")} % {PACK_STREAMS} AS INT) AS stream_id,
+         CAST({sql_md5_long("'pk:' || CAST(doc_id AS VARCHAR)")} % {pack_streams} AS INT) AS stream_id,
          len(string_split(text, ' ')) AS n_tokens
   FROM documents
 )
 SELECT doc_id, stream_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(SUM(n_tokens) OVER (PARTITION BY stream_id ORDER BY doc_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            - n_tokens AS BIGINT) AS start_offset,
-       CAST(floor((SUM(n_tokens) OVER (PARTITION BY stream_id ORDER BY doc_id
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   - n_tokens) / {PACK_BUDGET}) AS INT) AS shard_seq
+       CAST({cum} - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor(({cum} - n_tokens) / {PACK_BUDGET}) AS INT) AS shard_seq,
+       CAST(stream_id AS BIGINT) * {1 << 32}
+         + CAST(floor(({cum} - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS shard_id
 FROM base
 """
+
+
+def _q_docs_pack_shards_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: stream count pinned to ORACLE_PACK_STREAMS so the
+    static oracle string matches regardless of the driver's parallelism."""
+    return q_docs_pack_shards(spark, sf_dir, pack_streams=ORACLE_PACK_STREAMS)
+
+
+SQL_DOCS_PACK_SHARDS = sql_docs_pack_shards(ORACLE_PACK_STREAMS)
 
 
 # ---------------------------------------------------------------------------
@@ -643,13 +817,15 @@ SELECT doc_id, source, q AS quality_score FROM (
 
 QUERIES = {
     "events_asof_purchase": (q_events_asof_purchase, SQL_EVENTS_ASOF_PURCHASE),
+    # the skew-proof plan, gated by the SAME oracle (identical semantics)
+    "events_asof_bucketed": (q_events_asof_bucketed, SQL_EVENTS_ASOF_PURCHASE),
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),
     "docs_sample": (q_docs_sample, SQL_DOCS_SAMPLE),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
-    "docs_pack_shards": (q_docs_pack_shards, SQL_DOCS_PACK_SHARDS),
+    "docs_pack_shards": (_q_docs_pack_shards_pinned, SQL_DOCS_PACK_SHARDS),
     "docs_decontaminate": (q_docs_decontaminate, SQL_DOCS_DECONTAMINATE),
     "events_purchase_range_join": (
         q_events_purchase_range_join,

@@ -16,6 +16,36 @@ _OPERATOR_MODULES = (
     "sketches",
 )
 
+# Enumeration order is the driver's sampling order, and its CORRECTNESS
+# record is the durable cross-engine signal — so queries that have never
+# appeared in any round's driver record (plus anything newly added this
+# round) enumerate FIRST. Names not in the registry are ignored; names not
+# listed keep module order after these.
+_RECORD_FIRST = (
+    # round-4 additions
+    "stream_click_purchase_join",
+    "events_asof_bucketed",
+    "sim_kmeans_fit",
+    "text_minhash_containment",
+    "docs_dedup_pipeline",
+    # never in CORRECTNESS_r01..r03 (verified against the records)
+    "dedup_canonical",
+    "dedup_clusters",
+    "docs_decontaminate",
+    "docs_pack_shards",
+    "docs_sample",
+    "events_approx_distinct",
+    "events_purchase_range_join",
+    "lineitem_approx_quantiles",
+    "lineitem_quantiles",
+    "media_decode_video",
+    "media_features",
+    "media_frames",
+    "sim_ivf_assign",
+    "sim_ivf_topk",
+    "stream_windowed_counts",
+)
+
 
 def all_queries() -> dict[str, tuple]:
     reg: dict[str, tuple] = {}
@@ -29,4 +59,6 @@ def all_queries() -> dict[str, tuple]:
             # multimodal) must not take down the whole driver surface
             continue
         reg.update(mod.QUERIES)
-    return reg
+    first = {k: reg[k] for k in _RECORD_FIRST if k in reg}
+    first.update((k, v) for k, v in reg.items() if k not in first)
+    return first

@@ -178,6 +178,33 @@ def stream_user_running_totals(
     )
 
 
+_SCRATCH: dict = {}
+
+
+def _stream_scratch(sf_dir: str, name: str) -> str:
+    """One process-scoped scratch dir per (operator, corpus), cleaned at
+    interpreter exit. The dir must outlive the returned (lazy) DataFrame,
+    so per-invocation deletion is impossible — but REUSING one keyed dir
+    makes repeated invocations (driver sweeps, --list runs) idempotent
+    instead of accumulating a corpus copy per call in /tmp, and the atexit
+    hook reclaims it without waiting on an OS tmp reaper that may never
+    run. Reuse is safe: the checkpoint makes a second availableNow drain
+    over the same input a no-op, and the sink parquet already holds the
+    (deterministic) result."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    key = (name, sf_dir)
+    if key not in _SCRATCH:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        work = tempfile.mkdtemp(prefix=f"plkstream_{name}_{tag}_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        _SCRATCH[key] = work
+    return _SCRATCH[key]
+
+
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str):
     """DRIVER-GATED streaming: run the watermarked tumbling-window count as
     a real StreamingQuery (file source → checkpointed sink, availableNow
@@ -185,22 +212,20 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str):
     the watermark CONTRACT in SQL: append mode emits exactly the windows
     whose end ≤ final watermark (max event time − delay) — so the hash gate
     verifies not just the aggregation values but Spark's late-data
-    finalization semantics against an independent engine.
-
-    The scratch dir must outlive the returned (lazy) DataFrame, so it is
-    left for the OS tmp reaper rather than deleted here."""
+    finalization semantics against an independent engine."""
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
-    work = tempfile.mkdtemp(prefix="plkstream_")
+    work = _stream_scratch(sf_dir, "wc")
     in_dir = os.path.join(work, "in")
-    os.makedirs(in_dir)
-    shutil.copy(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(in_dir, "events.parquet")
-    )
+    if not os.path.isdir(in_dir):
+        os.makedirs(in_dir)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(in_dir, "events.parquet"),
+        )
     q = stream_windowed_event_counts(
         spark, in_dir, os.path.join(work, "out"), os.path.join(work, "ckpt")
     )
@@ -231,11 +256,6 @@ FROM w, mx
 WHERE window_start_epoch + 60 <= CAST(floor(epoch(m)) AS BIGINT) - 120
 GROUP BY 1, 2
 """
-
-
-QUERIES = {
-    "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
-}
 
 
 def stream_click_purchase_join(
@@ -301,6 +321,75 @@ def stream_click_purchase_join(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def q_stream_click_purchase_join(spark: SparkSession, sf_dir: str):
+    """DRIVER-GATED stream-stream interval join: run
+    ``stream_click_purchase_join`` as a real StreamingQuery (file source →
+    checkpointed parquet sink, availableNow drain) and return the attributed
+    (click, purchase) pairs it emitted.
+
+    Determinism contract the oracle encodes: INNER stream-stream join rows
+    emit eagerly on match (only outer-join non-matches wait for the
+    watermark), state eviction needs a watermark ADVANCE between
+    micro-batches, and the corpus is one file ≤ maxFilesPerTrigger — so the
+    availableNow drain processes both sides in a single micro-batch with no
+    eviction, and the drained sink equals the batch interval join exactly.
+    The hash gate therefore verifies Spark's stream-stream join semantics
+    (per-side watermark buffers, time-bounded predicate) against an
+    independent batch engine."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    work = _stream_scratch(sf_dir, "ssj")
+    in_dir = os.path.join(work, "in")
+    if not os.path.isdir(in_dir):
+        os.makedirs(in_dir)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(in_dir, "events.parquet"),
+        )
+    q = stream_click_purchase_join(
+        spark, in_dir, os.path.join(work, "out"), os.path.join(work, "ckpt")
+    )
+    if not q.awaitTermination(300):
+        # timeout returns False WITHOUT stopping the query — reading the
+        # sink now would compare a partially-drained prefix to the oracle
+        q.stop()
+        raise RuntimeError("stream_click_purchase_join: drain did not finish in 300s")
+    out = spark.read.parquet(os.path.join(work, "out"))
+    return out.select(
+        "user_id",
+        "click_id",
+        F.unix_timestamp("click_ts").alias("click_ts_epoch"),
+        "purchase_id",
+        F.unix_timestamp("purchase_ts").alias("purchase_ts_epoch"),
+    )
+
+
+SQL_STREAM_CLICK_PURCHASE_JOIN = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_epoch,
+       p.event_id AS purchase_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_epoch
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+QUERIES = {
+    "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
+    "stream_click_purchase_join": (
+        q_stream_click_purchase_join,
+        SQL_STREAM_CLICK_PURCHASE_JOIN,
+    ),
+}
 
 
 def stream_sessionize(

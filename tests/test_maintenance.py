@@ -179,6 +179,72 @@ def test_compact_clusters_files_by_doc_id(spark, t1_path, tmp_path):
     assert _fingerprint(spark, out) == before
 
 
+def test_run_id_validation_rejects_marker_namespace(tmp_path):
+    """run_ids become marker file names and supersedes-line tokens: a
+    dot-prefixed or separator/whitespace-carrying id would be silently
+    ignored by readers and deleted by vacuum — reject it up front."""
+    for bad in (".foo", "..", "a/b", "a\\b", "a b", "a\nb", "", "-x"):
+        with pytest.raises(ValueError, match="invalid run_id"):
+            job._validate_run_id(bad)
+    assert job._validate_run_id("compact0a1b2c.v2") == "compact0a1b2c.v2"
+    with pytest.raises(ValueError, match="invalid run_id"):
+        job.run(None, "unused", str(tmp_path), run_id=".sneaky")
+    assert not os.path.exists(os.path.join(str(tmp_path), "_RUN_LOCK"))
+
+
+def test_compact_fence_refuses_after_lease_theft(spark, t1_path, tmp_path, monkeypatch):
+    """A compact that loses its lease mid-rewrite (takeover after
+    stale_sec) must NOT write the supersede marker: the old runs stay
+    committed, the rewritten run stays torn, and the usurper's lock
+    survives — same single-COMMITTER fence as the job path."""
+    import pdfplucker_spark.maintenance as M
+
+    out = str(tmp_path / "out_fence")
+    job.run(spark, t1_path, out, run_id="r1", partitions=4, limit=30)
+    before = job.committed_run_ids(out)
+    before_fp = _fingerprint(spark, out)
+    orig = M.committed_view
+
+    def thief(*a, **k):  # fires during the rewrite, before the marker
+        with open(os.path.join(out, "_RUN_LOCK"), "w") as f:
+            f.write("usurper\n")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(M, "committed_view", thief)
+    with pytest.raises(RuntimeError, match="refusing to commit"):
+        compact(spark, out)
+    assert job.committed_run_ids(out) == before  # old runs untouched
+    assert _fingerprint(spark, out) == before_fp  # readers see old data only
+    with open(os.path.join(out, "_RUN_LOCK")) as f:
+        assert f.read().strip() == "usurper"
+
+
+def test_release_lock_collision_logs_and_keeps_displaced_lease(
+    tmp_path, monkeypatch, caplog
+):
+    """Third-writer collision inside the release probe window: the
+    displaced usurper's lease record must be KEPT (evidence) and the
+    collision surfaced loudly, not silently discarded."""
+    import logging
+
+    out = str(tmp_path)
+    path = os.path.join(out, "_RUN_LOCK")
+    with open(path, "w") as f:
+        f.write("usurper\n")
+
+    def boom(src, dst):
+        raise FileExistsError(dst)
+
+    monkeypatch.setattr(os, "link", boom)
+    with caplog.at_level(logging.ERROR, logger="pdfplucker_spark.job"):
+        job._release_lock(path, "victim")
+    assert any("lease collision" in r.message for r in caplog.records)
+    probe = f"{path}.rel.victim"
+    assert os.path.exists(probe)  # displaced lease kept for inspection
+    with open(probe) as f:
+        assert f.read().strip() == "usurper"
+
+
 def test_vacuum_removes_only_torn_runs_and_takes_lease(spark, t1_path, tmp_path):
     out = str(tmp_path / "out")
     job.run(spark, t1_path, out, run_id="good", partitions=4, limit=50)

@@ -34,6 +34,32 @@ def test_pack_shards_contiguous_budget_fill(spark):
     assert all(again[r.doc_id] == r.shard_seq for r in rows)
 
 
+def test_pack_shards_matches_oracle_at_two_stream_counts(spark):
+    """The stream count is a cluster-scaling parameter now, not a constant:
+    the packing must stay cross-engine exact at ANY S (oracle SQL built
+    from the same value), and shard ids must stay globally unique across
+    streams (shard_id = stream·2³² + seq)."""
+    import duckdb
+
+    from pdfplucker_spark.operators.pipeline import sql_docs_pack_shards
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    for s in (4, 32):
+        got = sorted(
+            map(tuple, q_docs_pack_shards(spark, SF, pack_streams=s).collect())
+        )
+        exp = sorted(map(tuple, con.execute(sql_docs_pack_shards(s)).fetchall()))
+        assert got == exp, f"pack_streams={s}"
+    rows = q_docs_pack_shards(spark, SF, pack_streams=7).collect()
+    assert {r.stream_id for r in rows} == set(range(7))
+    assert len({r.shard_id for r in rows}) == len(
+        {(r.stream_id, r.shard_seq) for r in rows}
+    )
+
+
 def test_repetition_null_text_matches_oracle(spark, tmp_path):
     """NULL text must score identically in both engines (Spark concat_ws
     maps NULL grams to '' while DuckDB list_distinct strips NULLs — the

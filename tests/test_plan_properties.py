@@ -109,3 +109,24 @@ def test_asof_single_user_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Window [last") == 1
+
+
+def test_asof_bucketed_has_no_unbounded_single_key_sort(spark):
+    """The skew-proof as-of variant: the event-cardinality window must
+    partition on (user_id, bucket) — a pathological user's sort is chopped
+    by time — and the only user_id-alone window sits on the bucket-summary
+    frame (above the per-bucket aggregate), whose per-user row count is
+    time-range-bounded, not event-bounded."""
+    from pdfplucker_spark.operators.pipeline import q_events_asof_bucketed
+
+    plan = _plan(q_events_asof_bucketed(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # two last()-windows total: in-bucket (user_id, bk) + carry (user_id)
+    assert plan.count("Window [last") == 2
+    # the in-bucket window is keyed on BOTH columns
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)ASC NULLS FIRST", plan)
+    keyed_by_bucket = [s for s in specs if "user_id" in s and "bk" in s]
+    assert keyed_by_bucket, plan[:3000]

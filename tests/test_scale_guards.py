@@ -71,6 +71,37 @@ def test_sim_bucket_guard_bounds_degenerate_embeddings(spark, tmp_path, caplog):
     assert any("sim_cosine_dup_pairs" in r.message for r in caplog.records)
 
 
+def test_decontaminate_df_cap_bounds_boilerplate_corpus(spark, tmp_path, caplog):
+    """400 docs sharing the same boilerplate text: every shingle has
+    document frequency 400, so the unguarded train⋈eval shingle join fans
+    out df_train×df_eval per key (~360×40 per shingle — quadratic on a hot
+    key at corpus scale). With the df cap, the non-discriminative shingles
+    are dropped-and-logged and the join produces nothing instead of
+    exploding."""
+    from pdfplucker_spark.operators.pipeline import q_docs_decontaminate
+
+    _write_degenerate_docs(spark, str(tmp_path))
+    with caplog.at_level(logging.WARNING, logger="pdfplucker_spark.plans.guards"):
+        out = q_docs_decontaminate(spark, str(tmp_path), df_cap=50)
+        assert out.count() == 0
+    assert any(
+        "docs_decontaminate" in r.message and "dropped" in r.message
+        for r in caplog.records
+    )
+
+
+def test_decontaminate_df_cap_silent_on_honest_corpus(spark):
+    """The default cap must never fire on the driver corpus: guarded and
+    unguarded results are identical at sf0.001."""
+    from pdfplucker_spark.operators.pipeline import q_docs_decontaminate
+
+    sf = "/root/testdata/sf0.001"
+    guarded = q_docs_decontaminate(spark, sf)
+    unguarded = q_docs_decontaminate(spark, sf, df_cap=None)
+    assert guarded.exceptAll(unguarded).count() == 0
+    assert unguarded.exceptAll(guarded).count() == 0
+
+
 def test_connected_components_long_chain_converges(spark):
     """A 24-node chain has diameter 23 > the old hard 20-iteration cap:
     the convergence-driven loop must still collapse it to one component."""
