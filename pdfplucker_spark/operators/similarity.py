@@ -352,14 +352,22 @@ def _ivf_centroids(emb):
     )
 
 
-def _ivf_assigned(emb):
-    """(vec_id, cid) — the inverted lists, via map-only broadcast argmax."""
-    cents = _ivf_centroids(emb).agg(
+def _ivf_assigned_with(emb, cents):
+    """(vec_id, cid) via map-only broadcast argmax against ``cents``
+    (a (cid, cv) frame): the K centroids aggregate into ONE broadcast array
+    row, each vector picks its argmax with a higher-order fold — no
+    shuffle of the N-row side at any N."""
+    crow = cents.agg(
         F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents")
     )
-    return emb.crossJoin(F.broadcast(cents)).select(
+    return emb.crossJoin(F.broadcast(crow)).select(
         "vec_id", F.expr(_IVF_BEST).alias("cid")
     )
+
+
+def _ivf_assigned(emb):
+    """(vec_id, cid) — the inverted lists against the seed centroids."""
+    return _ivf_assigned_with(emb, _ivf_centroids(emb))
 
 
 _SQL_IVF_ASSIGNED = f"""
@@ -544,7 +552,100 @@ FROM cells GROUP BY cid, dim
 """
 
 
+# ---------------------------------------------------------------------------
+# iterated k-means: assign→recenter to convergence — the fit loop the single
+# IVF steps compose into
+# ---------------------------------------------------------------------------
+def _kmeans_recenter(emb, assigned):
+    """Per-cluster mean embeddings as (cid, cv) arrays. Sums go through
+    exact DECIMAL (order-independent — a double sum would differ per
+    partial-agg order and make the fit nondeterministic), ONE double
+    division per cell, arrays reassembled by sorted dim (no collect_list
+    ordering hazard)."""
+    cells = emb.join(assigned, "vec_id").select(
+        "cid",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    means = cells.groupBy("cid", "dim").agg(
+        (
+            F.sum(F.col("v").cast("decimal(27,10)")).cast("double") / F.count("*")
+        ).alias("m")
+    )
+    return means.groupBy("cid").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, m))), x -> x.m)").alias(
+            "cv"
+        )
+    )
+
+
+def kmeans_fit(emb, max_iters: int = 25):
+    """Lloyd's k-means over the IVF machinery: broadcast-argmax ASSIGN
+    (map-only, no shuffle of the N-row side) → decimal-exact RECENTER (one
+    hash aggregation on (cid, dim) — K·D cells) until no centroid moves.
+
+    Loop hygiene mirrors ``connected_components`` (pipeline.py): the only
+    driver traffic per iteration is the 1-row movement aggregate, and the
+    K-row centroid frame is ``localCheckpoint``-ed every iteration so plan
+    depth stays O(1) in iteration count instead of compounding the whole
+    fit history into one lineage. Empty clusters keep their previous
+    centroid (the standard Lloyd convention). Exact-zero movement is the
+    stop condition: identical assignments give bit-identical decimal means,
+    so the fixpoint is exact, not an epsilon race. ``max_iters`` is a
+    safety net that LOGS when hit."""
+    import logging
+
+    cents = _ivf_centroids(emb)
+    converged = False
+    for _ in range(max_iters):
+        assigned = _ivf_assigned_with(emb, cents)
+        new_c = _kmeans_recenter(emb, assigned)
+        merged = (
+            cents.withColumnRenamed("cv", "old_cv")
+            .join(new_c, "cid", "left")
+            .select(
+                "cid",
+                F.coalesce("cv", F.col("old_cv")).alias("cv"),
+                "old_cv",
+            )
+            .localCheckpoint()  # K rows: materialize + truncate lineage
+        )
+        movement = (
+            merged.select(
+                F.expr(
+                    "aggregate(zip_with(cv, old_cv, (a,b) -> (a-b)*(a-b)), "
+                    "0D, (s,x) -> s+x)"
+                ).alias("d2")
+            )
+            .agg(F.max("d2"))
+            .collect()[0][0]
+        )
+        cents = merged.select("cid", "cv")
+        if movement == 0.0:
+            converged = True
+            break
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "kmeans_fit: hit the %d-iteration safety cap before convergence",
+            max_iters,
+        )
+    return cents
+
+
+def q_sim_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fitted k-means centroids over the embedding corpus, flat
+    (cid, dim, centroid_val) rows. Iterative (non-SQL-expressible): the
+    correctness gate is the pytest replaying the exact same decimal-
+    quantized arithmetic in pure Python (tests/test_kmeans.py); the driver
+    records the rows-only check."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb)
+    return cents.select(
+        "cid", F.posexplode("cv").alias("dim", "centroid_val")
+    ).select("cid", "dim", F.round("centroid_val", 8).alias("centroid_val"))
+
+
 QUERIES = {
+    "sim_kmeans_fit": (q_sim_kmeans_fit, None),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_dup_clusters": (q_sim_dup_clusters, SQL_SIM_DUP_CLUSTERS),
     "sim_ivf_recenter": (q_sim_ivf_recenter, SQL_SIM_IVF_RECENTER),

@@ -1,0 +1,94 @@
+"""The iterated k-means fit against an independent pure-Python replay of
+the SAME arithmetic contract (decimal-quantized sums, sequential double
+folds, first-max tie-break). If the distributed loop's assignment, decimal
+recenter, empty-cluster handling, or stop condition drift, the centroids
+diverge and the exact compare fails."""
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from pdfplucker_spark.operators.similarity import (
+    IVF_K,
+    kmeans_fit,
+    q_sim_kmeans_fit,
+)
+from pdfplucker_spark.sources.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+_Q10 = Decimal("1.0000000000")
+
+
+def _ref_kmeans(vecs: dict[int, list[float]], k: int, max_iters: int = 25):
+    """Pure-Python Lloyd loop mirroring the engine's arithmetic exactly:
+    score = sequential-fold dot / |centroid| (first strict max wins, cids
+    ascending); mean = (exact sum of HALF_UP-10dp-quantized values) -> one
+    float division; stop on exact-zero movement."""
+    cents = {cid: list(vecs[cid]) for cid in range(1, k + 1)}
+    for _ in range(max_iters):
+        assign: dict[int, int] = {}
+        for vid, v in vecs.items():
+            best_s, best_c = -1.0e308, -1
+            for cid in sorted(cents):
+                cv = cents[cid]
+                acc = 0.0
+                for a, b in zip(v, cv):
+                    acc += a * b
+                nrm = 0.0
+                for b in cv:
+                    nrm += b * b
+                s = acc / math.sqrt(nrm)
+                if s > best_s:
+                    best_s, best_c = s, cid
+            assign[vid] = best_c
+        new_cents = {}
+        moved = 0.0
+        for cid, old in cents.items():
+            members = [vecs[vid] for vid, c in assign.items() if c == cid]
+            if not members:
+                new_cents[cid] = old  # empty cluster keeps its centroid
+                continue
+            dim = len(old)
+            cv = []
+            for d in range(dim):
+                # Decimal(float) is the EXACT binary expansion; quantize
+                # HALF_UP to 10dp = Spark's cast(double as decimal(27,10))
+                tot = sum(
+                    (Decimal(m[d]).quantize(_Q10, ROUND_HALF_UP) for m in members),
+                    Decimal(0),
+                )
+                cv.append(float(tot) / len(members))
+            new_cents[cid] = cv
+        for cid in cents:
+            d2 = 0.0
+            for a, b in zip(new_cents[cid], cents[cid]):
+                d2 += (a - b) * (a - b)
+            moved = max(moved, d2)
+        cents = new_cents
+        if moved == 0.0:
+            break
+    return cents
+
+
+def test_kmeans_fit_matches_pure_python_replay(spark):
+    emb = load(spark, SF, "embeddings")
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", emb.embedding.cast("array<double>")).collect()
+    }
+    expected = _ref_kmeans(vecs, IVF_K)
+    got = {}
+    for r in kmeans_fit(emb).collect():
+        got[r.cid] = list(r.cv)
+    assert set(got) == set(expected)
+    for cid in expected:
+        for d, (a, b) in enumerate(zip(got[cid], expected[cid])):
+            assert a == b, (cid, d, a, b, abs(a - b))
+
+
+def test_kmeans_query_shape_and_determinism(spark):
+    out1 = q_sim_kmeans_fit(spark, SF)
+    rows = out1.collect()
+    assert len(rows) == IVF_K * 64  # one row per (cid, dim)
+    again = {(r.cid, r.dim): r.centroid_val for r in q_sim_kmeans_fit(spark, SF).collect()}
+    assert all(again[(r.cid, r.dim)] == r.centroid_val for r in rows)
