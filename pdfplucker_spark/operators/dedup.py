@@ -508,7 +508,78 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# asymmetric containment pairs: |sh(A) ∩ sh(B)| / |sh(A)|
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def q_dedup_containment_pairs(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs: doc A is flagged against doc
+    B when |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ {threshold} — the
+    quote/subset-duplication measure Jaccard cannot see (a short doc fully
+    embedded in a long one has low Jaccard but containment 1.0), which is
+    also why MinHash-LSH blocking is the WRONG candidate generator here
+    (it approximates Jaccard). The exact set-similarity-join shape instead:
+    explode to (shingle, doc), self-join on the shingle, and the per-pair
+    row count IS |∩| (shingles are distinct per doc) — no array intersect
+    pass at all. Scale guard: the join's per-key fan-out is df(g)², so
+    shingles above ``df_cap`` corpus document frequency are dropped-and-
+    logged exactly as in the decontamination join; the containment
+    denominator stays the UNguarded |shingles(A)| in both engines.
+    Production corpora would add prefix filtering on top; the df cap is
+    what makes the worst case bounded."""
+    d = load(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("g")).persist()
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz_a"))
+    exg = drop_oversized_buckets(ex, ("g",), df_cap, "dedup_containment_pairs")
+    pairs = (
+        exg.alias("a")
+        .join(exg.alias("b"), "g")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared").cast("double") / F.col("sz_a"), 6),
+        )
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "n_shared", "containment")
+    )
+
+
+SQL_DEDUP_CONTAINMENT_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id, UNNEST({SQL_SHINGLE_LIST}) AS g FROM documents
+),
+ok AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= {DEFAULT_BUCKET_CAP}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz_a FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM (SELECT doc_id, g FROM sh JOIN ok USING (g)) a
+  JOIN (SELECT doc_id, g FROM sh JOIN ok USING (g)) b USING (g)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / sz_a, 6) AS containment
+FROM pairs JOIN sizes ON sizes.doc_id = doc_a
+WHERE CAST(n_shared AS DOUBLE) / sz_a >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 QUERIES = {
+    "dedup_containment_pairs": (
+        q_dedup_containment_pairs,
+        SQL_DEDUP_CONTAINMENT_PAIRS,
+    ),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_bag": (q_dedup_bag, SQL_DEDUP_BAG),
     "dedup_bag_nulls": (q_dedup_bag_nulls, SQL_DEDUP_BAG_NULLS),

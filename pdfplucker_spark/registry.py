@@ -24,10 +24,11 @@ _OPERATOR_MODULES = (
 _RECORD_FIRST = (
     # round-4 additions
     "stream_click_purchase_join",
+    "stream_dedup_exact",
+    "stream_sessionize",
     "events_asof_bucketed",
     "sim_kmeans_fit",
-    "text_minhash_containment",
-    "docs_dedup_pipeline",
+    "dedup_containment_pairs",
     # never in CORRECTNESS_r01..r03 (verified against the records)
     "dedup_canonical",
     "dedup_clusters",

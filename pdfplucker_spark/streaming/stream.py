@@ -383,12 +383,123 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def q_stream_dedup_exact(spark: SparkSession, sf_dir: str):
+    """DRIVER-GATED streaming dedup: feed the stream TWO copies of the
+    corpus (an at-least-once replay, the real-world input this operator
+    exists for) and drain through ``dropDuplicatesWithinWatermark``. Both
+    files fit one micro-batch (maxFilesPerTrigger), so every event_id is
+    seen twice within the batch and must emit exactly once — the oracle is
+    simply the corpus itself, one row per event."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    work = _stream_scratch(sf_dir, "dd")
+    in_dir = os.path.join(work, "in")
+    if not os.path.isdir(in_dir):
+        os.makedirs(in_dir)
+        src = os.path.join(sf_dir, "events.parquet")
+        shutil.copy(src, os.path.join(in_dir, "a.parquet"))
+        shutil.copy(src, os.path.join(in_dir, "b.parquet"))
+    q = stream_dedup_exact(
+        spark, in_dir, os.path.join(work, "out"), os.path.join(work, "ckpt")
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_dedup_exact: drain did not finish in 300s")
+    out = spark.read.parquet(os.path.join(work, "out"))
+    return out.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+SQL_STREAM_DEDUP_EXACT = """
+SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       user_id, event_type, value
+FROM events
+"""
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str):
+    """DRIVER-GATED stateful sessionization: drain the session_window
+    stream and return the FINALIZED sessions. The oracle encodes the
+    session-window watermark contract: append mode emits a session once no
+    future event can extend or merge it — i.e. once the final watermark
+    (max event time − delay) passes session_end = last_event + gap. The
+    hash gate therefore verifies Spark's incremental session merging AND
+    its late-data finalization rule against an independent batch engine."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    work = _stream_scratch(sf_dir, "ss")
+    in_dir = os.path.join(work, "in")
+    if not os.path.isdir(in_dir):
+        os.makedirs(in_dir)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(in_dir, "events.parquet"),
+        )
+    q = stream_sessionize(
+        spark, in_dir, os.path.join(work, "out"), os.path.join(work, "ckpt")
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_sessionize: drain did not finish in 300s")
+    out = spark.read.parquet(os.path.join(work, "out"))
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start_epoch"),
+        F.unix_timestamp("session_last_event").alias("session_last_event_epoch"),
+        "n_events",
+        "total_value",
+    )
+
+
+# batch sessionize (lag→boundary→cumsum) + the finalization filter: a
+# session is emitted iff session_end (= last event + 30-min gap) is at or
+# below the final watermark (= max event time - 2-min... note: 2 HOURS here)
+SQL_STREAM_SESSIONIZE = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_last_event_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM sess, mx
+GROUP BY user_id, session_seq, m
+HAVING CAST(floor(epoch(MAX(ts))) AS BIGINT) + 1800
+         <= CAST(floor(epoch(m)) AS BIGINT) - 7200
+"""
+
+
 QUERIES = {
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
     "stream_click_purchase_join": (
         q_stream_click_purchase_join,
         SQL_STREAM_CLICK_PURCHASE_JOIN,
     ),
+    "stream_dedup_exact": (q_stream_dedup_exact, SQL_STREAM_DEDUP_EXACT),
+    "stream_sessionize": (q_stream_sessionize, SQL_STREAM_SESSIONIZE),
 }
 
 
