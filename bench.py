@@ -107,6 +107,17 @@ def main():
     queries["docs_decontaminate"] = _timed(
         lambda: q_docs_decontaminate(spark, sf_dir).count()
     )
+    # round-4 operators: the skew-proof as-of variant (must not regress the
+    # plain one) and the main-content extraction gate
+    from pdfplucker_spark.operators.pipeline import q_events_asof_bucketed
+    from pdfplucker_spark.operators.spans_sql import q_spans_main_content
+
+    queries["events_asof_bucketed"] = _timed(
+        lambda: q_events_asof_bucketed(spark, sf_dir).count()
+    )
+    queries["spans_main_content"] = _timed(
+        lambda: q_spans_main_content(spark, sf_dir).count()
+    )
     spark.stop()
 
     # --- scaling: the same full job (extract + sink) at N vs 4N CPUS on

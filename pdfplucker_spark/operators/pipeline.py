@@ -325,6 +325,34 @@ WHERE {sql_md5_long("source || ':' || CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} 
 """
 
 
+def q_docs_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sampling — the training-mix shape
+    (upweight long/high-quality docs) with the same no-RNG contract as
+    ``docs_sample``: each doc keeps with probability w(doc) by comparing a
+    content-free md5 fraction against the weight. Reproducible across
+    engines, runs, partitionings, and scan orders; map-only at any N. Here
+    w = min(n_chars/1000, 1) — swap in a quality score without touching
+    the plumbing."""
+    d = load(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars").cast("double") / 1000.0, F.lit(1.0))
+    frac = (
+        md5_long(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) % 1000000
+    ).cast("double") / 1000000.0
+    return d.where(frac < w).select(
+        "doc_id", "source", F.round(w, 6).alias("weight")
+    )
+
+
+SQL_DOCS_SAMPLE_WEIGHTED = f"""
+SELECT doc_id, source,
+       round(least(CAST(n_chars AS DOUBLE) / 1000.0, 1.0), 6) AS weight
+FROM documents
+WHERE CAST({sql_md5_long("'ws:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE)
+        / 1000000.0
+      < least(CAST(n_chars AS DOUBLE) / 1000.0, 1.0)
+"""
+
+
 # ---------------------------------------------------------------------------
 # canonical-document selection per near-dup group
 # ---------------------------------------------------------------------------
@@ -568,7 +596,7 @@ DECONTAM_DF_CAP = 100_000
 
 
 def q_docs_decontaminate(
-    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+    spark: SparkSession, sf_dir: str, df_cap: int | None = DECONTAM_DF_CAP
 ) -> DataFrame:
     """Training-set decontamination: flag corpus documents sharing >=
     {DECONTAM_MIN_SHARED} distinct 3-gram shingles with any HELD-OUT doc
@@ -593,8 +621,6 @@ def q_docs_decontaminate(
     from pdfplucker_spark.operators.dedup import _SHINGLE_EXPR
     from pdfplucker_spark.plans.guards import drop_oversized_buckets
 
-    if df_cap is None:
-        df_cap = DECONTAM_DF_CAP
     d = load(spark, sf_dir, "documents")
     sh = F.expr(_SHINGLE_EXPR)
     gate = md5_long(F.concat("source", F.lit(":"), F.col("doc_id").cast("string")))
@@ -823,6 +849,7 @@ QUERIES = {
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),
     "docs_sample": (q_docs_sample, SQL_DOCS_SAMPLE),
+    "docs_sample_weighted": (q_docs_sample_weighted, SQL_DOCS_SAMPLE_WEIGHTED),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
     "docs_pack_shards": (_q_docs_pack_shards_pinned, SQL_DOCS_PACK_SHARDS),

@@ -644,7 +644,92 @@ SELECT doc_id,
 FROM final GROUP BY doc_id"""
 
 
+# ---------------------------------------------------------------------------
+# main-content extraction: boilerplate/furniture strip over the span model
+# ---------------------------------------------------------------------------
+# the north-rule "main-content extraction" analogue at the span layer: the
+# layout parse already typed every block, so boilerplate stripping is a
+# semantic-kind gate — page furniture, references/footnotes, captions and
+# structural placeholders drop; narrative/content kinds keep. (An HTML
+# pipeline's DOM heuristics land HERE: whatever produced the kinds, the
+# strip is this one declarative map-side filter + per-doc reassembly.)
+MAIN_CONTENT_KINDS = (
+    "section_header",
+    "title",
+    "paragraph",
+    "text",
+    "list_item",
+    "code",
+    "formula",
+    "checkbox_selected",
+    "checkbox_unselected",
+)
+
+
+def q_spans_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc main content: furniture kinds (page_footer/footnote/
+    reference/caption/page_break/table/picture) stripped, content spans
+    reassembled in reading order, plus the content-density stats a quality
+    gate would filter on. One hash aggregation on doc_id — map-side filter,
+    no window, no join; scale-free."""
+    sp = derived_spans_flat(spark, sf_dir)
+    is_main = F.col("kind").isin(*MAIN_CONTENT_KINDS)
+    flagged = sp.select(
+        "doc_id",
+        "offset",
+        "text",
+        is_main.alias("m"),
+        F.length("text").alias("len"),
+    )
+    total_len = F.sum(F.coalesce("len", F.lit(0)))
+    main_len = F.sum(
+        F.when(F.col("m") & F.col("len").isNotNull(), F.col("len")).otherwise(0)
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("m") & F.col("text").isNotNull(),
+                            F.struct("offset", "text"),
+                        )
+                    )
+                ),
+                lambda x: x["text"],
+            ),
+        ).alias("main_text"),
+        F.sum(F.when(F.col("m"), 1).otherwise(0)).alias("n_main_spans"),
+        F.sum(F.when(~F.col("m"), 1).otherwise(0)).alias("n_furniture_spans"),
+        F.when(total_len > 0, F.round(main_len.cast("double") / total_len, 6)).alias(
+            "content_ratio"
+        ),
+    )
+
+
+_MAIN_IN = ", ".join(f"'{k}'" for k in MAIN_CONTENT_KINDS)
+
+SQL_SPANS_MAIN_CONTENT = f"""WITH {DERIVED_SPANS_CTE},
+f AS (
+  SELECT doc_id, "offset", text,
+         kind IN ({_MAIN_IN}) AS m,
+         length(text) AS len
+  FROM spans
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN m AND text IS NOT NULL THEN text END,
+                           ' ' ORDER BY "offset"), '') AS main_text,
+       CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_main_spans,
+       CAST(SUM(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT) AS n_furniture_spans,
+       CASE WHEN SUM(coalesce(len, 0)) > 0
+            THEN round(CAST(SUM(CASE WHEN m AND len IS NOT NULL THEN len ELSE 0 END) AS DOUBLE)
+                       / SUM(coalesce(len, 0)), 6) END AS content_ratio
+FROM f GROUP BY doc_id"""
+
+
 QUERIES = {
+    "spans_main_content": (q_spans_main_content, SQL_SPANS_MAIN_CONTENT),
     "spans_derive": (q_spans_derive, SQL_SPANS_DERIVE),
     "markdown_export": (q_markdown_export, SQL_MARKDOWN_EXPORT),
     "markdown_export_embedded": (

@@ -29,6 +29,8 @@ _RECORD_FIRST = (
     "events_asof_bucketed",
     "sim_kmeans_fit",
     "dedup_containment_pairs",
+    "spans_main_content",
+    "docs_sample_weighted",
     # never in CORRECTNESS_r01..r03 (verified against the records)
     "dedup_canonical",
     "dedup_clusters",
