@@ -544,14 +544,16 @@ def q_dedup_containment_pairs(
         )
         .agg(F.count("*").alias("n_shared"))
     )
+    # filter on the RAW ratio (like every other threshold in this module),
+    # round only the reported value — filtering post-round would diverge
+    # from the oracle for ratios in [threshold - 5e-7, threshold)
+    raw = F.col("n_shared").cast("double") / F.col("sz_a")
     return (
         pairs.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumn(
-            "containment",
-            F.round(F.col("n_shared").cast("double") / F.col("sz_a"), 6),
+        .where(raw >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", "n_shared", F.round(raw, 6).alias("containment")
         )
-        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
-        .select("doc_a", "doc_b", "n_shared", "containment")
     )
 
 

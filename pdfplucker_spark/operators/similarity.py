@@ -593,9 +593,14 @@ def kmeans_fit(emb, max_iters: int = 25):
     so the fixpoint is exact, not an epsilon race. ``max_iters`` is a
     safety net that LOGS when hit."""
     import logging
+    import math
 
+    # emb feeds BOTH the assign scan and the recenter join every iteration
+    # (up to 2·max_iters source scans unpersisted)
+    emb = emb.persist()
     cents = _ivf_centroids(emb)
     converged = False
+    movement = None
     for _ in range(max_iters):
         assigned = _ivf_assigned_with(emb, cents)
         new_c = _kmeans_recenter(emb, assigned)
@@ -620,10 +625,20 @@ def kmeans_fit(emb, max_iters: int = 25):
             .collect()[0][0]
         )
         cents = merged.select("cid", "cv")
-        if movement == 0.0:
+        # None = empty corpus (max over zero rows) — nothing can ever move;
+        # NaN = a degenerate centroid poisoned the scores — looping further
+        # cannot recover, and NaN != 0.0 would burn every iteration
+        if movement is None or movement == 0.0:
             converged = True
             break
-    if not converged:
+        if math.isnan(movement):
+            logging.getLogger(__name__).warning(
+                "kmeans_fit: NaN centroid movement (degenerate centroid?) — "
+                "stopping with the current centroids"
+            )
+            break
+    emb.unpersist()
+    if not converged and not (movement is not None and math.isnan(movement)):
         logging.getLogger(__name__).warning(
             "kmeans_fit: hit the %d-iteration safety cap before convergence",
             max_iters,

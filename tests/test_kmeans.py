@@ -92,3 +92,25 @@ def test_kmeans_query_shape_and_determinism(spark):
     assert len(rows) == IVF_K * 64  # one row per (cid, dim)
     again = {(r.cid, r.dim): r.centroid_val for r in q_sim_kmeans_fit(spark, SF).collect()}
     assert all(again[(r.cid, r.dim)] == r.centroid_val for r in rows)
+
+
+def test_kmeans_empty_corpus_terminates_immediately(spark):
+    """Empty embeddings: the movement aggregate is None (max over zero
+    rows) — the loop must treat that as converged, not burn max_iters."""
+    import time
+
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    t0 = time.time()
+    out = kmeans_fit(empty).collect()
+    assert out == []
+    assert time.time() - t0 < 30  # one iteration, not 25

@@ -278,3 +278,61 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     exp = {(r.user_id, r.start): (r.last, r.n, r.tv) for r in batch}
     for k, v in got.items():
         assert exp[k] == v, (k, v, exp.get(k))
+
+
+def test_session_finalization_boundary_is_microsecond_exact(spark, tmp_path):
+    """Round-4 probe pinned as a regression: Spark finalizes a session iff
+    last_event + gap <= max_ts - delay at FULL microsecond precision (<= at
+    equality, +1 µs withheld). The driver oracle encodes exactly this; if
+    Spark's rule ever drifts (or the oracle regresses to floored seconds),
+    this corpus sits 1 µs on each side of the boundary and catches it."""
+    import os
+
+    from pdfplucker_spark.streaming.stream import stream_sessionize
+
+    # max ts 100000.100000 → watermark 92800.100000; single-event sessions
+    # end at t+1800, so the boundary last_event is 91000.100000
+    offs = [91000.099999, 91000.100000, 91000.100001]
+    rows = [(i, t, i, "view", 1.0, None) for i, t in enumerate(offs)]
+    rows.append((999, 100000.100000, 999, "view", 1.0, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, tsec double, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(timestamp_micros(CAST(tsec * 1000000 AS BIGINT)) AS TIMESTAMP_NTZ) AS ts",
+        "user_id", "event_type", "value", "props",
+    )
+    in_dir = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(in_dir)
+    q = stream_sessionize(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(120)
+    emitted = {
+        r.user_id for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert emitted == {0, 1}  # equality emits, +1 µs does not
+
+
+def test_drain_heals_interrupted_staging(spark, tmp_path):
+    """A first call that died mid-copy (in/ exists, no sentinel) must be
+    re-staged on the next call, not silently drained as partial input."""
+    import os
+
+    import pdfplucker_spark.streaming.stream as S
+
+    sf = "/root/testdata/sf0.001"
+    work = str(tmp_path / "scratch")
+    os.makedirs(os.path.join(work, "in"))
+    with open(os.path.join(work, "in", "garbage.parquet"), "w") as f:
+        f.write("not parquet")  # the torn copy
+    S._SCRATCH[("wc", sf)] = work
+    try:
+        out = S.q_stream_windowed_counts(spark, sf)
+        assert out.count() > 0  # healed: real corpus staged and drained
+        assert os.path.exists(os.path.join(work, ".staged"))
+        assert not os.path.exists(os.path.join(work, "in", "garbage.parquet"))
+    finally:
+        S._SCRATCH.pop(("wc", sf), None)
