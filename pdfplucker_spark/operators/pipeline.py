@@ -758,6 +758,44 @@ SQL_DOCS_PACK_SHARDS = sql_docs_pack_shards(ORACLE_PACK_STREAMS)
 
 
 # ---------------------------------------------------------------------------
+# training-mix accounting: per-(source, lang) token shares
+# ---------------------------------------------------------------------------
+def q_docs_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mix report every training-data pipeline publishes: per
+    (source, lang) document and token counts plus each cell's share of the
+    corpus token budget. One hash aggregation + a broadcast of the 1-row
+    total — the N-row side never shuffles twice."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("t"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+SQL_DOCS_MIX_REPORT = """
+WITH per AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per), 6)
+         AS token_share
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
 # the composite cleaning pipeline (what a training-data team actually runs)
 # ---------------------------------------------------------------------------
 QUALITY_MIN = 0.34  # ~median of the synthetic corpus — keeps a real subset
@@ -850,6 +888,7 @@ QUERIES = {
     "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),
     "docs_sample": (q_docs_sample, SQL_DOCS_SAMPLE),
     "docs_sample_weighted": (q_docs_sample_weighted, SQL_DOCS_SAMPLE_WEIGHTED),
+    "docs_mix_report": (q_docs_mix_report, SQL_DOCS_MIX_REPORT),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
     "docs_pack_shards": (_q_docs_pack_shards_pinned, SQL_DOCS_PACK_SHARDS),

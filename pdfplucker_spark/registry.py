@@ -26,11 +26,13 @@ _RECORD_FIRST = (
     "stream_click_purchase_join",
     "stream_dedup_exact",
     "stream_sessionize",
+    "stream_user_running_totals",
     "events_asof_bucketed",
     "sim_kmeans_fit",
     "dedup_containment_pairs",
     "spans_main_content",
     "docs_sample_weighted",
+    "docs_mix_report",
     # never in CORRECTNESS_r01..r03 (verified against the records)
     "dedup_canonical",
     "dedup_clusters",

@@ -137,7 +137,13 @@ def stream_user_running_totals(
     per-user lifetime running totals emitted once per trigger). State is one
     (count, total) pair per user — O(users), not O(events); Arrow moves each
     micro-batch group as a pandas frame, so the Python hop is batched, not
-    per-row."""
+    per-row.
+
+    The money total accumulates in EXACT integer micros (each value
+    quantized to 6 dp HALF_UP = Spark's cast to decimal(18,6)): a double
+    running sum would depend on arrival order across triggers and
+    partitions, making the drained stream diverge from any batch oracle at
+    the last bits. One float division at emission."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     src = (
@@ -150,21 +156,34 @@ def stream_user_running_totals(
     )
 
     def update(key, pdfs, state):
+        from decimal import ROUND_HALF_UP, Decimal
+
         import pandas as pd
 
-        n, tot = state.get if state.exists else (0, 0.0)
+        q6 = Decimal("1.000000")
+        n, tot_micros = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            tot += float(pdf["value"].sum())
-        state.update((n, tot))
+            for v in pdf["value"]:
+                if pd.notna(v):
+                    # Decimal(float) = exact binary expansion; quantize
+                    # HALF_UP to 6 dp == cast(value as decimal(18,6))
+                    tot_micros += int(
+                        Decimal(float(v)).quantize(q6, ROUND_HALF_UP).scaleb(6)
+                    )
+        state.update((n, tot_micros))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [float(tot_micros) / 1e6],
+            }
         )
 
     out = src.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, tot double",
+        stateStructType="n long, tot long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -463,8 +482,32 @@ HAVING epoch_us(MAX(ts)) + CAST(1800 AS BIGINT) * 1000000
 """
 
 
+def q_stream_user_running_totals(spark: SparkSession, sf_dir: str):
+    """DRIVER-GATED arbitrary-state operator: drain the
+    applyInPandasWithState running-totals stream (one micro-batch — the
+    corpus is one file) and return each user's final snapshot. Exact
+    decimal-micros accumulation inside the state function makes the total
+    independent of arrival order, so the oracle is the plain decimal batch
+    aggregation — the hash gate verifies the custom state path end to end."""
+    sink = _drain(
+        spark, sf_dir, "rt", ["events.parquet"], stream_user_running_totals
+    )
+    return spark.read.parquet(sink).select("user_id", "n_events", "total_value")
+
+
+SQL_STREAM_USER_RUNNING_TOTALS = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
+    "stream_user_running_totals": (
+        q_stream_user_running_totals,
+        SQL_STREAM_USER_RUNNING_TOTALS,
+    ),
     "stream_click_purchase_join": (
         q_stream_click_purchase_join,
         SQL_STREAM_CLICK_PURCHASE_JOIN,

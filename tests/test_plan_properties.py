@@ -111,6 +111,27 @@ def test_asof_single_user_shuffle(spark):
     assert plan.count("Window [last") == 1
 
 
+def test_containment_join_is_hash_keyed(spark):
+    """The exact set-similarity self-join must plan as hash/sort-merge
+    joins on the shingle key — never a nested loop — and the df guard's
+    occupancy aggregation shuffles on the same key as the join."""
+    from pdfplucker_spark.operators.dedup import q_dedup_containment_pairs
+
+    plan = _plan(q_dedup_containment_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mix_report_total_is_broadcast(spark):
+    """The 1-row corpus total joins back by broadcast — the per-cell side
+    must not shuffle a second time for the share division."""
+    from pdfplucker_spark.operators.pipeline import q_docs_mix_report
+
+    plan = _plan(q_docs_mix_report(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_asof_bucketed_has_no_unbounded_single_key_sort(spark):
     """The skew-proof as-of variant: the event-cardinality window must
     partition on (user_id, bucket) — a pathological user's sort is chopped
