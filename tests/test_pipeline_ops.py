@@ -141,3 +141,39 @@ def test_pii_scan_detects_exactly_the_injected_contacts(spark):
     # md5(original || injection), i.e. the replace actually fired — proxy:
     # a hit doc's redacted text still hashes differently from a clean doc's
     assert len({r.redacted_md5 for r in rows}) > 1
+
+
+def test_asof_bucketed_equals_plain_on_pathological_user(spark, tmp_path):
+    """The whole point of the bucketed variant: one user owning the entire
+    stream. 3000 events across ~80 hour-buckets with sparse purchases —
+    the cross-bucket carry (empty buckets, purchase-free bucket runs,
+    same-timestamp purchase/event ties) must reproduce the plain window's
+    as-of result exactly."""
+    from pdfplucker_spark.operators.pipeline import (
+        q_events_asof_bucketed,
+        q_events_asof_purchase,
+    )
+
+    rows = []
+    for i in range(3000):
+        # irregular spacing: clusters + gaps spanning many empty buckets
+        t = 1_000_000 + i * 97 + (i % 7) * 13 + (i // 500) * 50_000
+        kind = "purchase" if i % 211 == 0 else ("click" if i % 3 else "view")
+        rows.append((i, float(t), 42, kind, 1.0, None))
+    # a purchase exactly at an event's timestamp (<= tie semantics)
+    rows.append((9001, float(1_000_000 + 97), 42, "purchase", 1.0, None))
+    p = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        rows,
+        "event_id long, tsec double, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(timestamp_micros(CAST(tsec * 1000000 AS BIGINT)) AS TIMESTAMP_NTZ) AS ts",
+        "user_id", "event_type", "value", "props",
+    ).write.parquet(p)
+    plain = q_events_asof_purchase(spark, str(tmp_path))
+    bucketed = q_events_asof_bucketed(spark, str(tmp_path))
+    assert plain.exceptAll(bucketed).count() == 0
+    assert bucketed.exceptAll(plain).count() == 0
+    assert bucketed.count() == 3001
