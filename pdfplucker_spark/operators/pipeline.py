@@ -515,6 +515,47 @@ FROM lab
 
 
 # ---------------------------------------------------------------------------
+# the end-to-end dedup verdict: what the pipeline actually consumes
+# ---------------------------------------------------------------------------
+def q_docs_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's DELIVERABLE: one keep/drop verdict per document
+    — near-dup clusters from the n-gram pair graph (connected components),
+    one canonical winner per cluster (longest text, doc_id tie-break), every
+    other member dropped. Composes the cluster operator + one window per
+    cluster id (uniform key: the component min-label). A downstream
+    training job anti-joins `keep = false` and is done."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        clusters.join(d, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("rn") == 1).alias("keep"),
+        )
+    )
+
+
+def _sql_docs_dedup_verdict() -> str:
+    return f"""
+WITH clus AS (SELECT * FROM ({_sql_dedup_clusters()}) c),
+j AS (
+  SELECT clus.doc_id, clus.cluster_id, clus.cluster_size, d.n_chars
+  FROM clus JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster_id, cluster_size, rn = 1 AS keep FROM (
+  SELECT doc_id, cluster_id, cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM j
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # range join: events within each purchase's attribution window
 # ---------------------------------------------------------------------------
 RANGE_WINDOW_US = 3_600_000_000  # 1 hour
@@ -890,6 +931,7 @@ QUERIES = {
     "docs_sample_weighted": (q_docs_sample_weighted, SQL_DOCS_SAMPLE_WEIGHTED),
     "docs_mix_report": (q_docs_mix_report, SQL_DOCS_MIX_REPORT),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
+    "docs_dedup_verdict": (q_docs_dedup_verdict, _sql_docs_dedup_verdict()),
     "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
     "docs_pack_shards": (_q_docs_pack_shards_pinned, SQL_DOCS_PACK_SHARDS),
     "docs_decontaminate": (q_docs_decontaminate, SQL_DOCS_DECONTAMINATE),

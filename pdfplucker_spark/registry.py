@@ -23,6 +23,7 @@ _OPERATOR_MODULES = (
 # listed keep module order after these.
 _RECORD_FIRST = (
     # round-4 additions
+    "stream_extract",
     "stream_click_purchase_join",
     "stream_dedup_exact",
     "stream_sessionize",
@@ -33,6 +34,7 @@ _RECORD_FIRST = (
     "spans_main_content",
     "docs_sample_weighted",
     "docs_mix_report",
+    "docs_dedup_verdict",
     # never in CORRECTNESS_r01..r03 (verified against the records)
     "dedup_canonical",
     "dedup_clusters",

@@ -224,15 +224,19 @@ def _stream_scratch(sf_dir: str, name: str) -> str:
     return _SCRATCH[key]
 
 
-def _drain(spark: SparkSession, sf_dir: str, name: str, copies, starter) -> str:
+def _drain(spark: SparkSession, sf_dir: str, name: str, stage, starter) -> str:
     """The shared drain harness for every driver-gated streaming query:
-    stage the corpus copy ONCE per (op, corpus) — guarded by a sentinel
-    written only after all copies land, so an interrupted first copy heals
-    on the next call instead of silently draining a partial input — then
+    stage the input ONCE per (op, corpus) — guarded by a sentinel written
+    only after staging completes, so an interrupted first copy heals on
+    the next call instead of silently draining a partial input — then
     start the availableNow query and await CHECKED termination (a timeout
     returns False WITHOUT stopping the query; reading the sink then would
     compare a partially-drained prefix to the oracle). Returns the sink
-    path; re-invocation is a no-op drain over the same checkpoint."""
+    path; re-invocation is a no-op drain over the same checkpoint.
+
+    ``stage``: a list of destination file names (each a copy of the
+    corpus's events.parquet) or a callable(spark, in_dir) writing
+    arbitrary input."""
     import os
     import shutil
 
@@ -241,11 +245,15 @@ def _drain(spark: SparkSession, sf_dir: str, name: str, copies, starter) -> str:
     sentinel = os.path.join(work, ".staged")
     if not os.path.exists(sentinel):
         shutil.rmtree(in_dir, ignore_errors=True)  # heal interrupted staging
-        os.makedirs(in_dir)
-        for dst in copies:
-            shutil.copy(
-                os.path.join(sf_dir, "events.parquet"), os.path.join(in_dir, dst)
-            )
+        if callable(stage):
+            stage(spark, in_dir)
+        else:
+            os.makedirs(in_dir)
+            for dst in stage:
+                shutil.copy(
+                    os.path.join(sf_dir, "events.parquet"),
+                    os.path.join(in_dir, dst),
+                )
         with open(sentinel, "w") as f:
             f.write("ok\n")
     q = starter(spark, in_dir, os.path.join(work, "out"), os.path.join(work, "ckpt"))
@@ -482,6 +490,40 @@ HAVING epoch_us(MAX(ts)) + CAST(1800 AS BIGINT) * 1000000
 """
 
 
+def q_stream_extract(spark: SparkSession, sf_dir: str):
+    """DRIVER-GATED STREAMING EXTRACTION — the flagship engine as a
+    continuous pipeline: the derived interleaved-docs corpus staged as the
+    stream's backlog, drained through the same mapInArrow extract stage the
+    batch job runs (file source → checkpointed parquet sink), output
+    exploded to flat spans. The oracle is the full-extraction SQL
+    (``SQL_EXTRACT_FULL``): extraction is stateless per document, so the
+    drained stream must equal the batch computation span-for-span — the
+    hash gate proves the streaming surface and the batch engine are the
+    same engine."""
+    from pyspark.sql import functions as F
+
+    def _stage(sp, in_dir):
+        from pdfplucker_spark.sources.tables import derived_spans_nested
+
+        derived_spans_nested(sp, sf_dir).write.parquet(in_dir)
+
+    sink = _drain(spark, sf_dir, "ex", _stage, stream_extract)
+    ext = spark.read.parquet(sink)
+    return ext.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def _sql_stream_extract() -> str:
+    from pdfplucker_spark.operators.spans_sql import SQL_EXTRACT_FULL
+
+    return SQL_EXTRACT_FULL
+
+
 def q_stream_user_running_totals(spark: SparkSession, sf_dir: str):
     """DRIVER-GATED arbitrary-state operator: drain the
     applyInPandasWithState running-totals stream (one micro-batch — the
@@ -503,6 +545,7 @@ FROM events GROUP BY user_id
 
 
 QUERIES = {
+    "stream_extract": (q_stream_extract, _sql_stream_extract()),
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
     "stream_user_running_totals": (
         q_stream_user_running_totals,
