@@ -807,10 +807,12 @@ def q_docs_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus token budget. One hash aggregation + a broadcast of the 1-row
     total — the N-row side never shuffles twice."""
     d = load(spark, sf_dir, "documents")
+    # persist: per feeds BOTH the output and the total — unpersisted, the
+    # corpus scan + tokenization run twice
     per = d.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
-    )
+    ).persist()
     total = per.agg(F.sum("n_tokens").alias("t"))
     return per.crossJoin(F.broadcast(total)).select(
         "source",
@@ -830,7 +832,8 @@ WITH per AS (
   FROM documents GROUP BY source, lang
 )
 SELECT source, lang, n_docs, n_tokens,
-       round(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per), 6)
+       round(CAST(n_tokens AS DOUBLE)
+               / (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM per), 6)
          AS token_share
 FROM per
 """

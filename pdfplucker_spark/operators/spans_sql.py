@@ -212,10 +212,11 @@ FROM spans t LEFT JOIN caps c ON c.doc_id = t.doc_id AND c.parent = t.media_ref
 WHERE t.kind IN ('table', 'picture')"""
 
 
-def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship: the WHOLE engine (mapInArrow) over the derived corpus,
-    output exploded to flat spans for comparison."""
-    ext = extract_spans(derived_spans_nested(spark, sf_dir))
+def flatten_spans(ext: DataFrame) -> DataFrame:
+    """Flatten an extract-output frame to one row per output span — the
+    single definition of the flat compare shape, shared by the batch
+    flagship and the streaming drain (both gate against the same oracle, so
+    their flatteners must never drift)."""
     return ext.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id",
         F.col("s.kind").alias("kind"),
@@ -223,6 +224,12 @@ def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
     )
+
+
+def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: the WHOLE engine (mapInArrow) over the derived corpus,
+    output exploded to flat spans for comparison."""
+    return flatten_spans(extract_spans(derived_spans_nested(spark, sf_dir)))
 
 
 SQL_EXTRACT_FULL = f"""WITH {DERIVED_SPANS_CTE}, {_PAGED_SQL},

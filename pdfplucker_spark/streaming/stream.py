@@ -166,10 +166,15 @@ def stream_user_running_totals(
             n += len(pdf)
             for v in pdf["value"]:
                 if pd.notna(v):
-                    # Decimal(float) = exact binary expansion; quantize
-                    # HALF_UP to 6 dp == cast(value as decimal(18,6))
+                    # Decimal(repr(v)) — the SHORTEST decimal repr, then
+                    # HALF_UP to 6 dp. Both Spark (BigDecimal.valueOf ==
+                    # Double.toString) and DuckDB round the shortest repr,
+                    # NOT the exact binary expansion: probed, 2.6894155 →
+                    # 2.689416 in both engines but 2.689415 via
+                    # Decimal(float) — exact-binary quantize diverges at
+                    # half-micro boundaries.
                     tot_micros += int(
-                        Decimal(float(v)).quantize(q6, ROUND_HALF_UP).scaleb(6)
+                        Decimal(repr(float(v))).quantize(q6, ROUND_HALF_UP).scaleb(6)
                     )
         state.update((n, tot_micros))
         yield pd.DataFrame(
@@ -500,7 +505,7 @@ def q_stream_extract(spark: SparkSession, sf_dir: str):
     drained stream must equal the batch computation span-for-span — the
     hash gate proves the streaming surface and the batch engine are the
     same engine."""
-    from pyspark.sql import functions as F
+    from pdfplucker_spark.operators.spans_sql import flatten_spans
 
     def _stage(sp, in_dir):
         from pdfplucker_spark.sources.tables import derived_spans_nested
@@ -508,14 +513,7 @@ def q_stream_extract(spark: SparkSession, sf_dir: str):
         derived_spans_nested(sp, sf_dir).write.parquet(in_dir)
 
     sink = _drain(spark, sf_dir, "ex", _stage, stream_extract)
-    ext = spark.read.parquet(sink)
-    return ext.select("doc_id", F.explode("spans").alias("s")).select(
-        "doc_id",
-        F.col("s.kind").alias("kind"),
-        F.col("s.text").alias("text"),
-        F.col("s.media_ref").alias("media_ref"),
-        F.col("s.offset").alias("offset"),
-    )
+    return flatten_spans(spark.read.parquet(sink))
 
 
 def _sql_stream_extract() -> str:

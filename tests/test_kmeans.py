@@ -51,10 +51,16 @@ def _ref_kmeans(vecs: dict[int, list[float]], k: int, max_iters: int = 25):
             dim = len(old)
             cv = []
             for d in range(dim):
-                # Decimal(float) is the EXACT binary expansion; quantize
-                # HALF_UP to 10dp = Spark's cast(double as decimal(27,10))
+                # Decimal(repr(v)) — Spark's cast(double as decimal) goes
+                # through BigDecimal.valueOf == Double.toString, i.e. it
+                # rounds the SHORTEST repr, not the exact binary expansion
+                # (probed round-4: 2.6894155 → .689416 via repr/Spark but
+                # .689415 via exact-binary)
                 tot = sum(
-                    (Decimal(m[d]).quantize(_Q10, ROUND_HALF_UP) for m in members),
+                    (
+                        Decimal(repr(m[d])).quantize(_Q10, ROUND_HALF_UP)
+                        for m in members
+                    ),
                     Decimal(0),
                 )
                 cv.append(float(tot) / len(members))

@@ -160,8 +160,9 @@ def test_asof_bucketed_equals_plain_on_pathological_user(spark, tmp_path):
         t = 1_000_000 + i * 97 + (i % 7) * 13 + (i // 500) * 50_000
         kind = "purchase" if i % 211 == 0 else ("click" if i % 3 else "view")
         rows.append((i, float(t), 42, kind, 1.0, None))
-    # a purchase exactly at an event's timestamp (<= tie semantics)
-    rows.append((9001, float(1_000_000 + 97), 42, "purchase", 1.0, None))
+    # a purchase exactly at event i=1's timestamp (97·1 + 13·1 = 110):
+    # pins the <= tie semantics across the bucket carry
+    rows.append((9001, float(1_000_000 + 110), 42, "purchase", 1.0, None))
     p = f"{tmp_path}/events.parquet"
     spark.createDataFrame(
         rows,
@@ -177,3 +178,31 @@ def test_asof_bucketed_equals_plain_on_pathological_user(spark, tmp_path):
     assert plain.exceptAll(bucketed).count() == 0
     assert bucketed.exceptAll(plain).count() == 0
     assert bucketed.count() == 3001
+
+
+def test_dedup_verdict_one_keeper_per_cluster(spark):
+    """The keep-list contract: every doc appears exactly once; each
+    cluster keeps exactly one doc; the keeper is the longest text
+    (doc_id tie-break); singletons always keep."""
+    from pdfplucker_spark.operators.pipeline import q_docs_dedup_verdict
+    from pdfplucker_spark.sources.tables import load
+
+    rows = q_docs_dedup_verdict(spark, SF).collect()
+    n_docs = load(spark, SF, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    chars = {
+        r.doc_id: r.n_chars
+        for r in load(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    }
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster_id].append(r)
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1, cid
+        assert all(r.cluster_size == len(members) for r in members)
+        best = min(members, key=lambda r: (-chars[r.doc_id], r.doc_id))
+        assert keepers[0].doc_id == best.doc_id, cid
+        if len(members) == 1:
+            assert keepers[0].keep

@@ -336,3 +336,39 @@ def test_drain_heals_interrupted_staging(spark, tmp_path):
         assert not os.path.exists(os.path.join(work, "in", "garbage.parquet"))
     finally:
         S._SCRATCH.pop(("wc", sf), None)
+
+
+def test_running_totals_quantize_matches_engines_on_hostile_values(spark, tmp_path):
+    """Half-micro boundary values (2.6894155, 5e-07): the state function's
+    shortest-repr HALF_UP quantization must equal BOTH DuckDB's and
+    Spark's double→DECIMAL(18,6) cast — the exact-binary quantize the
+    round-4 review caught would differ by 1 micro here."""
+    import duckdb
+
+    from pdfplucker_spark.streaming.stream import stream_user_running_totals
+
+    vals = [2.6894155, 5e-07, 0.1235425, 1.0000005, 123.4567895]
+    rows = [(i, 1000.0 + i, 7, "view", v, None) for i, v in enumerate(vals)]
+    p = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows,
+        "event_id long, tsec double, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(timestamp_micros(CAST(tsec * 1000000 AS BIGINT)) AS TIMESTAMP_NTZ) AS ts",
+        "user_id", "event_type", "value", "props",
+    ).coalesce(1).write.parquet(p)
+    q = stream_user_running_totals(
+        spark, p, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(got) == 1 and got[0].n_events == len(vals)
+    con = duckdb.connect()
+    exp = con.execute(
+        "SELECT CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) "
+        "FROM (SELECT UNNEST(?) AS v)",
+        [vals],
+    ).fetchone()[0]
+    assert got[0].total_value == exp
