@@ -452,6 +452,54 @@ GROUP BY n_name
 """
 
 
+def q_returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-items report: revenue lost to returns per
+    customer, top 20. The 4-table shape: lineitem filtered to returns at
+    the SCAN (pushdown) ⋈ orders (the one real shuffle) ⋈ customer ⋈
+    nation — both dims broadcast. Revenue in exact decimal, top-k ordered
+    by (revenue desc, custkey) so cross-engine order is total."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("lost_revenue"),
+            F.count("*").alias("n_returned_items"),
+        )
+    )
+    return rev.orderBy(F.desc("lost_revenue"), F.asc("c_custkey")).limit(20)
+
+
+SQL_RETURNED_ITEMS_REPORT = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS lost_revenue,
+       COUNT(*) AS n_returned_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 def q_regional_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style local-supplier revenue, submitted through the
     spark.sql() TEXT entry path over temp views — the SQL API surface,
@@ -693,6 +741,7 @@ QUERIES = {
     "custkeys_setops": (q_custkeys_setops, SQL_CUSTKEYS_SETOPS),
     "returnflag_rollup": (q_returnflag_rollup, SQL_RETURNFLAG_ROLLUP),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "returned_items_report": (q_returned_items_report, SQL_RETURNED_ITEMS_REPORT),
     "regional_supply": (q_regional_supply, SQL_REGIONAL_SUPPLY),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "order_priority_distinct": (q_order_priority_distinct, SQL_ORDER_PRIORITY_DISTINCT),

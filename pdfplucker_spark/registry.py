@@ -35,6 +35,7 @@ _RECORD_FIRST = (
     "docs_sample_weighted",
     "docs_mix_report",
     "docs_dedup_verdict",
+    "returned_items_report",
     # never in CORRECTNESS_r01..r03 (verified against the records)
     "dedup_canonical",
     "dedup_clusters",
