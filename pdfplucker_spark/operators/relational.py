@@ -452,6 +452,53 @@ GROUP BY n_name
 """
 
 
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: one pass over events
+    producing BOTH the hourly and the daily rollup per event_type via
+    GROUPING SETS — at 100 TB this is one shuffle instead of two jobs, and
+    the partial aggregation is shared map-side. Grain buckets are integer
+    epoch hours/days (engine-agnostic, TZ-proof); NULL grain + grouping
+    ids distinguish the sets."""
+    ev = load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    base = ev.select(
+        "event_type",
+        F.floor(us / F.lit(3600.0 * 1e6)).alias("epoch_hour"),
+        F.floor(us / F.lit(86400.0 * 1e6)).alias("epoch_day"),
+        "value",
+    )
+    base.createOrReplaceTempView("_etr")
+    return spark.sql(
+        """
+        SELECT event_type, epoch_hour, epoch_day,
+               CAST(grouping(epoch_hour) AS INT) AS is_daily,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM _etr
+        GROUP BY event_type, GROUPING SETS ((epoch_hour), (epoch_day))
+        """
+    )
+
+
+SQL_EVENTS_TIME_ROLLUP = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / (3600.0 * 1000000)) AS BIGINT) AS epoch_hour,
+         CAST(floor(epoch_us(ts) / (86400.0 * 1000000)) AS BIGINT) AS epoch_day,
+         value
+  FROM events
+)
+SELECT event_type, epoch_hour, epoch_day,
+       CAST(CASE WHEN epoch_hour IS NULL THEN 1 ELSE 0 END AS INT) AS is_daily,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM base
+GROUP BY GROUPING SETS ((event_type, epoch_hour), (event_type, epoch_day))
+"""
+
+
 def q_returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-style returned-items report: revenue lost to returns per
     customer, top 20. The 4-table shape: lineitem filtered to returns at
@@ -742,6 +789,7 @@ QUERIES = {
     "returnflag_rollup": (q_returnflag_rollup, SQL_RETURNFLAG_ROLLUP),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "returned_items_report": (q_returned_items_report, SQL_RETURNED_ITEMS_REPORT),
+    "events_time_rollup": (q_events_time_rollup, SQL_EVENTS_TIME_ROLLUP),
     "regional_supply": (q_regional_supply, SQL_REGIONAL_SUPPLY),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "order_priority_distinct": (q_order_priority_distinct, SQL_ORDER_PRIORITY_DISTINCT),

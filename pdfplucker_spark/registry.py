@@ -36,6 +36,7 @@ _RECORD_FIRST = (
     "docs_mix_report",
     "docs_dedup_verdict",
     "returned_items_report",
+    "events_time_rollup",
     # never in CORRECTNESS_r01..r03 (verified against the records)
     "dedup_canonical",
     "dedup_clusters",
