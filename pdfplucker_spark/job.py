@@ -162,22 +162,27 @@ def latest_view(
             seqs = {}
     else:
         seqs = commit_seqs(output)
-    seq_col = F.coalesce(
-        *[
-            F.when(F.col("run_id") == rid, F.lit(s))
-            for rid, s in sorted(seqs.items())
-        ],
-        F.lit(0),
-    ) if seqs else F.lit(0)
     docs = committed_view(spark, output, "docs_out", fmt=fmt).select(
         "doc_id", "run_id"
     )
+    # commit order attaches via a BROADCAST join on the tiny (run_id, seq)
+    # frame — one row per committed run. (A per-run CASE chain would grow
+    # the expression tree with run count: 10k compactions-worth of history
+    # is a 10k-branch expression per row.)
+    if seqs:
+        seq_df = spark.createDataFrame(
+            list(seqs.items()), "run_id string, commit_seq long"
+        )
+        docs = docs.join(F.broadcast(seq_df), "run_id", "left").withColumn(
+            "commit_seq", F.coalesce("commit_seq", F.lit(0))
+        )
+    else:
+        docs = docs.withColumn("commit_seq", F.lit(0))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("commit_seq"), F.desc("run_id")
     )
     winners = (
-        docs.withColumn("commit_seq", seq_col)
-        .withColumn("rn", F.row_number().over(w))
+        docs.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id", "run_id")
     )
