@@ -499,6 +499,69 @@ GROUP BY GROUPING SETS ((event_type, epoch_hour), (event_type, epoch_day))
 """
 
 
+def q_events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume anomaly score per event type: z = (count − mean)/std
+    over that type's daily counts. Float determinism across engines comes
+    from EXACT integer sums (Σcnt, Σcnt² in BIGINT — order-free), then one
+    literal-identical double expression for mean/var/z in both engines; a
+    stddev_samp aggregate would depend on partial-agg order. Two hash aggs
+    + a broadcast of the per-type stats (one row per type)."""
+    ev = load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    daily = ev.select(
+        "event_type", F.floor(us / F.lit(86400.0 * 1e6)).alias("epoch_day")
+    ).groupBy("event_type", "epoch_day").agg(F.count("*").alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    mean = F.col("s").cast("double") / F.col("n_days").cast("double")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n_days").cast("double")
+    ) / (F.col("n_days").cast("double") - 1.0)
+    z = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+    return j.select(
+        "event_type",
+        "epoch_day",
+        "cnt",
+        F.when((F.col("n_days") > 1) & (var > 0), F.round(z, 6)).alias("zscore"),
+    )
+
+
+SQL_EVENTS_DAILY_ANOMALY = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / (86400.0 * 1000000)) AS BIGINT) AS epoch_day,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         CAST(SUM(cnt) AS BIGINT) AS s,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.epoch_day, d.cnt,
+       CASE WHEN n_days > 1
+             AND (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0) > 0
+            THEN round((CAST(cnt AS DOUBLE)
+                        - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                       / sqrt((CAST(s2 AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                 / CAST(n_days AS DOUBLE))
+                              / (CAST(n_days AS DOUBLE) - 1.0)), 6)
+       END AS zscore
+FROM daily d JOIN stats USING (event_type)
+"""
+
+
 def q_returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-style returned-items report: revenue lost to returns per
     customer, top 20. The 4-table shape: lineitem filtered to returns at
@@ -790,6 +853,7 @@ QUERIES = {
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "returned_items_report": (q_returned_items_report, SQL_RETURNED_ITEMS_REPORT),
     "events_time_rollup": (q_events_time_rollup, SQL_EVENTS_TIME_ROLLUP),
+    "events_daily_anomaly": (q_events_daily_anomaly, SQL_EVENTS_DAILY_ANOMALY),
     "regional_supply": (q_regional_supply, SQL_REGIONAL_SUPPLY),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "order_priority_distinct": (q_order_priority_distinct, SQL_ORDER_PRIORITY_DISTINCT),

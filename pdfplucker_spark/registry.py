@@ -37,6 +37,7 @@ _RECORD_FIRST = (
     "docs_dedup_verdict",
     "returned_items_report",
     "events_time_rollup",
+    "events_daily_anomaly",
     # never in CORRECTNESS_r01..r03 (verified against the records)
     "dedup_canonical",
     "dedup_clusters",
