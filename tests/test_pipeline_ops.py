@@ -206,3 +206,44 @@ def test_dedup_verdict_one_keeper_per_cluster(spark):
         assert keepers[0].doc_id == best.doc_id, cid
         if len(members) == 1:
             assert keepers[0].keep
+
+
+def test_asof_bucketed_equals_plain_on_boundary_heavy_random_corpora(spark, tmp_path):
+    """Seeded randomized equivalence with timestamps CLUSTERED on hour-bucket
+    boundaries (±1 µs and exact) — the carry hand-off points where an
+    off-by-one-bucket bug would live. Five corpora, multiple users, purchase
+    density varied."""
+    import random
+
+    from pdfplucker_spark.operators.pipeline import (
+        ASOF_BUCKET_US,
+        q_events_asof_bucketed,
+        q_events_asof_purchase,
+    )
+
+    rng = random.Random(41)
+    for trial in range(5):
+        rows = []
+        eid = 0
+        for _ in range(200):
+            user = rng.randint(1, 4)
+            bucket = rng.randint(0, 6)
+            jitter = rng.choice([-1, 0, 1, rng.randint(2, ASOF_BUCKET_US - 2)])
+            tus = bucket * ASOF_BUCKET_US + (jitter % ASOF_BUCKET_US)
+            kind = "purchase" if rng.random() < (0.05 + 0.15 * trial) else "view"
+            rows.append((eid, tus, user, kind, 1.0, None))
+            eid += 1
+        p = f"{tmp_path}/ev{trial}.parquet"
+        spark.createDataFrame(
+            rows,
+            "event_id long, tus long, user_id long, event_type string, "
+            "value double, props string",
+        ).selectExpr(
+            "event_id",
+            "CAST(timestamp_micros(tus) AS TIMESTAMP_NTZ) AS ts",
+            "user_id", "event_type", "value", "props",
+        ).write.parquet(f"{tmp_path}/t{trial}/events.parquet")
+        plain = q_events_asof_purchase(spark, f"{tmp_path}/t{trial}")
+        bucketed = q_events_asof_bucketed(spark, f"{tmp_path}/t{trial}")
+        diff = plain.exceptAll(bucketed).count() + bucketed.exceptAll(plain).count()
+        assert diff == 0, f"trial {trial}: {diff} differing rows"
