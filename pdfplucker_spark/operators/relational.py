@@ -491,7 +491,9 @@ WITH base AS (
   FROM events
 )
 SELECT event_type, epoch_hour, epoch_day,
-       CAST(CASE WHEN epoch_hour IS NULL THEN 1 ELSE 0 END AS INT) AS is_daily,
+       -- GROUPING(), not `epoch_hour IS NULL`: a NULL-ts event would make
+       -- the hourly set's NULL grain masquerade as the daily row otherwise
+       CAST(GROUPING(epoch_hour) AS INT) AS is_daily,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM base

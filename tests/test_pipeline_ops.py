@@ -233,7 +233,6 @@ def test_asof_bucketed_equals_plain_on_boundary_heavy_random_corpora(spark, tmp_
             kind = "purchase" if rng.random() < (0.05 + 0.15 * trial) else "view"
             rows.append((eid, tus, user, kind, 1.0, None))
             eid += 1
-        p = f"{tmp_path}/ev{trial}.parquet"
         spark.createDataFrame(
             rows,
             "event_id long, tus long, user_id long, event_type string, "
@@ -247,3 +246,45 @@ def test_asof_bucketed_equals_plain_on_boundary_heavy_random_corpora(spark, tmp_
         bucketed = q_events_asof_bucketed(spark, f"{tmp_path}/t{trial}")
         diff = plain.exceptAll(bucketed).count() + bucketed.exceptAll(plain).count()
         assert diff == 0, f"trial {trial}: {diff} differing rows"
+
+
+def test_time_rollup_null_ts_distinguishes_grouping_from_null_grain(spark, tmp_path):
+    """A NULL-ts event produces a NULL hourly grain INSIDE the hourly
+    grouping set; the oracle must use GROUPING(), not `grain IS NULL`, or
+    that row masquerades as the daily rollup. Both engines compared on a
+    corpus that actually contains the NULL."""
+    import duckdb
+
+    from pdfplucker_spark.operators.relational import (
+        SQL_EVENTS_TIME_ROLLUP,
+        q_events_time_rollup,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, None),
+        (2, "2024-01-01 11:30:00", 1, "view", 2.0, None),
+        (3, None, 1, "view", 4.0, None),  # the NULL-ts event
+    ]
+    p = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) ts", "user_id",
+        "event_type", "value", "props",
+    ).write.parquet(p)
+    key = lambda t: tuple(map(repr, t))
+    got = sorted(
+        map(tuple, q_events_time_rollup(spark, str(tmp_path)).collect()), key=key
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    exp = sorted(map(tuple, con.execute(SQL_EVENTS_TIME_ROLLUP).fetchall()), key=key)
+    assert got == exp
+    # the NULL-grain HOURLY row (is_daily=0) and the NULL-grain DAILY row
+    # (is_daily=1) must both exist and stay distinct
+    null_hourly = [r for r in got if r[1] is None and r[3] == 0]
+    null_daily = [r for r in got if r[2] is None and r[3] == 1 and r[1] is None]
+    assert len(null_hourly) == 1 and null_hourly[0][4] == 1
+    assert len(null_daily) == 1
