@@ -105,7 +105,59 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# inclusion-exclusion compounds three sketch errors; the acceptance bound
+# is stated relative to the UNION size (the stable denominator)
+OVERLAP_BOUND = 0.05
+
+
+def q_events_approx_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch COMPOSITION: approximate audience overlap between two event
+    types via inclusion-exclusion over three HLL++ sketches —
+    |A∩B| ≈ |A| + |B| − |A∪B| — the shape you use when the exact
+    intersection's distinct state is unaffordable but per-side sketches
+    already exist. HLL sketches cannot intersect directly; this is the
+    standard workaround and its error compounds, so the bound is stated
+    relative to the union. Exact legs compute alongside as the oracle
+    comparison (dropped at 100 TB)."""
+    ev = load(spark, sf_dir, "events")
+    va = F.when(F.col("event_type") == "view", F.col("user_id"))
+    pb = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    both = ev.where(F.col("event_type").isin("view", "purchase"))
+    agg = both.groupBy().agg(
+        F.countDistinct(va).alias("n_view_exact"),
+        F.countDistinct(pb).alias("n_purchase_exact"),
+        F.countDistinct("user_id").alias("n_union_exact"),
+        F.approx_count_distinct(va, rsd=HLL_RSD).alias("a_view"),
+        F.approx_count_distinct(pb, rsd=HLL_RSD).alias("a_purchase"),
+        F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("a_union"),
+    )
+    exact_overlap = (
+        F.col("n_view_exact") + F.col("n_purchase_exact") - F.col("n_union_exact")
+    )
+    approx_overlap = F.col("a_view") + F.col("a_purchase") - F.col("a_union")
+    ok = (
+        F.abs(approx_overlap - exact_overlap)
+        <= OVERLAP_BOUND * F.col("n_union_exact")
+    )
+    return agg.select(
+        exact_overlap.alias("n_overlap_exact"),
+        F.col("n_union_exact"),
+        ok.alias("approx_within_bound"),
+    )
+
+
+SQL_EVENTS_APPROX_OVERLAP = """
+SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+            + COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+            - COUNT(DISTINCT user_id) AS BIGINT) AS n_overlap_exact,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_union_exact,
+       TRUE AS approx_within_bound
+FROM events WHERE event_type IN ('view', 'purchase')
+"""
+
+
 QUERIES = {
+    "events_approx_overlap": (q_events_approx_overlap, SQL_EVENTS_APPROX_OVERLAP),
     "events_approx_distinct": (q_events_approx_distinct, SQL_EVENTS_APPROX_DISTINCT),
     "lineitem_approx_quantiles": (
         q_lineitem_approx_quantiles,

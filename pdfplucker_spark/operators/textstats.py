@@ -294,7 +294,97 @@ FROM p
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter: the standard production text gate
+# ---------------------------------------------------------------------------
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality RULES (word-count bounds, mean word length,
+    symbol ratio, stopword presence, numeric-token fraction) as per-doc
+    boolean columns plus the composite pass flag — the rule-stack shape
+    production filters use (each rule auditable, the gate their AND).
+    Map-only integer/char arithmetic; NULL text coalesces to '' BEFORE
+    tokenizing in both engines (the list_distinct/concat_ws NULL-gram
+    divergence, CLAUDE.md). Mean word length uses the exact identity
+    total_token_chars = length(text) − (n_tok − 1) for space-joined text —
+    no per-token length pass."""
+    d = load(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.split(txt, " ")
+    n_tok = F.size(toks)
+    n_chars = F.length(txt)
+    mean_wl = (n_chars - (n_tok - 1)).cast("double") / n_tok
+    n_sym = (n_chars - F.length(F.replace(txt, F.lit("#"), F.lit("")))) + (
+        n_chars - F.length(F.replace(txt, F.lit("|"), F.lit("")))
+    )
+    sym_ratio = n_sym.cast("double") / F.greatest(n_chars, F.lit(1))
+    n_stop = _spark_count_in("split(coalesce(text, ''), ' ')", _STOP["en"])
+    n_num = F.expr(
+        "size(filter(split(coalesce(text, ''), ' '), t -> t rlike '^[0-9]+$'))"
+    )
+    num_frac = n_num.cast("double") / n_tok
+    r_wc = (n_tok >= 5) & (n_tok <= 10000)
+    r_wl = (mean_wl >= 1.5) & (mean_wl <= 10.0)
+    r_sym = sym_ratio <= 0.1
+    r_stop = n_stop >= 1
+    r_num = num_frac <= 0.3
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(num_frac, 6).alias("numeric_frac"),
+        r_wc.alias("r_wordcount"),
+        r_wl.alias("r_wordlen"),
+        r_sym.alias("r_symbols"),
+        r_stop.alias("r_stopwords"),
+        r_num.alias("r_numeric"),
+        (r_wc & r_wl & r_sym & r_stop & r_num).alias("gopher_pass"),
+    )
+
+
+_SQL_EN_STOP = ", ".join(f"'{w}'" for w in _STOP["en"])
+
+SQL_TEXT_GOPHER_RULES = f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS txt FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(string_split(txt, ' ')) AS n_tok,
+         length(txt) AS n_chars,
+         length(txt) - length(replace(txt, '#', ''))
+           + length(txt) - length(replace(txt, '|', '')) AS n_sym,
+         len(list_filter(string_split(txt, ' '),
+             t -> list_contains([{_SQL_EN_STOP}], t))) AS n_stop,
+         len(list_filter(string_split(txt, ' '),
+             t -> regexp_full_match(t, '[0-9]+'))) AS n_num
+  FROM t
+),
+r AS (
+  SELECT doc_id, n_tok,
+         CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok AS mean_wl,
+         CAST(n_sym AS DOUBLE) / greatest(n_chars, 1) AS sym_ratio,
+         CAST(n_num AS DOUBLE) / n_tok AS num_frac,
+         n_stop
+  FROM m
+)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+       round(mean_wl, 6) AS mean_word_len,
+       round(sym_ratio, 6) AS symbol_ratio,
+       round(num_frac, 6) AS numeric_frac,
+       n_tok >= 5 AND n_tok <= 10000 AS r_wordcount,
+       mean_wl >= 1.5 AND mean_wl <= 10.0 AS r_wordlen,
+       sym_ratio <= 0.1 AS r_symbols,
+       n_stop >= 1 AS r_stopwords,
+       num_frac <= 0.3 AS r_numeric,
+       (n_tok >= 5 AND n_tok <= 10000) AND (mean_wl >= 1.5 AND mean_wl <= 10.0)
+         AND sym_ratio <= 0.1 AND n_stop >= 1 AND num_frac <= 0.3 AS gopher_pass
+FROM r
+"""
+
+
 QUERIES = {
+    "text_gopher_rules": (q_text_gopher_rules, SQL_TEXT_GOPHER_RULES),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_pii_scan": (q_text_pii_scan, SQL_TEXT_PII_SCAN),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),

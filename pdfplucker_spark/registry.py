@@ -38,6 +38,8 @@ _RECORD_FIRST = (
     "returned_items_report",
     "events_time_rollup",
     "events_daily_anomaly",
+    "text_gopher_rules",
+    "events_approx_overlap",
     # never in CORRECTNESS_r01..r03 (verified against the records)
     "dedup_canonical",
     "dedup_clusters",
