@@ -501,6 +501,106 @@ GROUP BY GROUPING SETS ((event_type, epoch_hour), (event_type, epoch_day))
 """
 
 
+N_HIST_BANDS = 20
+
+
+def q_lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extended prices: the OLAP profiling
+    primitive. Two passes — a 1-row (min, max) aggregate broadcast back,
+    then a map-side band assignment + hash count. Band edges use one
+    literal-identical double expression in both engines (floor of the
+    scaled offset, top value clamped into the last band), so bucketing is
+    bit-deterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    ext = li.select(F.col("l_extendedprice").cast("double").alias("p"))
+    mm = ext.agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
+    band = F.least(
+        F.floor(
+            (F.col("p") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / F.lit(float(N_HIST_BANDS)))
+        ).cast("int"),
+        F.lit(N_HIST_BANDS - 1),
+    )
+    return (
+        ext.crossJoin(F.broadcast(mm))
+        .select(band.alias("band"), "lo", "hi")
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.first("lo") + F.col("band") * ((F.first("hi") - F.first("lo")) / N_HIST_BANDS),
+                6,
+            ).alias("band_lo"),
+        )
+        .select("band", "band_lo", "n_items")
+    )
+
+
+SQL_LINEITEM_PRICE_HISTOGRAM = f"""
+WITH ext AS (SELECT CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem),
+mm AS (SELECT MIN(p) AS lo, MAX(p) AS hi FROM ext),
+banded AS (
+  SELECT least(CAST(floor((p - lo) / ((hi - lo) / {N_HIST_BANDS}.0)) AS INT),
+               {N_HIST_BANDS - 1}) AS band,
+         lo, hi
+  FROM ext, mm
+)
+SELECT band,
+       round(MIN(lo) + band * ((MIN(hi) - MIN(lo)) / {N_HIST_BANDS}), 6) AS band_lo,
+       COUNT(*) AS n_items
+FROM banded GROUP BY band
+"""
+
+
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts (the Markov-chain / funnel
+    diagnostic): per user, each consecutive (prev → curr) pair counted
+    corpus-wide, plus the row-conditional probability. One lag window per
+    user (the same key every sequence operator shuffles on) + one hash
+    aggregation; probability = count / row total via a broadcast of the
+    per-prev totals."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias(
+                "p_next"
+            ),
+        )
+    )
+
+
+SQL_EVENTS_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total FROM pairs GROUP BY prev_type)
+SELECT p.prev_type, p.next_type, p.n,
+       round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS p_next
+FROM pairs p JOIN totals t USING (prev_type)
+"""
+
+
 def q_events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily volume anomaly score per event type: z = (count − mean)/std
     over that type's daily counts. Float determinism across engines comes
@@ -856,6 +956,14 @@ QUERIES = {
     "returned_items_report": (q_returned_items_report, SQL_RETURNED_ITEMS_REPORT),
     "events_time_rollup": (q_events_time_rollup, SQL_EVENTS_TIME_ROLLUP),
     "events_daily_anomaly": (q_events_daily_anomaly, SQL_EVENTS_DAILY_ANOMALY),
+    "lineitem_price_histogram": (
+        q_lineitem_price_histogram,
+        SQL_LINEITEM_PRICE_HISTOGRAM,
+    ),
+    "events_transition_matrix": (
+        q_events_transition_matrix,
+        SQL_EVENTS_TRANSITION_MATRIX,
+    ),
     "regional_supply": (q_regional_supply, SQL_REGIONAL_SUPPLY),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "order_priority_distinct": (q_order_priority_distinct, SQL_ORDER_PRIORITY_DISTINCT),

@@ -40,6 +40,8 @@ _RECORD_FIRST = (
     "events_daily_anomaly",
     "text_gopher_rules",
     "events_approx_overlap",
+    "lineitem_price_histogram",
+    "events_transition_matrix",
     # never in CORRECTNESS_r01..r03 (verified against the records)
     "dedup_canonical",
     "dedup_clusters",
