@@ -514,12 +514,17 @@ def q_lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     ext = li.select(F.col("l_extendedprice").cast("double").alias("p"))
     mm = ext.agg(F.min("p").alias("lo"), F.max("p").alias("hi"))
-    band = F.least(
-        F.floor(
-            (F.col("p") - F.col("lo"))
-            / ((F.col("hi") - F.col("lo")) / F.lit(float(N_HIST_BANDS)))
-        ).cast("int"),
-        F.lit(N_HIST_BANDS - 1),
+    # hi == lo (constant column) would make the band 0/0 = NaN, which the
+    # two engines cast/clamp differently — route the degenerate case to
+    # band 0 explicitly
+    band = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("p") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(float(N_HIST_BANDS)))
+            ).cast("int"),
+            F.lit(N_HIST_BANDS - 1),
+        )
     )
     return (
         ext.crossJoin(F.broadcast(mm))
@@ -540,8 +545,9 @@ SQL_LINEITEM_PRICE_HISTOGRAM = f"""
 WITH ext AS (SELECT CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem),
 mm AS (SELECT MIN(p) AS lo, MAX(p) AS hi FROM ext),
 banded AS (
-  SELECT least(CAST(floor((p - lo) / ((hi - lo) / {N_HIST_BANDS}.0)) AS INT),
-               {N_HIST_BANDS - 1}) AS band,
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE least(CAST(floor((p - lo) / ((hi - lo) / {N_HIST_BANDS}.0)) AS INT),
+                         {N_HIST_BANDS - 1}) END AS band,
          lo, hi
   FROM ext, mm
 )

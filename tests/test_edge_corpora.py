@@ -1,0 +1,97 @@
+"""Hostile-corpus cross-engine gates for round-4 analytics operators: the
+driver corpora carry no NULL text / NULL event types / constant columns,
+so these edges are exercised on purpose-built corpora against the SAME
+registered oracle SQL."""
+
+import duckdb
+
+from pdfplucker_spark.operators.relational import (
+    SQL_EVENTS_TRANSITION_MATRIX,
+    SQL_LINEITEM_PRICE_HISTOGRAM,
+    q_events_transition_matrix,
+    q_lineitem_price_histogram,
+)
+from pdfplucker_spark.operators.textstats import (
+    SQL_TEXT_GOPHER_RULES,
+    q_text_gopher_rules,
+)
+
+
+def _cmp(spark_df, con, sql):
+    key = lambda t: tuple(map(repr, t))
+    got = sorted(map(tuple, spark_df.collect()), key=key)
+    exp = sorted(map(tuple, con.execute(sql).fetchall()), key=key)
+    assert got == exp, f"\nspark={got[:5]}\nduck ={exp[:5]}"
+    return got
+
+
+def test_gopher_rules_null_and_empty_text(spark, tmp_path):
+    """NULL and empty text: both engines must agree (coalesce-first
+    contract) and both docs must fail the gate deterministically."""
+    rows = [
+        (1, None, "en", "s", 0),
+        (2, "", "en", "s", 0),
+        (3, "the cat sat on the mat", "en", "s", 22),
+        (4, "1 2 3 4 5 6 7 8 9 10 11 12", "en", "s", 26),  # numeric-heavy
+        (5, "### ||| ### ||| the ###", "en", "s", 23),  # symbol-heavy
+    ]
+    p = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    got = _cmp(q_text_gopher_rules(spark, str(tmp_path)), con, SQL_TEXT_GOPHER_RULES)
+    verdicts = {r[0]: r[-1] for r in got}
+    assert verdicts[1] is False and verdicts[2] is False  # null/empty fail
+    assert verdicts[3] is True  # normal prose passes
+    assert verdicts[4] is False  # numeric fraction rule
+    assert verdicts[5] is False  # symbol ratio rule
+
+
+def test_histogram_constant_price_column(spark, tmp_path):
+    """hi == lo: the band expression is 0/0 without the guard — both
+    engines must route every row to band 0."""
+    rows = [(i, 42.5) for i in range(10)]
+    p = f"{tmp_path}/lineitem.parquet"
+    spark.createDataFrame(rows, "l_orderkey long, l_extendedprice double").write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    got = _cmp(
+        q_lineitem_price_histogram(spark, str(tmp_path)),
+        con,
+        SQL_LINEITEM_PRICE_HISTOGRAM,
+    )
+    assert len(got) == 1 and got[0][0] == 0 and got[0][2] == 10
+
+
+def test_transition_matrix_null_event_types(spark, tmp_path):
+    """NULL event types: transitions INTO a NULL type group under the NULL
+    key identically in both engines; transitions OUT of NULL are dropped by
+    the prev IS NOT NULL filter in both."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, None),
+        (2, "2024-01-01 10:01:00", 1, None, 1.0, None),
+        (3, "2024-01-01 10:02:00", 1, "purchase", 1.0, None),
+        (4, "2024-01-01 10:03:00", 1, "view", 1.0, None),
+    ]
+    p = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) ts", "user_id",
+        "event_type", "value", "props",
+    ).write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    got = _cmp(
+        q_events_transition_matrix(spark, str(tmp_path)),
+        con,
+        SQL_EVENTS_TRANSITION_MATRIX,
+    )
+    # view->NULL and purchase->view survive; NULL->purchase dropped
+    assert ("view", None, 1, 1.0) in got
+    assert ("purchase", "view", 1, 1.0) in got
+    assert not any(r[0] is None for r in got)
