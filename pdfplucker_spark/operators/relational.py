@@ -162,7 +162,11 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions over the event stream: row_number, lag, running sum
     (running sum in exact decimal → double, order-independent)."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last: Spark windows default NULLS FIRST, DuckDB defaults
+    # nulls_last — a NULL ts would silently reorder the sequence per engine
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc("event_id")
+    )
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     return ev.select(
         "user_id",
@@ -179,10 +183,10 @@ SQL_EVENTS_WINDOW = """
 SELECT user_id, event_id,
        ROW_NUMBER() OVER w AS rn,
        LAG(event_type) OVER w AS prev_type,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
 """
 
 
@@ -212,7 +216,9 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The batch formulation of what Structured Streaming's session window
     does with state; scales as one shuffle on user_id."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc("event_id")
+    )
     # NTZ-safe and microsecond-exact: timestampdiff works on NTZ without
     # any session-timezone interpretation (driver session TZ is unknown)
     prev = F.lag("ts").over(w)
@@ -242,10 +248,10 @@ WITH flagged AS (
                    OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800 * 1000000
               THEN 1 ELSE 0 END AS boundary
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
 ),
 sess AS (
-  SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
 )
@@ -566,7 +572,9 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; probability = count / row total via a broadcast of the
     per-prev totals."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc("event_id")
+    )
     pairs = (
         ev.select("user_id", "ts", "event_id", "event_type")
         .withColumn("prev_type", F.lag("event_type").over(w))
@@ -591,7 +599,7 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_TRANSITION_MATRIX = """
 WITH seq AS (
   SELECT user_id, event_type,
-         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
            AS prev_type
   FROM events
 ),

@@ -318,8 +318,11 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym_ratio = n_sym.cast("double") / F.greatest(n_chars, F.lit(1))
     n_stop = _spark_count_in("split(coalesce(text, ''), ' ')", _STOP["en"])
+    # \A...\z, not ^...$: Java's $ matches BEFORE a final newline, so
+    # '123\n' would count as numeric in Spark but not in DuckDB's
+    # regexp_full_match — anchor to absolute string edges in both engines
     n_num = F.expr(
-        "size(filter(split(coalesce(text, ''), ' '), t -> t rlike '^[0-9]+$'))"
+        "size(filter(split(coalesce(text, ''), ' '), t -> t rlike '\\\\A[0-9]+\\\\z'))"
     )
     num_frac = n_num.cast("double") / n_tok
     r_wc = (n_tok >= 5) & (n_tok <= 10000)
@@ -342,8 +345,6 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_EN_STOP = ", ".join(f"'{w}'" for w in _STOP["en"])
-
 SQL_TEXT_GOPHER_RULES = f"""
 WITH t AS (
   SELECT doc_id, coalesce(text, '') AS txt FROM documents
@@ -355,7 +356,7 @@ m AS (
          length(txt) - length(replace(txt, '#', ''))
            + length(txt) - length(replace(txt, '|', '')) AS n_sym,
          len(list_filter(string_split(txt, ' '),
-             t -> list_contains([{_SQL_EN_STOP}], t))) AS n_stop,
+             t -> list_contains({_sql_list(_STOP['en'])}, t))) AS n_stop,
          len(list_filter(string_split(txt, ' '),
              t -> regexp_full_match(t, '[0-9]+'))) AS n_num
   FROM t

@@ -34,6 +34,10 @@ def test_gopher_rules_null_and_empty_text(spark, tmp_path):
         (3, "the cat sat on the mat", "en", "s", 22),
         (4, "1 2 3 4 5 6 7 8 9 10 11 12", "en", "s", 26),  # numeric-heavy
         (5, "### ||| ### ||| the ###", "en", "s", 23),  # symbol-heavy
+        # '42\n' token: Java's $ would match before the trailing newline
+        # (counting it numeric) while DuckDB's regexp_full_match would not —
+        # the \A..\z anchors keep both engines at "not numeric"
+        (6, "the 42\n cat sat on mat", "en", "s", 22),
     ]
     p = f"{tmp_path}/documents.parquet"
     spark.createDataFrame(
@@ -47,6 +51,8 @@ def test_gopher_rules_null_and_empty_text(spark, tmp_path):
     assert verdicts[3] is True  # normal prose passes
     assert verdicts[4] is False  # numeric fraction rule
     assert verdicts[5] is False  # symbol ratio rule
+    newline_doc = [r for r in got if r[0] == 6][0]
+    assert newline_doc[4] == 0.0  # '42\n' is NOT a numeric token in either engine
 
 
 def test_histogram_constant_price_column(spark, tmp_path):

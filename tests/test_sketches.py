@@ -58,3 +58,39 @@ def test_registered_flags_all_true(spark):
     assert d.where(~F.col("approx_within_bound")).count() == 0
     q = q_lineitem_approx_quantiles(spark, SF)
     assert q.where(~F.col("approx_within_bound")).count() == 0
+
+
+def test_overlap_sketch_error_within_bound(spark):
+    """The compounded inclusion-exclusion error, measured directly at
+    sf0.01: |approx − exact| must stay within OVERLAP_BOUND·|union| (the
+    registered flag asserts the same predicate through the oracle gate;
+    this measures the actual error, per the sketches-module contract)."""
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.operators.sketches import (
+        HLL_RSD,
+        OVERLAP_BOUND,
+        q_events_approx_overlap,
+    )
+    from pdfplucker_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    ev = load(spark, sf, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    va = F.when(F.col("event_type") == "view", F.col("user_id"))
+    pb = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    r = ev.groupBy().agg(
+        F.countDistinct(va).alias("ve"),
+        F.countDistinct(pb).alias("pe"),
+        F.countDistinct("user_id").alias("ue"),
+        F.approx_count_distinct(va, rsd=HLL_RSD).alias("va"),
+        F.approx_count_distinct(pb, rsd=HLL_RSD).alias("pa"),
+        F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("ua"),
+    ).collect()[0]
+    exact = r.ve + r.pe - r.ue
+    approx = r.va + r.pa - r.ua
+    assert abs(approx - exact) <= OVERLAP_BOUND * r.ue, (approx, exact, r.ue)
+    # and the registered flag agrees
+    row = q_events_approx_overlap(spark, sf).collect()[0]
+    assert row.approx_within_bound and row.n_overlap_exact == exact
