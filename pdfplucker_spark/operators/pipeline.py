@@ -555,6 +555,38 @@ SELECT doc_id, cluster_id, cluster_size, rn = 1 AS keep FROM (
 """
 
 
+def q_docs_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup governance report: per source, how many docs the keep-list
+    drops and the duplication rate — the number a data-quality dashboard
+    publishes after each dedup run. Composes the verdict with one
+    broadcast-dim join (documents' compact (doc_id, source) projection)
+    and one hash aggregation."""
+    v = q_docs_dedup_verdict(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    dropped = F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+    return (
+        v.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            dropped.alias("n_dropped"),
+            F.round(dropped.cast("double") / F.count("*"), 6).alias("dup_rate"),
+        )
+    )
+
+
+def _sql_docs_dedup_rate_report() -> str:
+    return f"""
+WITH verdict AS ({_sql_docs_dedup_verdict()})
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN NOT v.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       round(CAST(SUM(CASE WHEN NOT v.keep THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 6) AS dup_rate
+FROM verdict v JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # range join: events within each purchase's attribution window
 # ---------------------------------------------------------------------------
@@ -935,6 +967,10 @@ QUERIES = {
     "docs_mix_report": (q_docs_mix_report, SQL_DOCS_MIX_REPORT),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "docs_dedup_verdict": (q_docs_dedup_verdict, _sql_docs_dedup_verdict()),
+    "docs_dedup_rate_report": (
+        q_docs_dedup_rate_report,
+        _sql_docs_dedup_rate_report(),
+    ),
     "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
     "docs_pack_shards": (_q_docs_pack_shards_pinned, SQL_DOCS_PACK_SHARDS),
     "docs_decontaminate": (q_docs_decontaminate, SQL_DOCS_DECONTAMINATE),

@@ -42,6 +42,7 @@ _RECORD_FIRST = (
     "events_approx_overlap",
     "lineitem_price_histogram",
     "events_transition_matrix",
+    "docs_dedup_rate_report",
     # never in CORRECTNESS_r01..r03 (verified against the records)
     "dedup_canonical",
     "dedup_clusters",
