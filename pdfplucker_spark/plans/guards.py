@@ -36,10 +36,15 @@ def drop_oversized_buckets(
     candidate join (the exchange is reused), then an inner join keeps only
     rows of surviving buckets. Dropped buckets are counted and logged —
     silence here would read as full recall when it isn't. ``keys`` should be
-    persisted by the caller (the guard is its second consumer); the tiny
-    occupancy frame (one row per bucket) is persisted HERE so the logging
-    count and the filtering join share one aggregation pass instead of
-    recomputing it per consumer."""
+    persisted by the caller (the guard is its second consumer); the
+    occupancy frame (one row per distinct bucket key) is persisted HERE so
+    the logging count and the filtering join share one aggregation pass
+    instead of recomputing it per consumer. Note the occupancy frame's
+    cardinality is the DISTINCT-key count — tiny for banded LSH (2^r per
+    table) but corpus-scale for raw-shingle guards (decontaminate /
+    containment); MEMORY_AND_DISK default spills it, and the downstream
+    join needs that frame materialized regardless, so the persist trades
+    no extra state for one saved aggregation pass."""
     if cap is None:
         return keys
     cols = list(key_cols)
