@@ -69,6 +69,29 @@ def read_media_files(
     return reader.load(path)
 
 
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text ingestion — the rawest crawl-dump format: one
+    document per line via the built-in ``text`` source (distributed,
+    splittable). Returns (doc_id, text, source): doc_id is the
+    content-addressed md5 of (file, line), so ids are DETERMINISTIC across
+    runs, partitionings, and scan orders (a monotonically_increasing_id
+    would not be) — with the documented consequence that identical lines
+    within one file collapse to one id, which for a crawl dump is the
+    dedup you wanted anyway."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.text(path)
+        .select(
+            F.md5(F.concat(F.input_file_name(), F.lit(":"), F.col("value"))).alias(
+                "doc_id"
+            ),
+            F.col("value").alias("text"),
+            F.input_file_name().alias("source"),
+        )
+    )
+
+
 def read_docs_nested(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     """Read the nested (doc_id, spans) input table from any format that can
     carry the nested struct array."""

@@ -53,3 +53,27 @@ def test_nested_input_roundtrip_through_engine(spark, tmp_path, t1_path, fmt):
 def test_csv_rejected_for_nested(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported"):
         read_docs_nested(spark, str(tmp_path), "csv")
+
+
+def test_text_lines_ingestion_deterministic_ids(spark, tmp_path):
+    """Line-oriented text source: one doc per line, ids content-addressed
+    and stable across re-reads and repartitioning."""
+    import os
+
+    from pdfplucker_spark.sources.connectors import read_text_lines
+
+    d = tmp_path / "txt"
+    os.makedirs(d)
+    (d / "a.txt").write_text("the cat sat\non the mat\n")
+    (d / "b.txt").write_text("another document line\n")
+    df = read_text_lines(spark, str(d))
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r.text for r in rows} == {
+        "the cat sat", "on the mat", "another document line",
+    }
+    assert len({r.doc_id for r in rows}) == 3
+    again = {r.text: r.doc_id for r in read_text_lines(spark, str(d)).repartition(8).collect()}
+    for r in rows:
+        assert again[r.text] == r.doc_id  # deterministic across scans
+    assert all(r.source.endswith(".txt") for r in rows)
