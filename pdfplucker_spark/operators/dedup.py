@@ -18,7 +18,7 @@ oracles match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pdfplucker_spark.functions.hashing import (
     duckdb_minhash_band,
@@ -577,10 +577,133 @@ WHERE CAST(n_shared AS DOUBLE) / sz_a >= {CONTAINMENT_THRESHOLD}
 """
 
 
+def q_dedup_containment_prefix(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """The SCALE path for containment: LOSSLESS prefix filtering
+    (PPJoin-style). If |sh(A) ∩ sh(B)| ≥ t·|sh(A)| then A's
+    (|A| − ⌈t·|A|⌉ + 1) RAREST shingles (global df ascending, shingle
+    tie-break) must intersect sh(B) — so only A's prefix joins against the
+    index, and because the prefix is chosen rarest-first the join volume
+    collapses from Σ_g df(g)² to Σ_g df_prefix(g)·df(g) with
+    df_prefix skewed to rare keys. Candidates are then verified with the
+    EXACT shared-shingle count, so the result is bit-identical to
+    ``q_dedup_containment_pairs`` (asserted by pytest). The df cap still
+    guards the degenerate corpus; the df ordering it needs is the same
+    aggregation, shared."""
+    d = load(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("g")).persist()
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz_a"))
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("df")).persist()
+    n_over = dfreq.where(F.col("df") > df_cap).count() if df_cap is not None else 0
+    if n_over:
+        import logging
+
+        logging.getLogger("pdfplucker_spark.plans.guards").warning(
+            "dedup_containment_prefix: dropped %d over-capacity shingles "
+            "(cap=%d) — non-discriminative keys excluded from the index",
+            n_over,
+            df_cap,
+        )
+    ok = dfreq if df_cap is None else dfreq.where(F.col("df") <= df_cap)
+    ranked = (
+        ex.join(ok, "g")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
+            ),
+        )
+        .join(sizes.withColumnRenamed("doc_id", "doc_id2"), F.col("doc_id") == F.col("doc_id2"))
+        .drop("doc_id2")
+    )
+    # prefix length = sz - ceil(t*sz) + 1 over the SURVIVING shingles'
+    # count? No: the containment denominator is the full |sh(A)|, and the
+    # guard only removes join keys — the prefix bound must therefore use
+    # the count of A's shingles IN THE INDEX (rare ones), which is what
+    # `r` ranks over; using full sz_a keeps the bound valid (prefix can
+    # only get longer), so the filter stays lossless under the cap.
+    prefix = ranked.where(
+        F.col("r") <= F.col("sz_a") - F.ceil(F.lit(CONTAINMENT_THRESHOLD) * F.col("sz_a")) + 1
+    ).select("doc_id", "g")
+    index = ex.join(ok.select("g"), "g")
+    cand = (
+        prefix.alias("a")
+        .join(index.alias("b"), "g")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verify: the true shared count over the GUARDED key set (the
+    # same |∩| the direct operator counts), denominator = full |sh(A)|
+    shared = (
+        cand.join(
+            ex.join(ok.select("g"), "g").alias("xa"),
+            (F.col("doc_a") == F.col("xa.doc_id")),
+        )
+        .join(
+            ex.join(ok.select("g"), "g").alias("xb"),
+            (F.col("doc_b") == F.col("xb.doc_id"))
+            & (F.col("xa.g") == F.col("xb.g")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    raw = F.col("n_shared").cast("double") / F.col("sz_a")
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .where(raw >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", "n_shared", F.round(raw, 6).alias("containment")
+        )
+    )
+
+
+SQL_DEDUP_CONTAINMENT_PREFIX = f"""
+WITH sh AS (
+  SELECT doc_id, UNNEST({SQL_SHINGLE_LIST}) AS g FROM documents
+),
+dfreq AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g HAVING COUNT(*) <= {DEFAULT_BUCKET_CAP}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz_a FROM sh GROUP BY doc_id),
+ranked AS (
+  SELECT sh.doc_id, sh.g, s.sz_a,
+         ROW_NUMBER() OVER (PARTITION BY sh.doc_id ORDER BY d.df ASC, sh.g ASC) AS r
+  FROM sh JOIN dfreq d USING (g) JOIN sizes s USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, g FROM ranked
+  WHERE r <= sz_a - CAST(ceil({CONTAINMENT_THRESHOLD} * sz_a) AS BIGINT) + 1
+),
+idx AS (SELECT doc_id, g FROM sh JOIN dfreq USING (g)),
+cand AS (
+  SELECT DISTINCT p.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix p JOIN idx b USING (g)
+  WHERE p.doc_id <> b.doc_id
+),
+shared AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN idx xa ON xa.doc_id = c.doc_a
+  JOIN idx xb ON xb.doc_id = c.doc_b AND xb.g = xa.g
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / sz_a, 6) AS containment
+FROM shared JOIN sizes ON sizes.doc_id = doc_a
+WHERE CAST(n_shared AS DOUBLE) / sz_a >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 QUERIES = {
     "dedup_containment_pairs": (
         q_dedup_containment_pairs,
         SQL_DEDUP_CONTAINMENT_PAIRS,
+    ),
+    "dedup_containment_prefix": (
+        q_dedup_containment_prefix,
+        SQL_DEDUP_CONTAINMENT_PREFIX,
     ),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_bag": (q_dedup_bag, SQL_DEDUP_BAG),

@@ -31,6 +31,7 @@ _RECORD_FIRST = (
     "events_asof_bucketed",
     "sim_kmeans_fit",
     "dedup_containment_pairs",
+    "dedup_containment_prefix",
     "spans_main_content",
     "docs_sample_weighted",
     "docs_mix_report",

@@ -167,3 +167,41 @@ def test_connected_components_cap_logs_not_silent(spark, caplog):
     with caplog.at_level(logging.WARNING, logger="pdfplucker_spark.operators.pipeline"):
         connected_components(nodes, pairs, max_iters=3).collect()
     assert any("safety cap" in r.message for r in caplog.records)
+
+
+def test_containment_prefix_filter_is_lossless(spark, tmp_path):
+    """The PPJoin-style prefix filter must return EXACTLY the direct
+    operator's pairs — on the real corpus and on a crafted quote/subset
+    corpus (short doc fully embedded in a long one: containment 1.0 with
+    low Jaccard, the case the operator exists for)."""
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.dedup import (
+        q_dedup_containment_pairs,
+        q_dedup_containment_prefix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    direct = q_dedup_containment_pairs(spark, sf)
+    prefix = q_dedup_containment_prefix(spark, sf)
+    assert direct.exceptAll(prefix).count() == 0
+    assert prefix.exceptAll(direct).count() == 0
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    long_doc = (
+        "intro words here " + quote + " and a very long tail of unrelated "
+        "content that keeps the jaccard similarity low while containment "
+        "of the short quoted document stays total"
+    )
+    rows = [
+        Row(doc_id=1, text=quote, lang="en", source="s", n_chars=len(quote)),
+        Row(doc_id=2, text=long_doc, lang="en", source="s", n_chars=len(long_doc)),
+        Row(doc_id=3, text="completely different material", lang="en", source="s", n_chars=29),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    d2 = q_dedup_containment_pairs(spark, str(tmp_path))
+    p2 = q_dedup_containment_prefix(spark, str(tmp_path))
+    got = {(r.doc_a, r.doc_b): r.containment for r in p2.collect()}
+    assert got == {(r.doc_a, r.doc_b): r.containment for r in d2.collect()}
+    assert got[(1, 2)] == 1.0  # the quote is fully contained
+    assert (2, 1) not in got  # asymmetry: the long doc is NOT in the short
