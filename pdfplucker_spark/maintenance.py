@@ -213,17 +213,52 @@ def compact(
         _release_lock(lock, new_run)
 
 
+def table_stats(output: str) -> dict:
+    """Read-only health report of an output location: per table, the
+    committed / torn / superseded run counts, file counts, and bytes —
+    the numbers an operator checks before deciding to compact or vacuum.
+    Takes NO lease (pure directory listing + marker reads; it never
+    mutates), so it is safe to run beside a live writer; a run committing
+    mid-listing can appear torn for one report, which a health check must
+    tolerate anyway."""
+    committed = set(committed_run_ids(output))
+    report: dict = {}
+    for table in discover_tables(output):
+        t = {
+            "committed_runs": 0,
+            "torn_runs": 0,
+            "n_files": 0,
+            "bytes": 0,
+        }
+        for run_id, path in _run_dirs(output, table).items():
+            files = [
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            ]
+            t["n_files"] += len(files)
+            t["bytes"] += sum(os.path.getsize(os.path.join(path, f)) for f in files)
+            if run_id in committed:
+                t["committed_runs"] += 1
+            else:
+                t["torn_runs"] += 1
+        report[table] = t
+    return report
+
+
 def main(argv=None) -> int:
     import argparse
+    import json
 
     from pdfplucker_spark.session import get_spark
 
-    p = argparse.ArgumentParser(description="vacuum / compact output tables")
+    p = argparse.ArgumentParser(description="vacuum / compact / stats on output tables")
     p.add_argument("--output", required=True)
-    p.add_argument("--action", choices=["vacuum", "compact"], required=True)
+    p.add_argument("--action", choices=["vacuum", "compact", "stats"], required=True)
     p.add_argument("--target-mb", type=int, default=128)
     p.add_argument("--master", default=None)
     a = p.parse_args(argv)
+    if a.action == "stats":
+        print(json.dumps(table_stats(a.output)))
+        return 0
     if a.action == "vacuum":
         removed = vacuum(a.output)
         print(f"vacuumed: {removed}")

@@ -262,3 +262,27 @@ def test_vacuum_removes_only_torn_runs_and_takes_lease(spark, t1_path, tmp_path)
     assert "torn" in removed["spans_out"]
     assert set(_run_dirs(out, "spans_out")) == {"good"}
     assert job.committed_view(spark, out).count() == 50
+
+
+def test_table_stats_reports_committed_and_torn(spark, t1_path, tmp_path):
+    """The read-only health report: committed vs torn run counts and real
+    file/byte totals, without touching the lease or any data."""
+    import os as _os
+
+    from pdfplucker_spark.maintenance import table_stats
+
+    out = str(tmp_path / "out_stats")
+    job.run(spark, t1_path, out, run_id="s1", partitions=4, limit=30)
+    # fake a torn run: data dir without a commit marker
+    torn = _os.path.join(out, "spans_out", "run_id=torn1")
+    _os.makedirs(torn)
+    with open(_os.path.join(torn, "part-0.parquet"), "wb") as f:
+        f.write(b"xx")
+    stats = table_stats(out)
+    assert stats["spans_out"]["committed_runs"] == 1
+    assert stats["spans_out"]["torn_runs"] == 1
+    assert stats["spans_out"]["n_files"] >= 2
+    assert stats["spans_out"]["bytes"] > 0
+    assert "docs_out" in stats and stats["docs_out"]["committed_runs"] == 1
+    # read-only: no lease file left behind
+    assert not _os.path.exists(_os.path.join(out, "_RUN_LOCK"))
