@@ -213,31 +213,62 @@ def compact(
         _release_lock(lock, new_run)
 
 
+def _superseded_run_ids(output: str) -> set:
+    """Runs retired by a compact's ``supersedes:`` line — distinct from
+    torn runs (which mean a writer died mid-run)."""
+    d = os.path.join(output, "_commits")
+    out: set = set()
+    try:
+        names = [n for n in os.listdir(d) if not n.startswith(".")]
+    except FileNotFoundError:
+        return out
+    for n in names:
+        try:
+            with open(os.path.join(d, n)) as f:
+                for line in f:
+                    if line.startswith("supersedes:"):
+                        out.update(line.split(":", 1)[1].split())
+        except OSError:
+            continue
+    return out
+
+
 def table_stats(output: str) -> dict:
     """Read-only health report of an output location: per table, the
     committed / torn / superseded run counts, file counts, and bytes —
     the numbers an operator checks before deciding to compact or vacuum.
     Takes NO lease (pure directory listing + marker reads; it never
-    mutates), so it is safe to run beside a live writer; a run committing
-    mid-listing can appear torn for one report, which a health check must
+    mutates), so it is safe to run beside a live writer or maintenance:
+    a dir or file deleted between listing and statting (a concurrent
+    vacuum/compact cleanup) is skipped, and a run committing mid-listing
+    can appear torn for one report — transients a health check must
     tolerate anyway."""
     committed = set(committed_run_ids(output))
+    superseded = _superseded_run_ids(output)
     report: dict = {}
     for table in discover_tables(output):
         t = {
             "committed_runs": 0,
             "torn_runs": 0,
+            "superseded_runs": 0,
             "n_files": 0,
             "bytes": 0,
         }
         for run_id, path in _run_dirs(output, table).items():
-            files = [
-                f for f in os.listdir(path) if f.endswith(".parquet")
-            ]
+            try:
+                files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            except FileNotFoundError:
+                continue  # vacuumed between listing and reading
             t["n_files"] += len(files)
-            t["bytes"] += sum(os.path.getsize(os.path.join(path, f)) for f in files)
+            for f in files:
+                try:
+                    t["bytes"] += os.path.getsize(os.path.join(path, f))
+                except FileNotFoundError:
+                    pass  # file removed mid-report
             if run_id in committed:
                 t["committed_runs"] += 1
+            elif run_id in superseded:
+                t["superseded_runs"] += 1  # post-compact leftover, not a crash
             else:
                 t["torn_runs"] += 1
         report[table] = t

@@ -594,20 +594,15 @@ def q_dedup_containment_prefix(
     d = load(spark, sf_dir, "documents")
     ex = d.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("g")).persist()
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz_a"))
-    dfreq = ex.groupBy("g").agg(F.count("*").alias("df")).persist()
-    n_over = dfreq.where(F.col("df") > df_cap).count() if df_cap is not None else 0
-    if n_over:
-        import logging
-
-        logging.getLogger("pdfplucker_spark.plans.guards").warning(
-            "dedup_containment_prefix: dropped %d over-capacity shingles "
-            "(cap=%d) — non-discriminative keys excluded from the index",
-            n_over,
-            df_cap,
-        )
-    ok = dfreq if df_cap is None else dfreq.where(F.col("df") <= df_cap)
+    # ONE shared guard pass: the filtered index AND the surviving
+    # occupancy counts (document frequencies — shingles are distinct per
+    # doc) come from the same aggregation via plans/guards
+    index, occ = drop_oversized_buckets(
+        ex, ("g",), df_cap, "dedup_containment_prefix", with_occupancy=True
+    )
+    dfv = occ.select("g", F.col("_occ").alias("df"))
     ranked = (
-        ex.join(ok, "g")
+        index.join(dfv, "g")
         .withColumn(
             "r",
             F.row_number().over(
@@ -626,7 +621,7 @@ def q_dedup_containment_prefix(
     prefix = ranked.where(
         F.col("r") <= F.col("sz_a") - F.ceil(F.lit(CONTAINMENT_THRESHOLD) * F.col("sz_a")) + 1
     ).select("doc_id", "g")
-    index = ex.join(ok.select("g"), "g")
+    index = index.persist()  # feeds the candidate join AND both verify sides
     cand = (
         prefix.alias("a")
         .join(index.alias("b"), "g")
@@ -639,12 +634,9 @@ def q_dedup_containment_prefix(
     # exact verify: the true shared count over the GUARDED key set (the
     # same |∩| the direct operator counts), denominator = full |sh(A)|
     shared = (
-        cand.join(
-            ex.join(ok.select("g"), "g").alias("xa"),
-            (F.col("doc_a") == F.col("xa.doc_id")),
-        )
+        cand.join(index.alias("xa"), (F.col("doc_a") == F.col("xa.doc_id")))
         .join(
-            ex.join(ok.select("g"), "g").alias("xb"),
+            index.alias("xb"),
             (F.col("doc_b") == F.col("xb.doc_id"))
             & (F.col("xa.g") == F.col("xb.g")),
         )

@@ -29,7 +29,8 @@ def drop_oversized_buckets(
     key_cols: tuple[str, ...],
     cap: int | None,
     log_label: str,
-) -> DataFrame:
+    with_occupancy: bool = False,
+):
     """Drop rows of bucket keys whose occupancy exceeds ``cap``.
 
     One counting aggregation on the SAME shuffle key as the downstream
@@ -44,10 +45,19 @@ def drop_oversized_buckets(
     table) but corpus-scale for raw-shingle guards (decontaminate /
     containment); MEMORY_AND_DISK default spills it, and the downstream
     join needs that frame materialized regardless, so the persist trades
-    no extra state for one saved aggregation pass."""
-    if cap is None:
-        return keys
+    no extra state for one saved aggregation pass.
+
+    ``with_occupancy=True`` additionally returns the SURVIVING occupancy
+    frame ``(key_cols..., _occ)`` — for callers that need the counts
+    themselves (e.g. the containment prefix filter ranks shingles by
+    document frequency): one shared aggregation instead of the caller
+    recomputing it beside the guard."""
     cols = list(key_cols)
+    if cap is None:
+        if not with_occupancy:
+            return keys
+        occ = keys.groupBy(*cols).agg(F.count("*").alias("_occ")).persist()
+        return keys, occ
     occ = keys.groupBy(*cols).agg(F.count("*").alias("_occ")).persist()
     n_dropped = occ.where(F.col("_occ") > cap).count()
     if n_dropped:
@@ -58,4 +68,8 @@ def drop_oversized_buckets(
             n_dropped,
             cap,
         )
-    return keys.join(occ.where(F.col("_occ") <= cap).select(*cols), cols)
+    surviving = occ.where(F.col("_occ") <= cap)
+    filtered = keys.join(surviving.select(*cols), cols)
+    if with_occupancy:
+        return filtered, surviving
+    return filtered

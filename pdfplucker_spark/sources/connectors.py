@@ -75,20 +75,25 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     splittable). Returns (doc_id, text, source): doc_id is the
     content-addressed md5 of (file, line), so ids are DETERMINISTIC across
     runs, partitionings, and scan orders (a monotonically_increasing_id
-    would not be) — with the documented consequence that identical lines
-    within one file collapse to one id, which for a crawl dump is the
-    dedup you wanted anyway."""
+    would not be). Identical lines within one file share an id and are
+    COLLAPSED to one row (dropDuplicates on the id) — for a crawl dump
+    that is exact same-file dedup, and it keeps doc_id an actual key for
+    every downstream doc_id-keyed operator. The id hashes the file name
+    and the line through separate digests (not a delimited concat: a ':'
+    in a filename could otherwise make distinct (file, line) pairs
+    collide)."""
     from pyspark.sql import functions as F
 
     return (
         spark.read.text(path)
         .select(
-            F.md5(F.concat(F.input_file_name(), F.lit(":"), F.col("value"))).alias(
-                "doc_id"
-            ),
+            F.md5(
+                F.concat(F.md5(F.input_file_name()), F.md5(F.col("value")))
+            ).alias("doc_id"),
             F.col("value").alias("text"),
             F.input_file_name().alias("source"),
         )
+        .dropDuplicates(["doc_id"])
     )
 
 

@@ -77,3 +77,19 @@ def test_text_lines_ingestion_deterministic_ids(spark, tmp_path):
     for r in rows:
         assert again[r.text] == r.doc_id  # deterministic across scans
     assert all(r.source.endswith(".txt") for r in rows)
+
+
+def test_text_lines_duplicate_lines_collapse_to_one_row(spark, tmp_path):
+    """doc_id must be a KEY: the same line twice in one file collapses to
+    one row; the same line in DIFFERENT files stays two docs."""
+    import os
+
+    from pdfplucker_spark.sources.connectors import read_text_lines
+
+    d = tmp_path / "txt2"
+    os.makedirs(d)
+    (d / "a.txt").write_text("dup line\ndup line\nunique a\n")
+    (d / "b.txt").write_text("dup line\n")
+    rows = read_text_lines(spark, str(d)).collect()
+    assert len(rows) == 3  # a:dup, a:unique, b:dup
+    assert len({r.doc_id for r in rows}) == 3

@@ -286,3 +286,24 @@ def test_table_stats_reports_committed_and_torn(spark, t1_path, tmp_path):
     assert "docs_out" in stats and stats["docs_out"]["committed_runs"] == 1
     # read-only: no lease file left behind
     assert not _os.path.exists(_os.path.join(out, "_RUN_LOCK"))
+
+
+def test_table_stats_distinguishes_superseded_from_torn(spark, t1_path, tmp_path):
+    """A post-compact leftover (crash in cleanup step 3) is a superseded
+    run, not a torn one — the report must not read as writer crashes."""
+    import shutil as _sh
+
+    from pdfplucker_spark.maintenance import table_stats
+
+    out = str(tmp_path / "out_sup")
+    job.run(spark, t1_path, out, run_id="old1", partitions=4, limit=30)
+    # preserve the old run dir as if compact's cleanup crashed
+    src = _run_dirs(out, "spans_out")["old1"]
+    _sh.copytree(src, src + ".bak")
+    compact(spark, out)
+    _sh.copytree(src + ".bak", src)
+    _sh.rmtree(src + ".bak")
+    stats = table_stats(out)
+    assert stats["spans_out"]["committed_runs"] == 1  # the compacted run
+    assert stats["spans_out"]["superseded_runs"] == 1  # the leftover
+    assert stats["spans_out"]["torn_runs"] == 0
