@@ -648,19 +648,84 @@ def kmeans_fit(emb, max_iters: int = 25):
 
 def q_sim_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fitted k-means centroids over the embedding corpus, flat
-    (cid, dim, centroid_val) rows. Iterative (non-SQL-expressible): the
-    correctness gate is the pytest replaying the exact same decimal-
-    quantized arithmetic in pure Python (tests/test_kmeans.py); the driver
-    records the rows-only check."""
+    (cid, dim, centroid_val) rows. The driver oracle replays the SAME
+    Lloyd recurrence as a fixed ``KMEANS_MAX_ITERS``-deep chain of DuckDB
+    CTEs (``SQL_SIM_KMEANS_FIT``): the fit's stop condition is an EXACT
+    fixpoint (identical assignments -> bit-identical decimal means), so
+    once converged every further unrolled iteration is a no-op and a
+    fixed-depth replay equals the converged result; if the safety cap is
+    hit instead, both engines have performed exactly the same
+    ``KMEANS_MAX_ITERS`` assign+recenter steps. The pure-Python replay
+    pytest (tests/test_kmeans.py) additionally gates the loop hygiene
+    (checkpoint cadence, empty-cluster carry, movement scalar)."""
     emb = load(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb)
+    cents = kmeans_fit(emb, max_iters=KMEANS_MAX_ITERS)
     return cents.select(
         "cid", F.posexplode("cv").alias("dim", "centroid_val")
     ).select("cid", "dim", F.round("centroid_val", 8).alias("centroid_val"))
 
 
+KMEANS_MAX_ITERS = 25
+
+
+def _sql_kmeans_unrolled(iters: int = None) -> str:
+    """DuckDB replay of ``kmeans_fit``: the Lloyd loop unrolled to exactly
+    the fit's iteration cap as chained CTEs (aggregates are not legal in a
+    recursive-CTE term, so the loop is unrolled, not recursed). Each
+    iteration mirrors the Spark arithmetic step for step — argmax with
+    (score DESC, cid ASC) tie-break, per-(cid, dim) DECIMAL(27,10) sum
+    cast to DOUBLE then ONE integer division, arrays reassembled in dim
+    order, empty clusters carrying the previous centroid — so the doubles
+    are bit-identical across engines."""
+    iters = KMEANS_MAX_ITERS if iters is None else iters
+    # each c{i} is referenced twice (assign scan + previous-centroid carry):
+    # MATERIALIZED stops DuckDB inlining them, which would otherwise expand
+    # the chained plan 2^iters-fold
+    parts = [
+        f"""c0 AS MATERIALIZED (
+  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id BETWEEN 1 AND {IVF_K}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+               / sqrt(list_dot_product(c.cv, c.cv)) DESC,
+             c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+),
+m{i} AS (
+  SELECT cid, CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m, dim
+  FROM (
+    SELECT a.cid,
+           UNNEST(range(len(e.embedding))) AS dim,
+           UNNEST(CAST(e.embedding AS DOUBLE[])) AS v
+    FROM embeddings e JOIN a{i} a USING (vec_id)
+  ) GROUP BY cid, dim
+),
+c{i} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY dim) AS cv FROM m{i} GROUP BY cid
+  ) n USING (cid)
+)""")
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT cid, CAST(dim AS INT) AS dim, round(v, 8) AS centroid_val
+FROM (
+  SELECT cid, UNNEST(range(len(cv))) AS dim, UNNEST(cv) AS v FROM c{iters}
+)"""
+
+
+SQL_SIM_KMEANS_FIT = _sql_kmeans_unrolled()
+
+
 QUERIES = {
-    "sim_kmeans_fit": (q_sim_kmeans_fit, None),
+    "sim_kmeans_fit": (q_sim_kmeans_fit, SQL_SIM_KMEANS_FIT),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_dup_clusters": (q_sim_dup_clusters, SQL_SIM_DUP_CLUSTERS),
     "sim_ivf_recenter": (q_sim_ivf_recenter, SQL_SIM_IVF_RECENTER),

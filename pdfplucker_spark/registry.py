@@ -22,44 +22,54 @@ _OPERATOR_MODULES = (
 # round) enumerate FIRST. Names not in the registry are ignored; names not
 # listed keep module order after these.
 _RECORD_FIRST = (
-    # round-4 additions
-    "stream_extract",
-    "stream_click_purchase_join",
-    "stream_dedup_exact",
-    "stream_sessionize",
-    "stream_user_running_totals",
-    "events_asof_bucketed",
+    # round-5 additions / newly-oracled (sim_kmeans_fit gained its DuckDB
+    # oracle this round — its r4 row is the one `err: no_oracle` record)
     "sim_kmeans_fit",
-    "dedup_containment_pairs",
-    "dedup_containment_prefix",
-    "spans_main_content",
-    "docs_sample_weighted",
-    "docs_mix_report",
-    "docs_dedup_verdict",
-    "returned_items_report",
-    "events_time_rollup",
-    "events_daily_anomaly",
-    "text_gopher_rules",
-    "events_approx_overlap",
-    "lineitem_price_histogram",
-    "events_transition_matrix",
-    "docs_dedup_rate_report",
-    # never in CORRECTNESS_r01..r03 (verified against the records)
-    "dedup_canonical",
-    "dedup_clusters",
-    "docs_decontaminate",
-    "docs_pack_shards",
-    "docs_sample",
-    "events_approx_distinct",
-    "events_purchase_range_join",
-    "lineitem_approx_quantiles",
-    "lineitem_quantiles",
-    "media_decode_video",
-    "media_features",
-    "media_frames",
-    "sim_ivf_assign",
-    "sim_ivf_topk",
-    "stream_windowed_counts",
+    # stale: last driver-recorded in r1–r3 (absent from CORRECTNESS_r04)
+    "events_funnel",
+    "events_retention",
+    "events_daily_ma",
+    "regional_revenue_sql",
+    "events_salted_agg",
+    "events_json_props",
+    "customers_without_orders",
+    "events_minutely_gapfill",
+    "events_sessionize",
+    "event_type_pivot",
+    "lineitem_cube",
+    "custkeys_setops",
+    "returnflag_rollup",
+    "top_orders",
+    "regional_supply",
+    "events_window",
+    "order_priority_distinct",
+    "text_tokens",
+    "text_pii_scan",
+    "text_repetition",
+    "text_regex_stats",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_bag",
+    "dedup_bag_nulls",
+    "dedup_minhash_pairs_nulls",
+    "dedup_incremental",
+    "dedup_minhash_sig",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_pairs",
+    "sim_cosine_topk",
+    "sim_dup_clusters",
+    "sim_ivf_recenter",
+    "sim_lsh_buckets",
+    "sim_cosine_dup_pairs",
+    "sim_ann_topk",
+    "media_decode_image",
+    "media_decode_audio",
+    "events_asof_purchase",
+    "corpus_filter",
+    "text_top_terms",
 )
 
 

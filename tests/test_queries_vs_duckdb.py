@@ -40,8 +40,10 @@ def test_every_query_has_oracle_or_is_flagged():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     # non-SQL-expressible ops are allowed to omit oracle; list them here
-    # (sim_kmeans_fit is iterative — gated by the pure-Python replay in
-    # tests/test_kmeans.py instead; the driver records rows-only)
-    allowed_no_oracle = {"sim_kmeans_fit"}
+    # with the replacing gate named. Currently empty: even the iterative
+    # kmeans fit has a DuckDB oracle (the Lloyd loop unrolled to its
+    # iteration cap — exact-fixpoint semantics make fixed-depth replay
+    # equal the converged result).
+    allowed_no_oracle = set()
     missing = set(q) - set(o) - allowed_no_oracle
     assert not missing, f"queries without oracle_sql: {missing}"
