@@ -410,51 +410,97 @@ FROM documents
 # ---------------------------------------------------------------------------
 # n-gram shingle Jaccard
 # ---------------------------------------------------------------------------
-NGRAM_BANDS = 8  # r=1 rows/band: P(candidate) = 1-(1-s)^8 ≈ 0.97 at s=0.35
-
-_SHINGLE_EXPR = (
-    "array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - 2, 1)), "
-    "i -> concat_ws(' ', slice(split(text,' '), i, 3))))"
+# tokenization HOISTED into its own projection: higher-order lambdas are
+# interpreted with no CSE, so inlining split() into the per-element slice()
+# re-tokenizes the document once PER SHINGLE — O(words²)/doc (measured 3×
+# slower on the sf0.1 corpus). CollapseProject keeps the hoist because the
+# alias is multi-referenced and non-cheap.
+_SHINGLE_OVER_TOKENS = (
+    "array_distinct(transform(sequence(1, greatest(size(__tk) - 2, 1)), "
+    "i -> concat_ws(' ', slice(__tk, i, 3))))"
 )
+
+
+def shingles_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>) — each doc's distinct token trigrams,
+    with tokenization hoisted to its own projection (see
+    ``_SHINGLE_OVER_TOKENS``)."""
+    return d.select("doc_id", F.split("text", " ").alias("__tk")).select(
+        "doc_id", F.expr(_SHINGLE_OVER_TOKENS).alias("sh")
+    )
 
 
 def q_dedup_ngram_pairs(
     spark: SparkSession, sf_dir: str, bucket_cap: int | None = DEFAULT_BUCKET_CAP
 ) -> DataFrame:
-    """3-gram (token trigram) Jaccard near-dup pairs, blocked by MinHash-LSH
-    buckets over the shingle set (8 bands × 1 row). The self-join is keyed on
-    uniform md5-derived min-hashes, so bucket cardinality is bounded by the
-    near-dup cluster size — not O(block²) on a metadata column — and the
-    exact-Jaccard verification only touches candidate pairs. Band keys over
-    ``bucket_cap`` occupancy are dropped-and-logged (plans/guards.py)."""
+    """3-gram (token trigram) Jaccard near-dup pairs via LOSSLESS prefix
+    filtering (PPJoin-style), replacing the round-1 MinHash-LSH blocking
+    (recall ≈0.97 per pair at the threshold): if J(A,B) ≥ t then
+    |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, so the element of A∩B that is SMALLEST in a
+    global (df ASC, shingle ASC) ordering must sit inside BOTH docs'
+    (|X| − ⌈t·|X|⌉ + 1)-prefixes — only prefixes join, and rarest-first
+    ordering collapses the join volume from Σ_g df(g)² to rare-key terms.
+    Candidates are then exact-Jaccard verified, so the output is the
+    COMPLETE pair set (asserted vs the all-pairs direct computation by
+    ``test_ngram_prefix_filter_is_lossless``) — deterministic, no banding
+    recall knob, and no per-doc minhash folds at all. Shingles above
+    ``bucket_cap`` document frequency are dropped-and-logged
+    (plans/guards.py) exactly as in the containment joins; the cap never
+    fires on the driver corpora (test_scale_guards)."""
     d = load(spark, sf_dir, "documents")
-    # persist: sh feeds sig computation AND the exact-Jaccard verify join;
-    # sigs feed both sides of the banded self-join — without persists the
-    # shingle derivation runs 3x and the minhash scan 2x.
-    sh = d.select("doc_id", F.expr(_SHINGLE_EXPR).alias("sh")).persist()
-    sigs = sh.select(
-        "doc_id",
-        *[
-            F.expr(spark_minhash_band("sh", i, NGRAM_BANDS, seed="ng")).alias(f"g{i}")
-            for i in range(NGRAM_BANDS)
-        ],
-    ).persist()
-    # posexplode emits all 8 (band, key) rows from ONE pass over the sigs
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"g{i}") for i in range(NGRAM_BANDS)])).alias(
-            "band", "key"
-        ),
+    # persist: sh feeds the explode AND the exact-Jaccard verify join;
+    # the exploded index feeds the df aggregation, the rank join and the
+    # prefix self-join
+    sh = shingles_frame(d).persist()
+    ex = sh.select("doc_id", F.explode("sh").alias("g")).persist()
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # ONE shared guard pass: filtered index + surviving document
+    # frequencies from the same aggregation (shingles are distinct per doc)
+    index, occ = drop_oversized_buckets(
+        ex, ("g",), bucket_cap, "dedup_ngram_pairs", with_occupancy=True
     )
-    bands = drop_oversized_buckets(bands, ("band", "key"), bucket_cap, "dedup_ngram_pairs")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    dfv = occ.select("g", F.col("_occ").alias("df"))
+    ranked = (
+        index.join(dfv, "g")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    # prefix bound uses the FULL |sh(X)| even though r ranks only in-index
+    # shingles — under the cap the prefix can only get longer than the
+    # lossless minimum, so the filter stays valid
+    prefix = ranked.where(
+        F.col("r") <= F.col("sz") - F.ceil(F.lit(NGRAM_THRESHOLD) * F.col("sz")) + 1
+    ).select("doc_id", "g", "r", "sz")
+    # PPJoin position filter, also lossless: for the FIRST common element
+    # in the global order, matched at ranks (r_a, r_b), the overlap can be
+    # at most 1 + min(sz_a − r_a, sz_b − r_b); a valid pair needs overlap
+    # ≥ ⌈t/(1+t)·(sz_a+sz_b)⌉ (|I| ≥ t·|U| with |U| = sz_a+sz_b−|I|), so
+    # a valid pair always survives via its first common element. The 1e-9
+    # slack keeps the bound WEAK under double rounding of t/(1+t) (a
+    # too-strict ceil at an exact-integer boundary could drop a valid
+    # pair; a too-weak one only passes junk the exact verify removes).
+    o_req = F.ceil(
+        F.lit(NGRAM_THRESHOLD / (1.0 + NGRAM_THRESHOLD))
+        * (F.col("a.sz") + F.col("b.sz"))
+        - F.lit(1e-9)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        prefix.alias("a")
+        .join(prefix.alias("b"), "g")
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                1
+                + F.least(
+                    F.col("a.sz") - F.col("a.r"), F.col("b.sz") - F.col("b.r")
+                )
+                >= o_req
+            )
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -470,15 +516,8 @@ def q_dedup_ngram_pairs(
     )
 
 
-def _sql_ngram_band(i: int) -> str:
-    return (
-        f"SELECT doc_id, {i} AS band, "
-        f"{duckdb_minhash_band('sh', i, NGRAM_BANDS, seed='ng')} AS key FROM sh"
-    )
-
-
 # the oracle-side trigram shingle definition — single source, mirrored by
-# the engine-side _SHINGLE_EXPR; decontamination imports both
+# the engine-side _SHINGLE_OVER_TOKENS; decontamination imports both
 SQL_SHINGLE_LIST = (
     "list_distinct(list_transform("
     "range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1), "
@@ -491,13 +530,27 @@ WITH sh AS (
   SELECT doc_id, {SQL_SHINGLE_LIST} AS sh
   FROM documents
 ),
-bands AS (
-  {" UNION ALL ".join(_sql_ngram_band(i) for i in range(NGRAM_BANDS))}
+ex AS (SELECT doc_id, UNNEST(sh) AS g FROM sh),
+dfreq AS (
+  SELECT g, COUNT(*) AS df FROM ex GROUP BY g
+  HAVING COUNT(*) <= {DEFAULT_BUCKET_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+ranked AS (
+  SELECT ex.doc_id, ex.g, s.sz,
+         ROW_NUMBER() OVER (PARTITION BY ex.doc_id ORDER BY d.df ASC, ex.g ASC) AS r
+  FROM ex JOIN dfreq d USING (g) JOIN sizes s USING (doc_id)
+),
+pfx AS (
+  SELECT doc_id, g, r, sz FROM ranked
+  WHERE r <= sz - CAST(ceil({NGRAM_THRESHOLD} * sz) AS BIGINT) + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  FROM pfx a JOIN pfx b USING (g)
+  WHERE a.doc_id < b.doc_id
+    AND 1 + least(a.sz - a.r, b.sz - b.r)
+        >= CAST(ceil({NGRAM_THRESHOLD / (1.0 + NGRAM_THRESHOLD)!r} * (a.sz + b.sz) - 1e-9) AS BIGINT)
 )
 SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
   SELECT doc_a, doc_b,
@@ -532,7 +585,7 @@ def q_dedup_containment_pairs(
     Production corpora would add prefix filtering on top; the df cap is
     what makes the worst case bounded."""
     d = load(spark, sf_dir, "documents")
-    ex = d.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("g")).persist()
+    ex = shingles_frame(d).select("doc_id", F.explode("sh").alias("g")).persist()
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz_a"))
     exg = drop_oversized_buckets(ex, ("g",), df_cap, "dedup_containment_pairs")
     pairs = (
@@ -592,7 +645,7 @@ def q_dedup_containment_prefix(
     guards the degenerate corpus; the df ordering it needs is the same
     aggregation, shared."""
     d = load(spark, sf_dir, "documents")
-    ex = d.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("g")).persist()
+    ex = shingles_frame(d).select("doc_id", F.explode("sh").alias("g")).persist()
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz_a"))
     # ONE shared guard pass: the filtered index AND the surviving
     # occupancy counts (document frequencies — shingles are distinct per

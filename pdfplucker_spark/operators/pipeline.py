@@ -690,18 +690,29 @@ def q_docs_decontaminate(
     (boilerplate, not benchmark leakage), so dropping it is also *better*
     decontamination, not just a bounded plan. The occupancy count shuffles
     on the join's own key, so the exchange is reused."""
-    # the shingle definition is dedup.py's — one source in each engine
-    from pdfplucker_spark.operators.dedup import _SHINGLE_EXPR
+    # the shingle definition is dedup.py's — one source in each engine,
+    # with the tokenization hoisted to its own projection (see
+    # dedup._SHINGLE_OVER_TOKENS for why inlining is O(words²)/doc)
+    from pdfplucker_spark.operators.dedup import _SHINGLE_OVER_TOKENS
     from pdfplucker_spark.plans.guards import drop_oversized_buckets
 
     d = load(spark, sf_dir, "documents")
-    sh = F.expr(_SHINGLE_EXPR)
     gate = md5_long(F.concat("source", F.lit(":"), F.col("doc_id").cast("string")))
     # one exploded frame, persisted: it feeds the df-occupancy count AND
     # both join sides (the eval/train split is a cheap filter over it)
-    ex = d.select(
-        "doc_id", (gate % SAMPLE_MOD == 0).alias("is_eval"), F.explode(sh).alias("g")
-    ).persist()
+    ex = (
+        d.select(
+            "doc_id",
+            (gate % SAMPLE_MOD == 0).alias("is_eval"),
+            F.split("text", " ").alias("__tk"),
+        )
+        .select(
+            "doc_id",
+            "is_eval",
+            F.explode(F.expr(_SHINGLE_OVER_TOKENS)).alias("g"),
+        )
+        .persist()
+    )
     ex = drop_oversized_buckets(ex, ("g",), df_cap, "docs_decontaminate")
     eval_side = ex.where(F.col("is_eval")).select(
         F.col("doc_id").alias("eval_doc_id"), "g"

@@ -205,3 +205,30 @@ def test_containment_prefix_filter_is_lossless(spark, tmp_path):
     assert got == {(r.doc_a, r.doc_b): r.containment for r in d2.collect()}
     assert got[(1, 2)] == 1.0  # the quote is fully contained
     assert (2, 1) not in got  # asymmetry: the long doc is NOT in the short
+
+
+def test_ngram_prefix_filter_is_lossless(spark):
+    """The Jaccard prefix filter must return the COMPLETE pair set: every
+    all-pairs (brute-force) Jaccard >= t pair, exactly — the property the
+    round-1 LSH blocking only approximated (recall ~0.97/pair). Brute
+    force here is the unblocked cross-join over the same shingle sets."""
+    from pdfplucker_spark.operators.dedup import (
+        NGRAM_THRESHOLD,
+        _verify_jaccard,
+        q_dedup_ngram_pairs,
+        shingles_frame,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sh = shingles_frame(docs).withColumnRenamed("sh", "toks").persist()
+    ids = sh.select("doc_id")
+    allpairs = (
+        ids.withColumnRenamed("doc_id", "doc_a")
+        .crossJoin(ids.withColumnRenamed("doc_id", "doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+    brute = _verify_jaccard(allpairs, sh, "doc_a", "doc_b", NGRAM_THRESHOLD)
+    prefix = q_dedup_ngram_pairs(spark, sf)
+    assert brute.exceptAll(prefix).count() == 0
+    assert prefix.exceptAll(brute).count() == 0
