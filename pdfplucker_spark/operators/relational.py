@@ -210,24 +210,99 @@ GROUP BY o_orderpriority
 """
 
 
-def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based session windows (30-min inactivity) over the event stream —
-    lag → boundary flag → running sum = session id, then per-session agg.
-    The batch formulation of what Structured Streaming's session window
-    does with state; scales as one shuffle on user_id."""
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.asc_nulls_last("ts"), F.asc("event_id")
+# ---------------------------------------------------------------------------
+# skew-proof per-user sequencing: every event-cardinality window partitions
+# on (user_id, time-bucket), so a pathological user (10⁹ events at 100 TB)
+# is chopped by time instead of serializing into one reducer sort; the only
+# user_id-alone windows run over BUCKET SUMMARIES (one row per active
+# (user, bucket) — time-range-bounded). Null-ts rows sort into a terminal
+# bucket via usk = coalesce(micros, 2^62), which reproduces the original
+# (ts ASC NULLS LAST, event_id) total order exactly.
+# ---------------------------------------------------------------------------
+SEQ_BUCKET_US = 3_600_000_000  # 1 hour, matching the as-of bucketing
+_NULL_TS_USK = 1 << 62
+
+
+def _bucketed_events(ev: DataFrame, *cols: str) -> DataFrame:
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     )
-    # NTZ-safe and microsecond-exact: timestampdiff works on NTZ without
-    # any session-timezone interpretation (driver session TZ is unknown)
-    prev = F.lag("ts").over(w)
-    sess = ev.withColumn("prev_ts", prev)
+    usk = F.coalesce(us, F.lit(_NULL_TS_USK))
+    return ev.select("user_id", "event_id", "ts", *cols, usk.alias("usk")).withColumn(
+        "bk", F.floor(F.col("usk") / F.lit(float(SEQ_BUCKET_US)))
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-min inactivity) over the event stream,
+    with the skew-proof two-level plan: in-bucket lag/running-sum windows on
+    (user_id, time-bucket), and session state crossing bucket boundaries
+    via a per-bucket summary carry (first/last ts + in-bucket boundary
+    count), so the per-user windows are bucket-summary-grain only. A
+    session id = (boundaries in all earlier buckets) + (running boundary
+    count inside the bucket), where the bucket's first event re-derives its
+    boundary flag from the previous non-empty bucket's last ts — exactly
+    the single-window lag semantics, including the asymmetric null rule
+    (`prev_ts IS NULL OR gap > 30min`): a row after a null-ts row opens a
+    session, a null-ts row after a real one does not.
+    The oracle is the plain single-window DuckDB SQL — two plans, one
+    truth. The batch formulation of what Structured Streaming's session
+    window does with state."""
+    GAP_US = 1800 * 1000000
+    e = _bucketed_events(load(spark, sf_dir, "events"), "value")
+    wib = Window.partitionBy("user_id", "bk").orderBy("usk", "event_id")
+    e2 = e.withColumn("prev_ts", F.lag("ts").over(wib)).withColumn(
+        "rn", F.row_number().over(wib)
+    )
     gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
-    boundary = F.when(F.col("prev_ts").isNull() | (gap_us > 1800 * 1000000), 1).otherwise(0)
-    sess = sess.withColumn(
+    # in-bucket boundary for rows 2..n, replicating the single-window rule
+    # `prev_ts IS NULL OR gap > 30min`: a row FOLLOWING a null-ts row
+    # always opens a session (prev_ts null), while a null-ts row following
+    # a real one does not (NULL gap falls to otherwise(0))
+    e2 = e2.withColumn(
+        "inflag",
+        F.when(
+            (F.col("rn") > 1)
+            & (F.col("prev_ts").isNull() | (gap_us > GAP_US)),
+            1,
+        ).otherwise(0),
+    )
+    summ = e2.groupBy("user_id", "bk").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum("inflag").alias("inb"),
+    )
+    wcar = Window.partitionBy("user_id").orderBy("bk")
+    cross_gap = F.expr("timestampdiff(MICROSECOND, prev_last_ts, first_ts)")
+    csum = (
+        summ.withColumn("prev_bk", F.lag("bk").over(wcar))
+        .withColumn("prev_last_ts", F.lag("last_ts").over(wcar))
+        .withColumn(
+            "first_flag",
+            F.when(F.col("prev_bk").isNull(), 1)
+            # defensive mirror of the in-bucket rule (a null-ts last event
+            # can only occur in the terminal bucket, which nothing follows)
+            .when(F.col("prev_last_ts").isNull(), 1)
+            .when(cross_gap > GAP_US, 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum(F.col("inb") + F.col("first_flag")).over(
+                    wcar.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("user_id", "bk", "first_flag", "cum_before")
+    )
+    sess = e2.join(csum, ["user_id", "bk"]).withColumn(
         "session_seq",
-        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        F.col("cum_before")
+        + F.sum(
+            F.when(F.col("rn") == 1, F.col("first_flag")).otherwise(F.col("inflag"))
+        ).over(wib.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return sess.groupBy("user_id", "session_seq").agg(
         F.expr(
@@ -567,19 +642,37 @@ FROM banded GROUP BY band
 def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition counts (the Markov-chain / funnel
     diagnostic): per user, each consecutive (prev → curr) pair counted
-    corpus-wide, plus the row-conditional probability. One lag window per
-    user (the same key every sequence operator shuffles on) + one hash
-    aggregation; probability = count / row total via a broadcast of the
-    per-prev totals."""
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.asc_nulls_last("ts"), F.asc("event_id")
+    corpus-wide, plus the row-conditional probability. Skew-proof shape:
+    the event-grain lag window partitions on (user_id, time-bucket); the
+    first event of each bucket takes its predecessor from the previous
+    non-empty bucket's last event via a bucket-summary carry (hash agg +
+    one lag over summary rows), so no event-cardinality window keys on
+    user_id alone. Probability = count / row total via a broadcast of the
+    per-prev totals; the oracle stays the plain single-window SQL."""
+    e = _bucketed_events(load(spark, sf_dir, "events"), "event_type")
+    wib = Window.partitionBy("user_id", "bk").orderBy("usk", "event_id")
+    # per (user, bucket): the LAST event's type — a hash aggregation
+    # (lexicographic struct max on (usk, event_id), no sort), then the
+    # cross-bucket carry as a lag over the bucket-summary frame
+    summ = e.groupBy("user_id", "bk").agg(
+        F.max(F.struct("usk", "event_id", "event_type")).alias("last_ev")
+    )
+    wcar = Window.partitionBy("user_id").orderBy("bk")
+    carried = summ.withColumn(
+        "carry_type", F.lag(F.col("last_ev.event_type")).over(wcar)
+    ).select("user_id", "bk", "carry_type")
+    e2 = (
+        e.withColumn("rn", F.row_number().over(wib))
+        .withColumn("lag_in", F.lag("event_type").over(wib))
+        .join(carried, ["user_id", "bk"])
+    )
+    prev_type = F.when(F.col("rn") == 1, F.col("carry_type")).otherwise(
+        F.col("lag_in")
     )
     pairs = (
-        ev.select("user_id", "ts", "event_id", "event_type")
-        .withColumn("prev_type", F.lag("event_type").over(w))
+        e2.select(prev_type.alias("prev_type"), F.col("event_type").alias("next_type"))
         .where(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .groupBy("prev_type", "next_type")
         .agg(F.count("*").alias("n"))
     )
     totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_total"))

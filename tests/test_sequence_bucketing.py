@@ -1,0 +1,143 @@
+"""The skew-proof (user, time-bucket) rewrites of the per-user sequence
+operators must be bit-equal to the plain single-window formulation — on the
+real corpus and on a crafted corpus that hits every carry edge: gaps that
+cross bucket boundaries, a boundary exactly at the threshold, equal-ts
+ties, null-ts rows (which sort last and never open a boundary), empty
+buckets between events, and a single-event user."""
+
+import datetime as dt
+
+from pyspark.sql import Row, Window, functions as F
+
+from pdfplucker_spark.operators.relational import (
+    q_events_sessionize,
+    q_events_transition_matrix,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reference_sessionize(ev):
+    """The original single-window formulation (the oracle's shape)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc("event_id")
+    )
+    prev = F.lag("ts").over(w)
+    sess = ev.withColumn("prev_ts", prev)
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    boundary = F.when(
+        F.col("prev_ts").isNull() | (gap_us > 1800 * 1000000), 1
+    ).otherwise(0)
+    sess = sess.withColumn(
+        "session_seq",
+        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', min(ts)) div 1000000"
+        ).alias("session_start_epoch"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', max(ts)) div 1000000"
+        ).alias("session_end_epoch"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+def _reference_transitions(ev):
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc("event_id")
+    )
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("p_next"),
+    )
+
+
+def _edge_corpus(spark, path):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    H = 3600
+    rows = [
+        # user 1: two in-bucket events, then a >30min gap INSIDE a bucket,
+        # then a <=30min gap ACROSS a bucket boundary (same session
+        # continues into the next hour), then a >30min gap across several
+        # EMPTY buckets (new session)
+        Row(event_id=1, ts=at(0), user_id=1, event_type="view", value=1.0, props=None),
+        Row(event_id=2, ts=at(10), user_id=1, event_type="click", value=2.0, props=None),
+        Row(event_id=3, ts=at(2000), user_id=1, event_type="view", value=3.0, props=None),
+        Row(event_id=4, ts=at(H - 10), user_id=1, event_type="click", value=4.0, props=None),
+        Row(event_id=5, ts=at(H + 10), user_id=1, event_type="purchase", value=5.0, props=None),
+        Row(event_id=6, ts=at(5 * H), user_id=1, event_type="view", value=6.0, props=None),
+        # gap EXACTLY 30min: NOT a boundary (strict >), across a bucket edge
+        Row(event_id=7, ts=at(5 * H + 1800), user_id=1, event_type="click", value=7.0, props=None),
+        # user 2: equal-ts tie broken by event_id, then null-ts rows which
+        # sort last and never open a boundary
+        Row(event_id=10, ts=at(100), user_id=2, event_type="view", value=1.0, props=None),
+        Row(event_id=11, ts=at(100), user_id=2, event_type="click", value=1.0, props=None),
+        Row(event_id=13, ts=None, user_id=2, event_type="view", value=9.0, props=None),
+        Row(event_id=12, ts=None, user_id=2, event_type="purchase", value=8.0, props=None),
+        # user 3: single event
+        Row(event_id=20, ts=at(7 * H + 42), user_id=3, event_type="view", value=2.5, props=None),
+    ]
+    schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{path}/events.parquet"
+    )
+
+
+def _assert_frames_equal(a, b):
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, (
+        sorted(map(tuple, a.collect())),
+        sorted(map(tuple, b.collect())),
+    )
+
+
+def test_sessionize_bucketed_matches_single_window(spark, tmp_path):
+    _edge_corpus(spark, str(tmp_path))
+    ev = spark.read.parquet(f"{tmp_path}/events.parquet")
+    _assert_frames_equal(q_events_sessionize(spark, str(tmp_path)), _reference_sessionize(ev))
+    sf_ev = spark.read.parquet(f"{SF}/events.parquet")
+    _assert_frames_equal(q_events_sessionize(spark, SF), _reference_sessionize(sf_ev))
+
+
+def test_transitions_bucketed_matches_single_window(spark, tmp_path):
+    _edge_corpus(spark, str(tmp_path))
+    ev = spark.read.parquet(f"{tmp_path}/events.parquet")
+    _assert_frames_equal(
+        q_events_transition_matrix(spark, str(tmp_path)), _reference_transitions(ev)
+    )
+    sf_ev = spark.read.parquet(f"{SF}/events.parquet")
+    _assert_frames_equal(
+        q_events_transition_matrix(spark, SF), _reference_transitions(sf_ev)
+    )
+
+
+def test_no_event_grain_window_keys_on_user_alone(spark):
+    """Every event-cardinality window partitions on (user_id, bk); the
+    user_id-alone windows sit above the per-bucket aggregate only."""
+    import re
+
+    for q in (q_events_sessionize, q_events_transition_matrix):
+        plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        specs = re.findall(r"windowspecdefinition\((.*?)\)", plan)
+        # at least one bucket-chopped window, and the aggregate between the
+        # raw scan and any user-alone window shows up as a HashAggregate
+        assert any("user_id" in s and "bk" in s for s in specs), plan[:3000]
+        assert "HashAggregate" in plan
