@@ -673,12 +673,25 @@ MAIN_CONTENT_KINDS = (
 )
 
 
+# giant-doc guard for main-content assembly: per-aggregation-buffer span
+# structs are bounded by this chunk width, so a 100k-span giant never
+# materializes one 100k-struct collect_list buffer
+MAIN_CONTENT_CHUNK = 4096
+
+
 def q_spans_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc main content: furniture kinds (page_footer/footnote/
     reference/caption/page_break/table/picture) stripped, content spans
     reassembled in reading order, plus the content-density stats a quality
-    gate would filter on. One hash aggregation on doc_id — map-side filter,
-    no window, no join; scale-free."""
+    gate would filter on. Giant-proof two-level assembly: spans aggregate
+    first on (doc_id, offset div 4096) — the collect_list buffer holds
+    at most MAIN_CONTENT_CHUNK structs regardless of doc size — then per doc over the
+    pre-concatenated CHUNK strings (~25 rows for the 100k-span
+    skew tier, vs one 100k-struct buffer in the single-level plan). Empty
+    chunks surface as NULL so the outer concat_ws skips them and the
+    output is byte-identical to the single-level formulation (pytest) and
+    to the unchanged single-GROUP-BY oracle. Map-side filter, two hash
+    aggregations, no window, no join."""
     sp = derived_spans_flat(spark, sf_dir)
     is_main = F.col("kind").isin(*MAIN_CONTENT_KINDS)
     flagged = sp.select(
@@ -687,28 +700,49 @@ def q_spans_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         is_main.alias("m"),
         F.length("text").alias("len"),
+        F.floor(F.col("offset") / MAIN_CONTENT_CHUNK).alias("ck"),
     )
-    total_len = F.sum(F.coalesce("len", F.lit(0)))
-    main_len = F.sum(
-        F.when(F.col("m") & F.col("len").isNotNull(), F.col("len")).otherwise(0)
+    arr = F.array_sort(
+        F.collect_list(
+            F.when(F.col("m") & F.col("text").isNotNull(), F.struct("offset", "text"))
+        )
     )
-    return flagged.groupBy("doc_id").agg(
+    chunks = flagged.groupBy("doc_id", "ck").agg(
+        arr.alias("arr"),
+        F.sum(F.when(F.col("m"), 1).otherwise(0)).alias("nm"),
+        F.sum(F.when(~F.col("m"), 1).otherwise(0)).alias("nf"),
+        F.sum(F.coalesce("len", F.lit(0))).alias("tl"),
+        F.sum(
+            F.when(F.col("m") & F.col("len").isNotNull(), F.col("len")).otherwise(0)
+        ).alias("ml"),
+    ).select(
+        "doc_id",
+        "ck",
+        F.when(
+            F.size("arr") > 0,
+            F.concat_ws(" ", F.transform("arr", lambda x: x["text"])),
+        ).alias("ctext"),
+        "nm",
+        "nf",
+        "tl",
+        "ml",
+    )
+    total_len = F.sum("tl")
+    main_len = F.sum("ml")
+    return chunks.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
             F.transform(
                 F.array_sort(
                     F.collect_list(
-                        F.when(
-                            F.col("m") & F.col("text").isNotNull(),
-                            F.struct("offset", "text"),
-                        )
+                        F.when(F.col("ctext").isNotNull(), F.struct("ck", "ctext"))
                     )
                 ),
-                lambda x: x["text"],
+                lambda x: x["ctext"],
             ),
         ).alias("main_text"),
-        F.sum(F.when(F.col("m"), 1).otherwise(0)).alias("n_main_spans"),
-        F.sum(F.when(~F.col("m"), 1).otherwise(0)).alias("n_furniture_spans"),
+        F.sum("nm").alias("n_main_spans"),
+        F.sum("nf").alias("n_furniture_spans"),
         F.when(total_len > 0, F.round(main_len.cast("double") / total_len, 6)).alias(
             "content_ratio"
         ),

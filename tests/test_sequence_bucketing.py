@@ -141,3 +141,59 @@ def test_no_event_grain_window_keys_on_user_alone(spark):
         # raw scan and any user-alone window shows up as a HashAggregate
         assert any("user_id" in s and "bk" in s for s in specs), plan[:3000]
         assert "HashAggregate" in plan
+
+
+def test_main_content_chunked_assembly_matches_and_bounds_buffers(spark, tmp_path):
+    """The two-level (doc_id, chunk) assembly must be byte-identical to the
+    single collect_list formulation on a corpus with a giant doc far above
+    the chunk width, and the plan must aggregate on (doc_id, ck) first."""
+    from pdfplucker_spark.operators.spans_sql import (
+        MAIN_CONTENT_CHUNK,
+        MAIN_CONTENT_KINDS,
+        q_spans_main_content,
+    )
+    from pdfplucker_spark.sources.tables import derived_spans_flat
+
+    # one giant (~6 chunks of spans) + two small docs + an empty-text doc
+    giant = " ".join(f"w{i}" for i in range(6 * MAIN_CONTENT_CHUNK + 123))
+    rows = [
+        Row(doc_id=1, text=giant, lang="en", source="s", n_chars=len(giant)),
+        Row(doc_id=2, text="alpha beta gamma delta", lang="en", source="s", n_chars=22),
+        Row(doc_id=3, text="solo", lang="en", source="s", n_chars=4),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+
+    sp = derived_spans_flat(spark, str(tmp_path))
+    is_main = F.col("kind").isin(*MAIN_CONTENT_KINDS)
+    flagged = sp.select(
+        "doc_id", "offset", "text", is_main.alias("m"), F.length("text").alias("len")
+    )
+    total_len = F.sum(F.coalesce("len", F.lit(0)))
+    main_len = F.sum(
+        F.when(F.col("m") & F.col("len").isNotNull(), F.col("len")).otherwise(0)
+    )
+    single = flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("m") & F.col("text").isNotNull(),
+                            F.struct("offset", "text"),
+                        )
+                    )
+                ),
+                lambda x: x["text"],
+            ),
+        ).alias("main_text"),
+        F.sum(F.when(F.col("m"), 1).otherwise(0)).alias("n_main_spans"),
+        F.sum(F.when(~F.col("m"), 1).otherwise(0)).alias("n_furniture_spans"),
+        F.when(total_len > 0, F.round(main_len.cast("double") / total_len, 6)).alias(
+            "content_ratio"
+        ),
+    )
+    chunked = q_spans_main_content(spark, str(tmp_path))
+    _assert_frames_equal(chunked, single)
+    plan = chunked._jdf.queryExecution().executedPlan().toString()
+    assert "ck" in plan and plan.count("ObjectHashAggregate") >= 2, plan[:2000]
