@@ -80,44 +80,44 @@ def main():
             os.path.join(BENCH_OUT, "spans_out")
         )
 
-    queries["extract_e2e_bench50k"] = min(_timed(extract_e2e) for _ in range(2))
-    docs_per_sec = round(n_docs / queries["extract_e2e_bench50k"], 1)
-
-    queries["extract_full_sf"] = _timed(lambda: q_extract_full(spark, sf_dir).count())
-    queries["dedup_minhash_sig"] = _timed(
-        lambda: q_dedup_minhash_sig(spark, sf_dir).count()
+    from pdfplucker_spark.operators.pipeline import (
+        q_docs_decontaminate,
+        q_docs_decontaminate_incremental,
+        q_events_asof_bucketed,
     )
-    queries["sim_cosine_topk"] = _timed(lambda: q_sim_cosine_topk(spark, sf_dir).collect())
-    queries["pricing_summary"] = _timed(lambda: q_pricing_summary(spark, sf_dir).collect())
-    queries["text_quality"] = _timed(lambda: q_text_quality(spark, sf_dir).count())
-    queries["events_asof_purchase"] = _timed(
-        lambda: q_events_asof_purchase(spark, sf_dir).count()
-    )
-    queries["dedup_ngram_pairs"] = _timed(
-        lambda: q_dedup_ngram_pairs(spark, sf_dir).count()
-    )
-    # round-3 operators in the perf record: the fixed hot-key salted agg
-    # and the decontamination overlap join
-    from pdfplucker_spark.operators.pipeline import q_docs_decontaminate
     from pdfplucker_spark.operators.relational import q_events_salted_agg
-
-    queries["events_salted_agg"] = _timed(
-        lambda: q_events_salted_agg(spark, sf_dir).collect()
-    )
-    queries["docs_decontaminate"] = _timed(
-        lambda: q_docs_decontaminate(spark, sf_dir).count()
-    )
-    # round-4 operators: the skew-proof as-of variant (must not regress the
-    # plain one) and the main-content extraction gate
-    from pdfplucker_spark.operators.pipeline import q_events_asof_bucketed
     from pdfplucker_spark.operators.spans_sql import q_spans_main_content
 
-    queries["events_asof_bucketed"] = _timed(
-        lambda: q_events_asof_bucketed(spark, sf_dir).count()
-    )
-    queries["spans_main_content"] = _timed(
-        lambda: q_spans_main_content(spark, sf_dir).count()
-    )
+    # Two INTERLEAVED passes over every measured query (headline included),
+    # min per query: bursty neighbor load on the shared VM hits both passes
+    # of every query instead of poisoning whichever single-shot measurement
+    # it landed on — the same noise-robust estimator the scaling legs use.
+    measured = [
+        ("extract_e2e_bench50k", extract_e2e),
+        ("extract_full_sf", lambda: q_extract_full(spark, sf_dir).count()),
+        ("dedup_minhash_sig", lambda: q_dedup_minhash_sig(spark, sf_dir).count()),
+        ("sim_cosine_topk", lambda: q_sim_cosine_topk(spark, sf_dir).collect()),
+        ("pricing_summary", lambda: q_pricing_summary(spark, sf_dir).collect()),
+        ("text_quality", lambda: q_text_quality(spark, sf_dir).count()),
+        ("events_asof_purchase", lambda: q_events_asof_purchase(spark, sf_dir).count()),
+        ("dedup_ngram_pairs", lambda: q_dedup_ngram_pairs(spark, sf_dir).count()),
+        ("events_salted_agg", lambda: q_events_salted_agg(spark, sf_dir).collect()),
+        ("docs_decontaminate", lambda: q_docs_decontaminate(spark, sf_dir).count()),
+        (
+            "docs_decontaminate_incremental",
+            lambda: q_docs_decontaminate_incremental(spark, sf_dir).count(),
+        ),
+        ("events_asof_bucketed", lambda: q_events_asof_bucketed(spark, sf_dir).count()),
+        ("spans_main_content", lambda: q_spans_main_content(spark, sf_dir).count()),
+    ]
+    for _pass in range(2):
+        for name, fn in measured:
+            t = _timed(fn)
+            queries[name] = min(t, queries.get(name, float("inf")))
+        # operators persist() intermediates; clear between passes so pass 2
+        # re-measures the full plan, not the cache
+        spark.catalog.clearCache()
+    docs_per_sec = round(n_docs / queries["extract_e2e_bench50k"], 1)
     spark.stop()
 
     # --- scaling: the same full job (extract + sink) at N vs 4N CPUS on
@@ -173,6 +173,8 @@ def main():
         "value": queries["extract_e2e_bench50k"],
         "unit": "sec",
         "queries": queries,
+        "queries_note": "min of 2 interleaved passes per query (incl. headline); "
+        "persisted caches cleared between passes",
         "sf": sf_dir,
         "bench_docs": n_docs,
         "docs_per_sec": docs_per_sec,

@@ -184,6 +184,15 @@ def compact(
         #    lease taken over must NOT retire the old runs while another
         #    writer is live — its rewrite stays torn (invisible) and the
         #    next vacuum reclaims it.
+        #    Residual TOCTOU window, accepted under the single-writer
+        #    design: a takeover landing between this holder re-read and the
+        #    marker rename below would let a displaced compact retire the
+        #    old runs. Takeover requires the lease to sit past stale_sec
+        #    (default 3600 s) while this fence-to-rename gap is
+        #    microseconds, and the supersede marker names the runs it
+        #    retires, so the outcome is recoverable from the marker log.
+        #    Closing it fully needs an fcntl/O_EXCL rename keyed to the
+        #    holder — not worth the portability cost here.
         lock_path = os.path.join(output, "_RUN_LOCK")
         try:
             with open(lock_path) as f:

@@ -456,20 +456,18 @@ def q_dedup_ngram_pairs(
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # ONE shared guard pass: filtered index + surviving document
     # frequencies from the same aggregation (shingles are distinct per doc)
-    index, occ = drop_oversized_buckets(
+    index, _ = drop_oversized_buckets(
         ex, ("g",), bucket_cap, "dedup_ngram_pairs", with_occupancy=True
     )
-    dfv = occ.select("g", F.col("_occ").alias("df"))
-    ranked = (
-        index.join(dfv, "g")
-        .withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
-            ),
-        )
-        .join(sizes, "doc_id")
-    )
+    # the guard's filtered frame carries _occ (= document frequency: one
+    # row per doc per distinct shingle) — rank rarest-first without a
+    # second counts join
+    ranked = index.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.asc("_occ"), F.asc("g"))
+        ),
+    ).join(sizes, "doc_id")
     # prefix bound uses the FULL |sh(X)| even though r ranks only in-index
     # shingles — under the cap the prefix can only get longer than the
     # lossless minimum, so the filter stays valid
@@ -650,16 +648,15 @@ def q_dedup_containment_prefix(
     # ONE shared guard pass: the filtered index AND the surviving
     # occupancy counts (document frequencies — shingles are distinct per
     # doc) come from the same aggregation via plans/guards
-    index, occ = drop_oversized_buckets(
+    index, _ = drop_oversized_buckets(
         ex, ("g",), df_cap, "dedup_containment_prefix", with_occupancy=True
     )
-    dfv = occ.select("g", F.col("_occ").alias("df"))
+    index = index.select("doc_id", "g", "_occ")
     ranked = (
-        index.join(dfv, "g")
-        .withColumn(
+        index.withColumn(
             "r",
             F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
+                Window.partitionBy("doc_id").orderBy(F.asc("_occ"), F.asc("g"))
             ),
         )
         .join(sizes.withColumnRenamed("doc_id", "doc_id2"), F.col("doc_id") == F.col("doc_id2"))
@@ -674,7 +671,8 @@ def q_dedup_containment_prefix(
     prefix = ranked.where(
         F.col("r") <= F.col("sz_a") - F.ceil(F.lit(CONTAINMENT_THRESHOLD) * F.col("sz_a")) + 1
     ).select("doc_id", "g")
-    index = index.persist()  # feeds the candidate join AND both verify sides
+    # _occ dropped: the candidate/verify joins key on (doc_id, g) only
+    index = index.select("doc_id", "g").persist()
     cand = (
         prefix.alias("a")
         .join(index.alias("b"), "g")

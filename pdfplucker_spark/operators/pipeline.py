@@ -559,8 +559,9 @@ def q_docs_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup governance report: per source, how many docs the keep-list
     drops and the duplication rate — the number a data-quality dashboard
     publishes after each dedup run. Composes the verdict with one
-    broadcast-dim join (documents' compact (doc_id, source) projection)
-    and one hash aggregation."""
+    doc_id-keyed hash join against documents' compact (doc_id, source)
+    projection (both sides corpus-scale but uniform on the join key; AQE
+    picks the strategy) and one hash aggregation."""
     v = q_docs_dedup_verdict(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     dropped = F.sum(F.when(~F.col("keep"), 1).otherwise(0))
@@ -743,6 +744,83 @@ ok AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= {DECONTAM_DF_CAP})
 SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
        COUNT(*) AS n_shared_ngrams
 FROM (SELECT doc_id, g FROM sh JOIN ok USING (g) WHERE gate <> 0) t
+JOIN (SELECT doc_id, g FROM sh JOIN ok USING (g) WHERE gate = 0) e USING (g)
+GROUP BY 1, 2
+HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
+"""
+
+
+DECONTAM_BATCH_MOD = 20  # the arriving crawl batch: 1/20 of train docs
+
+
+def q_docs_decontaminate_incremental(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = DECONTAM_DF_CAP
+) -> DataFrame:
+    """Incremental decontamination — the production CADENCE: an arriving
+    train BATCH is screened against the STANDING eval-shingle index, never
+    a corpus self-scan (mirror of ``dedup_incremental``'s batch-vs-index
+    shape). The join is batch-shingles ⋈ eval-index on the shingle key:
+    candidate volume is Σ_g df_batch(g)·df_eval(g) — it tracks the BATCH
+    size, and the standing index guards its own key distribution with the
+    df cap (drop-and-log, plans/guards). Here a deterministic 1/20 slice
+    of the train docs plays the arriving batch. Output = the full-scan
+    operator's rows restricted to batch docs (asserted by pytest — the
+    caps never fire on the driver corpora)."""
+    from pdfplucker_spark.operators.dedup import _SHINGLE_OVER_TOKENS
+    from pdfplucker_spark.plans.guards import drop_oversized_buckets
+
+    d = load(spark, sf_dir, "documents")
+    gate = md5_long(F.concat("source", F.lit(":"), F.col("doc_id").cast("string")))
+    bgate = (
+        md5_long(F.concat(F.lit("dbatch:"), F.col("doc_id").cast("string")))
+        % DECONTAM_BATCH_MOD
+    )
+    ex = (
+        d.select(
+            "doc_id",
+            (gate % SAMPLE_MOD == 0).alias("is_eval"),
+            (bgate == 0).alias("in_batch"),
+            F.split("text", " ").alias("__tk"),
+        )
+        .select(
+            "doc_id",
+            "is_eval",
+            "in_batch",
+            F.explode(F.expr(_SHINGLE_OVER_TOKENS)).alias("g"),
+        )
+        .persist()
+    )
+    eval_ix = drop_oversized_buckets(
+        ex.where(F.col("is_eval")).select(F.col("doc_id").alias("eval_doc_id"), "g"),
+        ("g",),
+        df_cap,
+        "docs_decontaminate_incremental",
+    )
+    batch = ex.where(~F.col("is_eval") & F.col("in_batch")).select(
+        F.col("doc_id").alias("train_doc_id"), "g"
+    )
+    return (
+        batch.join(eval_ix, "g")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .where(F.col("n_shared_ngrams") >= DECONTAM_MIN_SHARED)
+    )
+
+
+SQL_DOCS_DECONTAMINATE_INCREMENTAL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         {sql_md5_long("source || ':' || CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} AS gate,
+         {sql_md5_long(chr(39) + "dbatch:" + chr(39) + " || CAST(doc_id AS VARCHAR)")} % {DECONTAM_BATCH_MOD} AS bgate,
+         UNNEST({_SQL_SHINGLES}) AS g
+  FROM documents
+),
+-- the standing index guards its OWN key distribution: the cap counts
+-- eval-side document frequency only
+ok AS (SELECT g FROM sh WHERE gate = 0 GROUP BY g HAVING COUNT(*) <= {DECONTAM_DF_CAP})
+SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+       COUNT(*) AS n_shared_ngrams
+FROM (SELECT doc_id, g FROM sh WHERE gate <> 0 AND bgate = 0) t
 JOIN (SELECT doc_id, g FROM sh JOIN ok USING (g) WHERE gate = 0) e USING (g)
 GROUP BY 1, 2
 HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
@@ -985,6 +1063,10 @@ QUERIES = {
     "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
     "docs_pack_shards": (_q_docs_pack_shards_pinned, SQL_DOCS_PACK_SHARDS),
     "docs_decontaminate": (q_docs_decontaminate, SQL_DOCS_DECONTAMINATE),
+    "docs_decontaminate_incremental": (
+        q_docs_decontaminate_incremental,
+        SQL_DOCS_DECONTAMINATE_INCREMENTAL,
+    ),
     "events_purchase_range_join": (
         q_events_purchase_range_join,
         SQL_EVENTS_PURCHASE_RANGE_JOIN,

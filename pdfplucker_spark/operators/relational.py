@@ -550,16 +550,19 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(us / F.lit(86400.0 * 1e6)).alias("epoch_day"),
         "value",
     )
-    base.createOrReplaceTempView("_etr")
+    # parameterized SQL (the frame substitutes as {base}) — no session-
+    # global temp view, so concurrent invocations on one SparkSession
+    # cannot race on a shared name
     return spark.sql(
         """
         SELECT event_type, epoch_hour, epoch_day,
                CAST(grouping(epoch_hour) AS INT) AS is_daily,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        FROM _etr
+        FROM {base}
         GROUP BY event_type, GROUPING SETS ((epoch_hour), (epoch_day))
-        """
+        """,
+        base=base,
     )
 
 

@@ -49,15 +49,17 @@ def drop_oversized_buckets(
 
     ``with_occupancy=True`` additionally returns the SURVIVING occupancy
     frame ``(key_cols..., _occ)`` — for callers that need the counts
-    themselves (e.g. the containment prefix filter ranks shingles by
-    document frequency): one shared aggregation instead of the caller
-    recomputing it beside the guard."""
+    themselves (e.g. the prefix filters rank shingles by document
+    frequency): one shared aggregation instead of the caller recomputing
+    it beside the guard. In that mode the filtered frame also CARRIES the
+    ``_occ`` column (the filtering join has it in hand anyway), so callers
+    ranking by occupancy need no second join against the counts."""
     cols = list(key_cols)
     if cap is None:
         if not with_occupancy:
             return keys
         occ = keys.groupBy(*cols).agg(F.count("*").alias("_occ")).persist()
-        return keys, occ
+        return keys.join(occ, cols), occ
     occ = keys.groupBy(*cols).agg(F.count("*").alias("_occ")).persist()
     n_dropped = occ.where(F.col("_occ") > cap).count()
     if n_dropped:
@@ -69,7 +71,6 @@ def drop_oversized_buckets(
             cap,
         )
     surviving = occ.where(F.col("_occ") <= cap)
-    filtered = keys.join(surviving.select(*cols), cols)
     if with_occupancy:
-        return filtered, surviving
-    return filtered
+        return keys.join(surviving, cols), surviving
+    return keys.join(surviving.select(*cols), cols)

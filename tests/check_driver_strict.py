@@ -52,6 +52,9 @@ def main():
         ok, msg = strict_compare(sp, du)
         print(f"{name}: {'PASS' if ok else 'FAIL'} — {msg}")
         bad += 0 if ok else 1
+        # operators persist() multi-consumer intermediates and (by design)
+        # never unpersist the lazy plan's caches — reclaim between sweeps
+        spark.catalog.clearCache()
     sys.exit(1 if bad else 0)
 
 

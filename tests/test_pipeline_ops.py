@@ -288,3 +288,28 @@ def test_time_rollup_null_ts_distinguishes_grouping_from_null_grain(spark, tmp_p
     null_daily = [r for r in got if r[2] is None and r[3] == 1 and r[1] is None]
     assert len(null_hourly) == 1 and null_hourly[0][4] == 1
     assert len(null_daily) == 1
+
+
+def test_incremental_decontaminate_tracks_batch(spark):
+    """The batch-vs-standing-index operator must return EXACTLY the
+    full-scan operator's rows restricted to batch docs (caps never fire on
+    the driver corpora), and its candidate volume must track the batch —
+    no train doc outside the deterministic batch slice may appear."""
+    from pdfplucker_spark.functions.hashing import md5_long
+    from pdfplucker_spark.operators.pipeline import (
+        DECONTAM_BATCH_MOD,
+        q_docs_decontaminate,
+        q_docs_decontaminate_incremental,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    inc = q_docs_decontaminate_incremental(spark, sf)
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    bgate = (
+        md5_long(F.concat(F.lit("dbatch:"), F.col("doc_id").cast("string")))
+        % DECONTAM_BATCH_MOD
+    )
+    batch_ids = d.where(bgate == 0).select(F.col("doc_id").alias("train_doc_id"))
+    full_restricted = q_docs_decontaminate(spark, sf).join(batch_ids, "train_doc_id")
+    assert inc.exceptAll(full_restricted).count() == 0
+    assert full_restricted.exceptAll(inc).count() == 0

@@ -151,3 +151,15 @@ def test_asof_bucketed_has_no_unbounded_single_key_sort(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*?)ASC NULLS FIRST", plan)
     keyed_by_bucket = [s for s in specs if "user_id" in s and "bk" in s]
     assert keyed_by_bucket, plan[:3000]
+
+
+def test_ngram_prefix_join_is_hash_keyed(spark):
+    """The PPJoin prefix candidate join must plan as hash/sort-merge joins
+    on the shingle key (the position filter is a post-join predicate,
+    never a nested-loop condition), and the event-grain windows rank
+    within doc_id only."""
+    from pdfplucker_spark.operators.dedup import q_dedup_ngram_pairs
+
+    plan = _plan(q_dedup_ngram_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
