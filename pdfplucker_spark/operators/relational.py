@@ -160,22 +160,61 @@ GROUP BY r_name
 
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions over the event stream: row_number, lag, running sum
-    (running sum in exact decimal → double, order-independent)."""
-    ev = load(spark, sf_dir, "events")
-    # asc_nulls_last: Spark windows default NULLS FIRST, DuckDB defaults
-    # nulls_last — a NULL ts would silently reorder the sequence per engine
-    w = Window.partitionBy("user_id").orderBy(
-        F.asc_nulls_last("ts"), F.asc("event_id")
+    (running sum in exact decimal → double, order-independent). Skew-proof
+    shape: all three compose from (user_id, time-bucket) in-bucket windows
+    plus a bucket-summary carry (prior-bucket row counts, last event type,
+    exact decimal prefix sums) — the per-user window runs on summary rows
+    only, so one pathological user never serializes an event-grain sort.
+    The running sum keeps the single-window NULL rule: NULL until the
+    first non-null value, exact decimal addition after (prior buckets'
+    decimal sums + the in-bucket running sum — identical doubles). Oracle:
+    the plain single-window SQL, unchanged."""
+    e = _bucketed_events(load(spark, sf_dir, "events"), "event_type", "value")
+    wib = Window.partitionBy("user_id", "bk").orderBy("usk", "event_id")
+    run_in = wib.rowsBetween(Window.unboundedPreceding, 0)
+    vdec = F.col("value").cast("decimal(18,6)")
+    e2 = (
+        e.withColumn("rn_in", F.row_number().over(wib))
+        .withColumn("lag_in", F.lag("event_type").over(wib))
+        .withColumn("runv_in", F.sum(vdec).over(run_in))
+        .withColumn(
+            "nn_in",
+            F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0)).over(run_in),
+        )
     )
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    return ev.select(
+    summ = e.groupBy("user_id", "bk").agg(
+        F.count("*").alias("n"),
+        F.max(F.struct("usk", "event_id", "event_type")).alias("last_ev"),
+        F.sum(vdec).alias("sumv"),
+        F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0)).alias("nn"),
+    )
+    wcar = Window.partitionBy("user_id").orderBy("bk")
+    before = wcar.rowsBetween(Window.unboundedPreceding, -1)
+    carried = summ.select(
+        "user_id",
+        "bk",
+        F.coalesce(F.sum("n").over(before), F.lit(0)).alias("cnt_before"),
+        F.lag(F.col("last_ev.event_type")).over(wcar).alias("carry_type"),
+        F.sum("sumv").over(before).alias("sumv_before"),
+        F.coalesce(F.sum("nn").over(before), F.lit(0)).alias("nn_before"),
+    )
+    j = e2.join(carried, ["user_id", "bk"])
+    total_nn = F.col("nn_before") + F.col("nn_in")
+    running = F.when(
+        total_nn > 0,
+        (
+            F.coalesce(F.col("sumv_before"), F.lit(0).cast("decimal(18,6)"))
+            + F.coalesce(F.col("runv_in"), F.lit(0).cast("decimal(18,6)"))
+        ).cast("double"),
+    )
+    return j.select(
         "user_id",
         "event_id",
-        F.row_number().over(w).alias("rn"),
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.sum(F.col("value").cast("decimal(18,6)")).over(run)
-        .cast("double")
-        .alias("running_value"),
+        (F.col("cnt_before") + F.col("rn_in")).cast("int").alias("rn"),
+        F.when(F.col("rn_in") == 1, F.col("carry_type"))
+        .otherwise(F.col("lag_in"))
+        .alias("prev_type"),
+        running.alias("running_value"),
     )
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import Row, Window, functions as F
 from pdfplucker_spark.operators.relational import (
     q_events_sessionize,
     q_events_transition_matrix,
+    q_events_window,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -92,6 +93,12 @@ def _edge_corpus(spark, path):
         Row(event_id=12, ts=None, user_id=2, event_type="purchase", value=8.0, props=None),
         # user 3: single event
         Row(event_id=20, ts=at(7 * H + 42), user_id=3, event_type="view", value=2.5, props=None),
+        # user 4: leading NULL values (running sum must stay NULL until the
+        # first non-null), crossing a bucket edge
+        Row(event_id=30, ts=at(200), user_id=4, event_type="view", value=None, props=None),
+        Row(event_id=31, ts=at(300), user_id=4, event_type="click", value=None, props=None),
+        Row(event_id=32, ts=at(H + 400), user_id=4, event_type="view", value=3.5, props=None),
+        Row(event_id=33, ts=at(H + 500), user_id=4, event_type="purchase", value=None, props=None),
     ]
     schema = (
         "event_id bigint, ts timestamp_ntz, user_id bigint, "
@@ -134,13 +141,14 @@ def test_no_event_grain_window_keys_on_user_alone(spark):
     user_id-alone windows sit above the per-bucket aggregate only."""
     import re
 
-    for q in (q_events_sessionize, q_events_transition_matrix):
+    for q in (q_events_sessionize, q_events_transition_matrix, q_events_window):
         plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
         specs = re.findall(r"windowspecdefinition\((.*?)\)", plan)
-        # at least one bucket-chopped window, and the aggregate between the
-        # raw scan and any user-alone window shows up as a HashAggregate
+        # at least one bucket-chopped window, and the bucket-summary
+        # aggregate between the raw scan and any user-alone window exists
+        # (hash/object-hash/sort flavor depends on the agg expressions)
         assert any("user_id" in s and "bk" in s for s in specs), plan[:3000]
-        assert "HashAggregate" in plan
+        assert "Aggregate" in plan
 
 
 def test_main_content_chunked_assembly_matches_and_bounds_buffers(spark, tmp_path):
@@ -197,3 +205,27 @@ def test_main_content_chunked_assembly_matches_and_bounds_buffers(spark, tmp_pat
     _assert_frames_equal(chunked, single)
     plan = chunked._jdf.queryExecution().executedPlan().toString()
     assert "ck" in plan and plan.count("ObjectHashAggregate") >= 2, plan[:2000]
+
+
+def _reference_window(ev):
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc("event_id")
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(run)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+def test_events_window_bucketed_matches_single_window(spark, tmp_path):
+    _edge_corpus(spark, str(tmp_path))
+    ev = spark.read.parquet(f"{tmp_path}/events.parquet")
+    _assert_frames_equal(q_events_window(spark, str(tmp_path)), _reference_window(ev))
+    sf_ev = spark.read.parquet(f"{SF}/events.parquet")
+    _assert_frames_equal(q_events_window(spark, SF), _reference_window(sf_ev))
