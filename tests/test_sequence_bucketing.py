@@ -229,3 +229,45 @@ def test_events_window_bucketed_matches_single_window(spark, tmp_path):
     _assert_frames_equal(q_events_window(spark, str(tmp_path)), _reference_window(ev))
     sf_ev = spark.read.parquet(f"{SF}/events.parquet")
     _assert_frames_equal(q_events_window(spark, SF), _reference_window(sf_ev))
+
+
+def test_bucketed_ops_match_on_random_corpora(spark, tmp_path):
+    """Seeded random event corpora (null ts, null values, equal-ts ties,
+    bucket-edge gaps): every bucketed rewrite must equal its single-window
+    reference. Deterministic RNG — reproducible, no flakes."""
+    import random
+
+    t0 = dt.datetime(2024, 3, 1)
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        rows = []
+        for eid in range(300):
+            ts = (
+                None
+                if rng.random() < 0.05
+                else t0 + dt.timedelta(seconds=rng.randrange(0, 36000))
+            )
+            rows.append(
+                Row(
+                    event_id=eid,
+                    ts=ts,
+                    user_id=rng.randrange(1, 6),
+                    event_type=rng.choice(["view", "click", "purchase"]),
+                    value=None if rng.random() < 0.1 else round(rng.uniform(0, 50), 3),
+                    props=None,
+                )
+            )
+        path = f"{tmp_path}/s{seed}"
+        schema = (
+            "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            f"{path}/events.parquet"
+        )
+        ev = spark.read.parquet(f"{path}/events.parquet")
+        _assert_frames_equal(q_events_sessionize(spark, path), _reference_sessionize(ev))
+        _assert_frames_equal(
+            q_events_transition_matrix(spark, path), _reference_transitions(ev)
+        )
+        _assert_frames_equal(q_events_window(spark, path), _reference_window(ev))
