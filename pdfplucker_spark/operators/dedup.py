@@ -471,9 +471,11 @@ def q_dedup_ngram_pairs(
     # prefix bound uses the FULL |sh(X)| even though r ranks only in-index
     # shingles — under the cap the prefix can only get longer than the
     # lossless minimum, so the filter stays valid
+    # persist: prefix feeds BOTH aliases of its self-join — without it the
+    # sizes agg, guard join and the corpus-scale rank window run twice
     prefix = ranked.where(
         F.col("r") <= F.col("sz") - F.ceil(F.lit(NGRAM_THRESHOLD) * F.col("sz")) + 1
-    ).select("doc_id", "g", "r", "sz")
+    ).select("doc_id", "g", "r", "sz").persist()
     # PPJoin position filter, also lossless: for the FIRST common element
     # in the global order, matched at ranks (r_a, r_b), the overlap can be
     # at most 1 + min(sz_a − r_a, sz_b − r_b); a valid pair needs overlap

@@ -169,7 +169,8 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     first non-null value, exact decimal addition after (prior buckets'
     decimal sums + the in-bucket running sum — identical doubles). Oracle:
     the plain single-window SQL, unchanged."""
-    e = _bucketed_events(load(spark, sf_dir, "events"), "event_type", "value")
+    # persist: e feeds the in-bucket window frame AND the summary agg
+    e = _bucketed_events(load(spark, sf_dir, "events"), "event_type", "value").persist()
     wib = Window.partitionBy("user_id", "bk").orderBy("usk", "event_id")
     run_in = wib.rowsBetween(Window.unboundedPreceding, 0)
     vdec = F.col("value").cast("decimal(18,6)")
@@ -305,7 +306,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("prev_ts").isNull() | (gap_us > GAP_US)),
             1,
         ).otherwise(0),
-    )
+    ).persist()  # feeds the bucket-summary agg AND the final join
     summ = e2.groupBy("user_id", "bk").agg(
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
@@ -691,7 +692,9 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     one lag over summary rows), so no event-cardinality window keys on
     user_id alone. Probability = count / row total via a broadcast of the
     per-prev totals; the oracle stays the plain single-window SQL."""
-    e = _bucketed_events(load(spark, sf_dir, "events"), "event_type")
+    # persist: e feeds the bucket-summary aggregation AND the in-bucket
+    # lag/row_number windows
+    e = _bucketed_events(load(spark, sf_dir, "events"), "event_type").persist()
     wib = Window.partitionBy("user_id", "bk").orderBy("usk", "event_id")
     # per (user, bucket): the LAST event's type — a hash aggregation
     # (lexicographic struct max on (usk, event_id), no sort), then the

@@ -556,6 +556,11 @@ FROM cells GROUP BY cid, dim
 # iterated k-means: assign→recenter to convergence — the fit loop the single
 # IVF steps compose into
 # ---------------------------------------------------------------------------
+# ONE source for the iteration cap: the fit's default AND the oracle's
+# unroll depth — they must never drift (cap-hit runs do exactly this many
+# assign+recenter steps in both engines)
+KMEANS_MAX_ITERS = 25
+
 def _kmeans_recenter(emb, assigned):
     """Per-cluster mean embeddings as (cid, cv) arrays. Sums go through
     exact DECIMAL (order-independent — a double sum would differ per
@@ -578,7 +583,7 @@ def _kmeans_recenter(emb, assigned):
     )
 
 
-def kmeans_fit(emb, max_iters: int = 25):
+def kmeans_fit(emb, max_iters: int = KMEANS_MAX_ITERS):
     """Lloyd's k-means over the IVF machinery: broadcast-argmax ASSIGN
     (map-only, no shuffle of the N-row side) → decimal-exact RECENTER (one
     hash aggregation on (cid, dim) — K·D cells) until no centroid moves.
@@ -663,9 +668,6 @@ def q_sim_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select(
         "cid", F.posexplode("cv").alias("dim", "centroid_val")
     ).select("cid", "dim", F.round("centroid_val", 8).alias("centroid_val"))
-
-
-KMEANS_MAX_ITERS = 25
 
 
 def _sql_kmeans_unrolled(iters: int = None) -> str:

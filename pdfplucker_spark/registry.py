@@ -17,10 +17,11 @@ _OPERATOR_MODULES = (
 )
 
 # Enumeration order is the driver's sampling order, and its CORRECTNESS
-# record is the durable cross-engine signal — so queries that have never
-# appeared in any round's driver record (plus anything newly added this
-# round) enumerate FIRST. Names not in the registry are ignored; names not
-# listed keep module order after these.
+# record is the durable cross-engine signal — so new/changed operators
+# enumerate first, then the STALEST records (names absent from the most
+# recent CORRECTNESS_r*.json), keeping every name green within the last
+# two rounds. Names not in the registry are ignored; names not listed
+# keep module order after these.
 _RECORD_FIRST = (
     # round-5 additions / newly-oracled (sim_kmeans_fit gained its DuckDB
     # oracle this round — its r4 row is the one `err: no_oracle` record)

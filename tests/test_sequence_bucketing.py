@@ -137,17 +137,21 @@ def test_transitions_bucketed_matches_single_window(spark, tmp_path):
 
 
 def test_no_event_grain_window_keys_on_user_alone(spark):
-    """Every event-cardinality window partitions on (user_id, bk); the
-    user_id-alone windows sit above the per-bucket aggregate only."""
+    """Every window spec that mentions user_id must also mention bk —
+    either as a partition key (the event-grain in-bucket windows) or as
+    the order key (the user-alone carry windows, which run over the
+    bucket-summary frame). A reintroduced user_id-alone event-grain
+    window (partition user_id, order usk/ts) would produce a spec with
+    user_id and NO bk and fail here."""
     import re
 
     for q in (q_events_sessionize, q_events_transition_matrix, q_events_window):
         plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
         specs = re.findall(r"windowspecdefinition\((.*?)\)", plan)
-        # at least one bucket-chopped window, and the bucket-summary
-        # aggregate between the raw scan and any user-alone window exists
-        # (hash/object-hash/sort flavor depends on the agg expressions)
-        assert any("user_id" in s and "bk" in s for s in specs), plan[:3000]
+        assert specs, plan[:2000]
+        bad = [s for s in specs if "user_id" in s and "bk" not in s]
+        assert not bad, (q.__name__, bad)
+        # the bucket-summary aggregate between scan and carry exists
         assert "Aggregate" in plan
 
 
