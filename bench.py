@@ -44,7 +44,6 @@ def _timed(fn):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    small = max(2, cpus // 4)
 
     bench_path = write_tier("bench", os.path.join(REPO, ".data"))
     shutil.rmtree(BENCH_OUT, ignore_errors=True)
