@@ -18,6 +18,21 @@ from pdfplucker_spark.operators.extract import extract_spans
 from pdfplucker_spark.schemas import INPUT_SCHEMA
 
 
+
+def _ntz_as_utc_instant(col):
+    """NTZ event time -> TIMESTAMP instant, SESSION-TZ-PROOF: a plain
+    cast interprets the wall time in the session timezone (under
+    TZ=Asia/Tokyo every watermark/window boundary shifts 9 h against the
+    tz-independent DuckDB oracle); building the instant from epoch micros
+    pins the NTZ wall time to UTC for any session tz."""
+    from pyspark.sql import functions as F
+
+    return F.timestamp_micros(
+        F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    )
+
 def stream_extract(
     spark: SparkSession,
     input_dir: str,
@@ -68,7 +83,7 @@ def stream_windowed_event_counts(
     )
     # watermarks require TIMESTAMP (not NTZ); cast once on ingest — the
     # batch-equivalence test applies the same cast on its side
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = src.withColumn("ts", _ntz_as_utc_instant("ts"))
     agg = (
         src.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -112,7 +127,7 @@ def stream_dedup_exact(
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
     )
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = src.withColumn("ts", _ntz_as_utc_instant("ts"))
     deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
@@ -338,7 +353,7 @@ def stream_click_purchase_join(
             .select(
                 F.col("user_id").alias(f"{prefix}_user"),
                 F.col("event_id").alias(f"{prefix}_id"),
-                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+                _ntz_as_utc_instant("ts").alias(f"{prefix}_ts"),
             )
             .withWatermark(f"{prefix}_ts", watermark)
         )
@@ -587,7 +602,7 @@ def stream_sessionize(
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
     )
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = src.withColumn("ts", _ntz_as_utc_instant("ts"))
     agg = (
         src.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")

@@ -372,3 +372,30 @@ def test_running_totals_quantize_matches_engines_on_hostile_values(spark, tmp_pa
         [vals],
     ).fetchone()[0]
     assert got[0].total_value == exp
+
+
+def test_streaming_instants_are_session_tz_proof(spark):
+    """The NTZ→instant conversion on streaming ingest must pin the wall
+    time to UTC for ANY session timezone — a plain cast interprets it in
+    the session zone and shifts every watermark/window boundary (found by
+    the TZ=Asia/Tokyo hostile sweep)."""
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.streaming.stream import _ntz_as_utc_instant
+
+    df = spark.createDataFrame(
+        [("2024-01-01 12:00:00",)], "raw string"
+    ).select(F.col("raw").cast("timestamp_ntz").alias("ts"))
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        epochs = {}
+        for tz in ("UTC", "Asia/Tokyo", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            epochs[tz] = (
+                df.select(F.unix_timestamp(_ntz_as_utc_instant("ts")).alias("e"))
+                .collect()[0]["e"]
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert len(set(epochs.values())) == 1, epochs
+    assert epochs["UTC"] == 1704110400  # 2024-01-01T12:00:00Z
