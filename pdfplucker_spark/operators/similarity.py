@@ -715,19 +715,132 @@ c{i} AS MATERIALIZED (
     SELECT cid, list(m ORDER BY dim) AS cv FROM m{i} GROUP BY cid
   ) n USING (cid)
 )""")
-    body = ",\n".join(parts)
-    return f"""WITH {body}
+    return ",\n".join(parts)
+
+
+def _sql_kmeans_fit_query(iters: int = None) -> str:
+    iters = KMEANS_MAX_ITERS if iters is None else iters
+    return f"""WITH {_sql_kmeans_unrolled(iters)}
 SELECT cid, CAST(dim AS INT) AS dim, round(v, 8) AS centroid_val
 FROM (
   SELECT cid, UNNEST(range(len(cv))) AS dim, UNNEST(cv) AS v FROM c{iters}
 )"""
 
 
-SQL_SIM_KMEANS_FIT = _sql_kmeans_unrolled()
+SQL_SIM_KMEANS_FIT = _sql_kmeans_fit_query()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: embedding near-dup removal with k-means CLUSTER blocking
+# ---------------------------------------------------------------------------
+def q_sim_semdedup(
+    spark: SparkSession, sf_dir: str, cluster_cap: int | None = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """SemDeDup-style embedding deduplication: cluster the corpus with the
+    fitted k-means (the cluster id is the candidate-blocking key — the
+    alternative scale path to sign-LSH banding: candidates = same cluster,
+    Σ_c sz(c)² work, K chosen so clusters stay bounded; at 10⁹+ vectors K
+    scales ∝ N/target-cluster-size), verify candidates with the exact
+    cosine, connect near-dup components (min-label propagation), and keep
+    exactly one canonical vector per component (the min vec_id). Clusters
+    above ``cluster_cap`` occupancy are dropped-and-logged — a degenerate
+    corpus collapsing into one cluster cannot go quadratic. Output:
+    (vec_id, cid, cluster_label, keep) — the removal verdict a training
+    pipeline applies. Oracle: the unrolled-Lloyd centroid chain + the same
+    blocking/verify algebra + a recursive-CTE transitive closure."""
+    from pdfplucker_spark.operators.pipeline import connected_components
+
+    emb = load(spark, sf_dir, "embeddings").persist()
+    cents = kmeans_fit(emb)
+    # assigned feeds the guard, BOTH self-join aliases and the final output
+    assigned = _ivf_assigned_with(emb, cents).persist()
+    blocked = drop_oversized_buckets(
+        assigned, ("cid",), cluster_cap, "sim_semdedup"
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.sqrt(
+            F.expr("aggregate(cast(embedding as array<double>), 0D, (a,x) -> a + x*x)")
+        ).alias("nrm"),
+    )
+    dot = "aggregate(zip_with(ea.v, eb.v, (x,y) -> x*y), 0D, (s,t) -> s+t)"
+    pairs = (
+        cand.join(e.alias("ea"), F.col("vec_a") == F.col("ea.vec_id"))
+        .join(e.alias("eb"), F.col("vec_b") == F.col("eb.vec_id"))
+        .where(
+            F.expr(dot) / (F.col("ea.nrm") * F.col("eb.nrm"))
+            >= COSINE_DUP_THRESHOLD
+        )
+        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    )
+    labels = connected_components(
+        emb.select(F.col("vec_id").alias("node")), pairs
+    )
+    return labels.join(assigned, labels.node == assigned.vec_id).select(
+        "vec_id",
+        "cid",
+        F.col("label").alias("cluster_label"),
+        (F.col("vec_id") == F.col("label")).alias("keep"),
+    )
+
+
+def _sql_semdedup() -> str:
+    n = KMEANS_MAX_ITERS
+    return f"""WITH RECURSIVE {_sql_kmeans_unrolled(n)},
+sassigned AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+               / sqrt(list_dot_product(c.cv, c.cv)) DESC,
+             c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c{n} c
+  ) WHERE rn = 1
+),
+okc AS (SELECT cid FROM sassigned GROUP BY cid HAVING COUNT(*) <= {DEFAULT_BUCKET_CAP}),
+ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM sassigned a JOIN okc USING (cid)
+  JOIN sassigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN ev ea ON ea.vec_id = a.vec_id
+  JOIN ev eb ON eb.vec_id = b.vec_id
+  WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) >= {COSINE_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),
+walk(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+lab AS (SELECT node AS vec_id, MIN(label) AS cluster_label FROM walk GROUP BY node)
+SELECT l.vec_id, s.cid, l.cluster_label,
+       l.vec_id = l.cluster_label AS keep
+FROM lab l JOIN sassigned s USING (vec_id)"""
+
+
+SQL_SIM_SEMDEDUP = _sql_semdedup()
 
 
 QUERIES = {
     "sim_kmeans_fit": (q_sim_kmeans_fit, SQL_SIM_KMEANS_FIT),
+    "sim_semdedup": (q_sim_semdedup, SQL_SIM_SEMDEDUP),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_dup_clusters": (q_sim_dup_clusters, SQL_SIM_DUP_CLUSTERS),
     "sim_ivf_recenter": (q_sim_ivf_recenter, SQL_SIM_IVF_RECENTER),

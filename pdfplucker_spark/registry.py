@@ -26,6 +26,7 @@ _RECORD_FIRST = (
     # round-5 additions / newly-oracled (sim_kmeans_fit gained its DuckDB
     # oracle this round — its r4 row is the one `err: no_oracle` record)
     "sim_kmeans_fit",
+    "sim_semdedup",
     "docs_decontaminate_incremental",
     # stale: last driver-recorded in r1–r3 (absent from CORRECTNESS_r04)
     "events_funnel",

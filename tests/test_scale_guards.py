@@ -232,3 +232,38 @@ def test_ngram_prefix_filter_is_lossless(spark):
     prefix = q_dedup_ngram_pairs(spark, sf)
     assert brute.exceptAll(prefix).count() == 0
     assert prefix.exceptAll(brute).count() == 0
+
+
+def test_semdedup_cluster_guard_bounds_degenerate_embeddings(spark, tmp_path, caplog):
+    """400 identical embeddings collapse into one k-means cluster; the
+    cluster-occupancy cap drops it so the within-cluster self-join stays
+    bounded — every vector is then its own component (all kept)."""
+    from pdfplucker_spark.operators.similarity import q_sim_semdedup
+
+    vec = [0.5] * 64
+    rows = [Row(vec_id=i, embedding=vec, label=0) for i in range(400)]
+    spark.createDataFrame(rows).selectExpr(
+        "vec_id", "cast(embedding as array<float>) embedding", "label"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    with caplog.at_level(logging.WARNING, logger="pdfplucker_spark.plans.guards"):
+        out = q_sim_semdedup(spark, str(tmp_path), cluster_cap=100).collect()
+    assert len(out) == 400
+    assert all(r.keep for r in out)  # no pairs -> every vector canonical
+    assert any("sim_semdedup" in r.message and "dropped" in r.message
+               for r in caplog.records)
+
+
+def test_semdedup_keeps_one_canonical_per_component(spark):
+    """On the real corpus: keep-set = exactly the distinct component
+    labels, and every dropped vector shares a component with its keeper."""
+    from pdfplucker_spark.operators.similarity import q_sim_semdedup
+
+    out = q_sim_semdedup(spark, "/root/testdata/sf0.001").collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r.cluster_label, []).append(r)
+    for label, members in by_label.items():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1 and keepers[0].vec_id == label == min(
+            r.vec_id for r in members
+        )
