@@ -171,7 +171,7 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain single-window SQL, unchanged."""
     # persist: e feeds the in-bucket window frame AND the summary agg
     e = _bucketed_events(load(spark, sf_dir, "events"), "event_type", "value").persist()
-    wib = Window.partitionBy("user_id", "bk").orderBy("usk", "event_id")
+    wib = _wib()
     run_in = wib.rowsBetween(Window.unboundedPreceding, 0)
     vdec = F.col("value").cast("decimal(18,6)")
     e2 = (
@@ -189,7 +189,7 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(vdec).alias("sumv"),
         F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0)).alias("nn"),
     )
-    wcar = Window.partitionBy("user_id").orderBy("bk")
+    wcar = _wcar()
     before = wcar.rowsBetween(Window.unboundedPreceding, -1)
     carried = summ.select(
         "user_id",
@@ -263,6 +263,17 @@ SEQ_BUCKET_US = 3_600_000_000  # 1 hour, matching the as-of bucketing
 _NULL_TS_USK = 1 << 62
 
 
+def _wib():
+    """Event-grain IN-BUCKET window: chopped by time, never user-alone.
+    (Built lazily — Window specs need an active session.)"""
+    return Window.partitionBy("user_id", "bk").orderBy("usk", "event_id")
+
+
+def _wcar():
+    """Bucket-summary CARRY window: user-alone over summary rows only."""
+    return Window.partitionBy("user_id").orderBy("bk")
+
+
 def _bucketed_events(ev: DataFrame, *cols: str) -> DataFrame:
     us = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
@@ -290,7 +301,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     window does with state."""
     GAP_US = 1800 * 1000000
     e = _bucketed_events(load(spark, sf_dir, "events"), "value")
-    wib = Window.partitionBy("user_id", "bk").orderBy("usk", "event_id")
+    wib = _wib()
     e2 = e.withColumn("prev_ts", F.lag("ts").over(wib)).withColumn(
         "rn", F.row_number().over(wib)
     )
@@ -312,7 +323,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.sum("inflag").alias("inb"),
     )
-    wcar = Window.partitionBy("user_id").orderBy("bk")
+    wcar = _wcar()
     cross_gap = F.expr("timestampdiff(MICROSECOND, prev_last_ts, first_ts)")
     csum = (
         summ.withColumn("prev_bk", F.lag("bk").over(wcar))
@@ -695,14 +706,14 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: e feeds the bucket-summary aggregation AND the in-bucket
     # lag/row_number windows
     e = _bucketed_events(load(spark, sf_dir, "events"), "event_type").persist()
-    wib = Window.partitionBy("user_id", "bk").orderBy("usk", "event_id")
+    wib = _wib()
     # per (user, bucket): the LAST event's type — a hash aggregation
     # (lexicographic struct max on (usk, event_id), no sort), then the
     # cross-bucket carry as a lag over the bucket-summary frame
     summ = e.groupBy("user_id", "bk").agg(
         F.max(F.struct("usk", "event_id", "event_type")).alias("last_ev")
     )
-    wcar = Window.partitionBy("user_id").orderBy("bk")
+    wcar = _wcar()
     carried = summ.withColumn(
         "carry_type", F.lag(F.col("last_ev.event_type")).over(wcar)
     ).select("user_id", "bk", "carry_type")

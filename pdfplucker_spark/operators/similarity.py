@@ -178,6 +178,31 @@ FROM b GROUP BY lsh_table, bucket
 COSINE_DUP_THRESHOLD = 0.30
 
 
+def _exact_cosine_pairs(emb, cand, threshold):
+    """Exact-cosine verification of candidate (vec_a, vec_b) pairs — THE
+    verify join for every embedding pair operator. Sequential-fold dots,
+    so values match the oracle bit-for-bit; only candidates pay the cost.
+    Returns (vec_a, vec_b, cos) filtered on the RAW cosine."""
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.sqrt(
+            F.expr("aggregate(cast(embedding as array<double>), 0D, (a,x) -> a + x*x)")
+        ).alias("nrm"),
+    )
+    dot = "aggregate(zip_with(ea.v, eb.v, (x,y) -> x*y), 0D, (s,t) -> s+t)"
+    return (
+        cand.join(e.alias("ea"), F.col("vec_a") == F.col("ea.vec_id"))
+        .join(e.alias("eb"), F.col("vec_b") == F.col("eb.vec_id"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.expr(dot) / (F.col("ea.nrm") * F.col("eb.nrm"))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def q_sim_cosine_dup_pairs(
     spark: SparkSession, sf_dir: str, bucket_cap: int | None = DEFAULT_BUCKET_CAP
 ) -> DataFrame:
@@ -208,25 +233,9 @@ def q_sim_cosine_dup_pairs(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    e = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        F.sqrt(
-            F.expr("aggregate(cast(embedding as array<double>), 0D, (a,x) -> a + x*x)")
-        ).alias("nrm"),
+    return _exact_cosine_pairs(emb, cand, COSINE_DUP_THRESHOLD).select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("cosine")
     )
-    dot = "aggregate(zip_with(ea.v, eb.v, (x,y) -> x*y), 0D, (s,t) -> s+t)"
-    pairs = (
-        cand.join(e.alias("ea"), F.col("vec_a") == F.col("ea.vec_id"))
-        .join(e.alias("eb"), F.col("vec_b") == F.col("eb.vec_id"))
-        .select(
-            "vec_a",
-            "vec_b",
-            (F.expr(dot) / (F.col("ea.nrm") * F.col("eb.nrm"))).alias("cos"),
-        )
-        .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
-    )
-    return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
 
 
 SQL_SIM_COSINE_DUP_PAIRS = f"""
@@ -670,7 +679,21 @@ def q_sim_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cid", "dim", F.round("centroid_val", 8).alias("centroid_val"))
 
 
-def _sql_kmeans_unrolled(iters: int = None) -> str:
+def _sql_assign_from(cent_cte: str) -> str:
+    """ROW_NUMBER-argmax assignment body against centroid CTE ``cent_cte``
+    — one source for the unrolled-Lloyd iterations and SemDeDup's final
+    assignment (the seed-centroid variant lives in ``_SQL_IVF_ASSIGNED``)."""
+    return f"""SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+               / sqrt(list_dot_product(c.cv, c.cv)) DESC,
+             c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN {cent_cte} c
+  ) WHERE rn = 1"""
+
+
+def _sql_kmeans_unrolled(iters: int = KMEANS_MAX_ITERS) -> str:
     """DuckDB replay of ``kmeans_fit``: the Lloyd loop unrolled to exactly
     the fit's iteration cap as chained CTEs (aggregates are not legal in a
     recursive-CTE term, so the loop is unrolled, not recursed). Each
@@ -679,7 +702,6 @@ def _sql_kmeans_unrolled(iters: int = None) -> str:
     cast to DOUBLE then ONE integer division, arrays reassembled in dim
     order, empty clusters carrying the previous centroid — so the doubles
     are bit-identical across engines."""
-    iters = KMEANS_MAX_ITERS if iters is None else iters
     # each c{i} is referenced twice (assign scan + previous-centroid carry):
     # MATERIALIZED stops DuckDB inlining them, which would otherwise expand
     # the chained plan 2^iters-fold
@@ -691,14 +713,7 @@ def _sql_kmeans_unrolled(iters: int = None) -> str:
     ]
     for i in range(1, iters + 1):
         parts.append(f"""a{i} AS (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
-               / sqrt(list_dot_product(c.cv, c.cv)) DESC,
-             c.cid ASC) AS rn
-    FROM embeddings e CROSS JOIN c{i - 1} c
-  ) WHERE rn = 1
+  {_sql_assign_from(f"c{i - 1}")}
 ),
 m{i} AS (
   SELECT cid, CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m, dim
@@ -718,8 +733,7 @@ c{i} AS MATERIALIZED (
     return ",\n".join(parts)
 
 
-def _sql_kmeans_fit_query(iters: int = None) -> str:
-    iters = KMEANS_MAX_ITERS if iters is None else iters
+def _sql_kmeans_fit_query(iters: int = KMEANS_MAX_ITERS) -> str:
     return f"""WITH {_sql_kmeans_unrolled(iters)}
 SELECT cid, CAST(dim AS INT) AS dim, round(v, 8) AS centroid_val
 FROM (
@@ -750,8 +764,12 @@ def q_sim_semdedup(
     blocking/verify algebra + a recursive-CTE transitive closure."""
     from pdfplucker_spark.operators.pipeline import connected_components
 
-    emb = load(spark, sf_dir, "embeddings").persist()
-    cents = kmeans_fit(emb)
+    emb = load(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb)  # manages its own persist/unpersist of emb
+    # persist AFTER the fit (its closing unpersist would wipe an earlier
+    # mark — persist is not reference-counted); emb feeds the assignment
+    # scan and both verify sides
+    emb = emb.persist()
     # assigned feeds the guard, BOTH self-join aliases and the final output
     assigned = _ivf_assigned_with(emb, cents).persist()
     blocked = drop_oversized_buckets(
@@ -766,22 +784,8 @@ def q_sim_semdedup(
         )
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
     )
-    e = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        F.sqrt(
-            F.expr("aggregate(cast(embedding as array<double>), 0D, (a,x) -> a + x*x)")
-        ).alias("nrm"),
-    )
-    dot = "aggregate(zip_with(ea.v, eb.v, (x,y) -> x*y), 0D, (s,t) -> s+t)"
-    pairs = (
-        cand.join(e.alias("ea"), F.col("vec_a") == F.col("ea.vec_id"))
-        .join(e.alias("eb"), F.col("vec_b") == F.col("eb.vec_id"))
-        .where(
-            F.expr(dot) / (F.col("ea.nrm") * F.col("eb.nrm"))
-            >= COSINE_DUP_THRESHOLD
-        )
-        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    pairs = _exact_cosine_pairs(emb, cand, COSINE_DUP_THRESHOLD).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
     labels = connected_components(
         emb.select(F.col("vec_id").alias("node")), pairs
@@ -798,14 +802,7 @@ def _sql_semdedup() -> str:
     n = KMEANS_MAX_ITERS
     return f"""WITH RECURSIVE {_sql_kmeans_unrolled(n)},
 sassigned AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
-               / sqrt(list_dot_product(c.cv, c.cv)) DESC,
-             c.cid ASC) AS rn
-    FROM embeddings e CROSS JOIN c{n} c
-  ) WHERE rn = 1
+  {_sql_assign_from(f"c{n}")}
 ),
 okc AS (SELECT cid FROM sassigned GROUP BY cid HAVING COUNT(*) <= {DEFAULT_BUCKET_CAP}),
 ev AS (
