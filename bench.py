@@ -117,9 +117,12 @@ def main():
         for name, fn, reps in measured:
             t = min(_timed(fn) for _ in range(reps))
             queries[name] = min(t, queries.get(name, float("inf")))
-        # operators persist() intermediates; clear between passes so pass 2
-        # re-measures the full plan, not the cache
-        spark.catalog.clearCache()
+            # operators persist() intermediates; clear after EACH measured
+            # operator (the CLAUDE.md sweep invariant, same policy as
+            # check_driver_strict) so later queries are neither sped up by
+            # a neighbor's cache nor skewed by eviction pressure from 13
+            # accumulated persists
+            spark.catalog.clearCache()
     docs_per_sec = round(n_docs / queries["extract_e2e_bench50k"], 1)
     spark.stop()
 

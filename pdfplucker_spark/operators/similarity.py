@@ -669,8 +669,13 @@ def q_sim_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     once converged every further unrolled iteration is a no-op and a
     fixed-depth replay equals the converged result; if the safety cap is
     hit instead, both engines have performed exactly the same
-    ``KMEANS_MAX_ITERS`` assign+recenter steps. The pure-Python replay
-    pytest (tests/test_kmeans.py) additionally gates the loop hygiene
+    ``KMEANS_MAX_ITERS`` assign+recenter steps. NaN carve-out: on NON-FINITE
+    embedding values the fit stops early at the first NaN movement while the
+    fixed-depth oracle keeps iterating with NaN-poisoned centroids, so the
+    replay argument does NOT cover that path — the driver corpora are
+    finite-valued (asserted by tests/test_kmeans.py::test_embeddings_finite),
+    which keeps the path unreachable in oracle-compared runs. The pure-Python
+    replay pytest (tests/test_kmeans.py) additionally gates the loop hygiene
     (checkpoint cadence, empty-cluster carry, movement scalar)."""
     emb = load(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, max_iters=KMEANS_MAX_ITERS)

@@ -53,7 +53,15 @@ def drop_oversized_buckets(
     frequency): one shared aggregation instead of the caller recomputing
     it beside the guard. In that mode the filtered frame also CARRIES the
     ``_occ`` column (the filtering join has it in hand anyway), so callers
-    ranking by occupancy need no second join against the counts."""
+    ranking by occupancy need no second join against the counts.
+
+    Contract note: ``cap=None`` disables the *drop*, but with
+    ``with_occupancy=True`` the returned frame is still ``keys`` inner-joined
+    to the occupancy counts — the schema gains ``_occ`` and any NULL-valued
+    key rows are dropped by the join (NULL never equi-joins NULL). Current
+    callers build shingle/band keys that are never NULL, so this only
+    matters to a future caller that can carry NULL keys: such a caller must
+    pre-filter or use ``with_occupancy=False`` (true pass-through)."""
     cols = list(key_cols)
     if cap is None:
         if not with_occupancy:

@@ -81,8 +81,10 @@ def stream_windowed_event_counts(
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
     )
-    # watermarks require TIMESTAMP (not NTZ); cast once on ingest — the
-    # batch-equivalence test applies the same cast on its side
+    # watermarks require TIMESTAMP (not NTZ); pin the NTZ wall time to a
+    # UTC instant once on ingest — the batch-equivalence tests apply the
+    # same _ntz_as_utc_instant on their side, so stream and batch agree
+    # under any session timezone
     src = src.withColumn("ts", _ntz_as_utc_instant("ts"))
     agg = (
         src.withWatermark("ts", watermark)

@@ -120,3 +120,23 @@ def test_kmeans_empty_corpus_terminates_immediately(spark):
     out = kmeans_fit(empty).collect()
     assert out == []
     assert time.time() - t0 < 30  # one iteration, not 25
+
+
+def test_embeddings_finite(spark):
+    """Oracle-equivalence precondition (q_sim_kmeans_fit docstring NaN
+    carve-out): the fit stops at the first NaN movement while the
+    fixed-depth DuckDB unroll keeps iterating, so the replay argument only
+    holds on finite-valued corpora. Assert the driver corpus is one."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, SF, "embeddings")
+    n_bad = (
+        emb.select(
+            F.exists(
+                "embedding", lambda x: F.isnan(x) | (F.abs(x) > 1e30)
+            ).alias("bad")
+        )
+        .where("bad")
+        .count()
+    )
+    assert n_bad == 0

@@ -6,7 +6,7 @@ import pyarrow.parquet as pq
 
 from pdfplucker_spark.gen import gen_rows, rows_to_table
 from pdfplucker_spark.oracle import extract_doc
-from pdfplucker_spark.streaming.stream import stream_extract
+from pdfplucker_spark.streaming.stream import _ntz_as_utc_instant, stream_extract
 
 
 def test_stream_matches_oracle_and_is_exactly_once(spark, tmp_path):
@@ -65,7 +65,7 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
     assert got, "stream produced no finalized windows"
     batch = (
         spark.read.parquet(in_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("ts", _ntz_as_utc_instant("ts"))
         .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("ws"), "event_type", "n")
@@ -207,7 +207,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert got, "stream join produced no pairs"
 
-    ev = spark.read.parquet(in_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = spark.read.parquet(in_dir).withColumn("ts", _ntz_as_utc_instant("ts"))
     c = ev.where("event_type = 'click'").select(
         F.col("user_id").alias("cu"), F.col("event_id").alias("cid"), F.col("ts").alias("cts")
     )
@@ -256,7 +256,7 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     assert got, "stream produced no finalized sessions"
 
     # batch analogue: same 30-min gap boundary rule as q_events_sessionize
-    ev = spark.read.parquet(in_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = spark.read.parquet(in_dir).withColumn("ts", _ntz_as_utc_instant("ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
