@@ -34,6 +34,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from pdfplucker_spark.functions.hashing import md5_long, sql_md5_long
 from pdfplucker_spark.plans.guards import DEFAULT_BUCKET_CAP, drop_oversized_buckets
 from pdfplucker_spark.sources.tables import load
 
@@ -592,7 +593,7 @@ def _kmeans_recenter(emb, assigned):
     )
 
 
-def kmeans_fit(emb, max_iters: int = KMEANS_MAX_ITERS):
+def kmeans_fit(emb, max_iters: int = KMEANS_MAX_ITERS, seeds=None):
     """Lloyd's k-means over the IVF machinery: broadcast-argmax ASSIGN
     (map-only, no shuffle of the N-row side) → decimal-exact RECENTER (one
     hash aggregation on (cid, dim) — K·D cells) until no centroid moves.
@@ -612,7 +613,10 @@ def kmeans_fit(emb, max_iters: int = KMEANS_MAX_ITERS):
     # emb feeds BOTH the assign scan and the recenter join every iteration
     # (up to 2·max_iters source scans unpersisted)
     emb = emb.persist()
-    cents = _ivf_centroids(emb)
+    # ``seeds``: an explicit (cid, cv) seed frame — the sampled-fit path
+    # (``q_sim_semdedup_sampled``) seeds from its own sample; default is
+    # the fixed-id IVF seeding the full-corpus oracle replays
+    cents = _ivf_centroids(emb) if seeds is None else seeds
     converged = False
     movement = None
     for _ in range(max_iters):
@@ -684,21 +688,27 @@ def q_sim_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cid", "dim", F.round("centroid_val", 8).alias("centroid_val"))
 
 
-def _sql_assign_from(cent_cte: str) -> str:
+def _sql_assign_from(cent_cte: str, src: str = "embeddings") -> str:
     """ROW_NUMBER-argmax assignment body against centroid CTE ``cent_cte``
-    — one source for the unrolled-Lloyd iterations and SemDeDup's final
-    assignment (the seed-centroid variant lives in ``_SQL_IVF_ASSIGNED``)."""
+    over vector relation ``src`` — one source for the unrolled-Lloyd
+    iterations (``src`` = the fit corpus, possibly a sample CTE) and
+    SemDeDup's final full-corpus assignment (the seed-centroid variant
+    lives in ``_SQL_IVF_ASSIGNED``)."""
     return f"""SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
              list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
                / sqrt(list_dot_product(c.cv, c.cv)) DESC,
              c.cid ASC) AS rn
-    FROM embeddings e CROSS JOIN {cent_cte} c
+    FROM {src} e CROSS JOIN {cent_cte} c
   ) WHERE rn = 1"""
 
 
-def _sql_kmeans_unrolled(iters: int = KMEANS_MAX_ITERS) -> str:
+def _sql_kmeans_unrolled(
+    iters: int = KMEANS_MAX_ITERS,
+    src: str = "embeddings",
+    seed_sql: str | None = None,
+) -> str:
     """DuckDB replay of ``kmeans_fit``: the Lloyd loop unrolled to exactly
     the fit's iteration cap as chained CTEs (aggregates are not legal in a
     recursive-CTE term, so the loop is unrolled, not recursed). Each
@@ -709,16 +719,21 @@ def _sql_kmeans_unrolled(iters: int = KMEANS_MAX_ITERS) -> str:
     are bit-identical across engines."""
     # each c{i} is referenced twice (assign scan + previous-centroid carry):
     # MATERIALIZED stops DuckDB inlining them, which would otherwise expand
-    # the chained plan 2^iters-fold
+    # the chained plan 2^iters-fold. ``src``/``seed_sql`` parameterize the
+    # fit corpus and seeding — the sampled-fit variant iterates over a
+    # sample CTE seeded from that same sample.
+    seed = seed_sql or (
+        f"""SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM {src} WHERE vec_id BETWEEN 1 AND {IVF_K}"""
+    )
     parts = [
         f"""c0 AS MATERIALIZED (
-  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
-  FROM embeddings WHERE vec_id BETWEEN 1 AND {IVF_K}
+  {seed}
 )"""
     ]
     for i in range(1, iters + 1):
         parts.append(f"""a{i} AS (
-  {_sql_assign_from(f"c{i - 1}")}
+  {_sql_assign_from(f"c{i - 1}", src)}
 ),
 m{i} AS (
   SELECT cid, CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS m, dim
@@ -726,7 +741,7 @@ m{i} AS (
     SELECT a.cid,
            UNNEST(range(len(e.embedding))) AS dim,
            UNNEST(CAST(e.embedding AS DOUBLE[])) AS v
-    FROM embeddings e JOIN a{i} a USING (vec_id)
+    FROM {src} e JOIN a{i} a USING (vec_id)
   ) GROUP BY cid, dim
 ),
 c{i} AS MATERIALIZED (
@@ -767,19 +782,25 @@ def q_sim_semdedup(
     (vec_id, cid, cluster_label, keep) — the removal verdict a training
     pipeline applies. Oracle: the unrolled-Lloyd centroid chain + the same
     blocking/verify algebra + a recursive-CTE transitive closure."""
-    from pdfplucker_spark.operators.pipeline import connected_components
-
     emb = load(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb)  # manages its own persist/unpersist of emb
+    return _semdedup_tail(emb, cents, cluster_cap, "sim_semdedup")
+
+
+def _semdedup_tail(emb, cents, cluster_cap, log_label):
+    """Everything after the centroid fit — shared by the full-corpus and
+    sampled-fit SemDeDup variants: full-corpus broadcast-argmax assignment,
+    occupancy-guarded cluster blocking, exact-cosine verify on candidates
+    only, min-label connected components, one canonical per component."""
+    from pdfplucker_spark.operators.pipeline import connected_components
+
     # persist AFTER the fit (its closing unpersist would wipe an earlier
     # mark — persist is not reference-counted); emb feeds the assignment
     # scan and both verify sides
     emb = emb.persist()
     # assigned feeds the guard, BOTH self-join aliases and the final output
     assigned = _ivf_assigned_with(emb, cents).persist()
-    blocked = drop_oversized_buckets(
-        assigned, ("cid",), cluster_cap, "sim_semdedup"
-    )
+    blocked = drop_oversized_buckets(assigned, ("cid",), cluster_cap, log_label)
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (
         a.join(
@@ -803,10 +824,51 @@ def q_sim_semdedup(
     )
 
 
-def _sql_semdedup() -> str:
-    n = KMEANS_MAX_ITERS
-    return f"""WITH RECURSIVE {_sql_kmeans_unrolled(n)},
-sassigned AS MATERIALIZED (
+# fit-sample gate: 1/SEMDEDUP_FIT_MOD of the corpus, content-free md5 on
+# vec_id — deterministic across engines/orders, same contract as docs_sample
+SEMDEDUP_FIT_MOD = 4
+
+
+def _semdedup_fit_sample(emb):
+    gate = md5_long(F.concat(F.lit("sdfit:"), F.col("vec_id").cast("string")))
+    return emb.where(gate % SEMDEDUP_FIT_MOD == 0)
+
+
+def q_sim_semdedup_sampled(
+    spark: SparkSession, sf_dir: str, cluster_cap: int | None = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """SemDeDup with a SAMPLED centroid fit — the 10⁹-vector shape. The
+    full-corpus variant's Lloyd loop scans the whole corpus up to
+    2·``KMEANS_MAX_ITERS`` times, the one plan here you would not run at
+    10⁹ vectors; centroid QUALITY only needs a representative sample, so
+    the fit runs on a deterministic 1/``SEMDEDUP_FIT_MOD`` md5-gated
+    sample (the ``docs_sample`` pattern — engine- and scan-order-
+    independent, no RNG), seeded by the ``IVF_K`` smallest sampled vec_ids
+    (top-k scan, not a fixed-id lookup — the fixed ids may not survive the
+    gate). The full corpus then pays exactly ONE map-only broadcast-argmax
+    assignment pass, and blocking/verify/closure are the standard tail.
+    Oracle: the identical Lloyd unroll over the identical sample CTE (the
+    exact-fixpoint replay argument is unchanged — same recurrence, smaller
+    relation), then full-corpus assignment against the converged chain."""
+    emb = load(spark, sf_dir, "embeddings")
+    fit = _semdedup_fit_sample(emb)
+    seeds = (
+        fit.orderBy("vec_id")
+        .limit(IVF_K)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    cents = kmeans_fit(fit, seeds=seeds)
+    return _semdedup_tail(emb, cents, cluster_cap, "sim_semdedup_sampled")
+
+
+def _sql_semdedup_tail(n: int) -> str:
+    """Post-fit SemDeDup algebra (full-corpus assignment → blocking →
+    exact-cosine verify → recursive-CTE closure) — shared by the
+    full-corpus and sampled-fit oracles; both converge to a c{n} chain."""
+    return f"""sassigned AS MATERIALIZED (
   {_sql_assign_from(f"c{n}")}
 ),
 okc AS (SELECT cid FROM sassigned GROUP BY cid HAVING COUNT(*) <= {DEFAULT_BUCKET_CAP}),
@@ -837,12 +899,34 @@ SELECT l.vec_id, s.cid, l.cluster_label,
 FROM lab l JOIN sassigned s USING (vec_id)"""
 
 
+def _sql_semdedup() -> str:
+    n = KMEANS_MAX_ITERS
+    return f"WITH RECURSIVE {_sql_kmeans_unrolled(n)},\n{_sql_semdedup_tail(n)}"
+
+
+def _sql_semdedup_sampled() -> str:
+    n = KMEANS_MAX_ITERS
+    gate = sql_md5_long("'sdfit:' || CAST(vec_id AS VARCHAR)")
+    seed = (
+        "SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv\n"
+        f"  FROM fitset ORDER BY vec_id LIMIT {IVF_K}"
+    )
+    return f"""WITH RECURSIVE fitset AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE {gate} % {SEMDEDUP_FIT_MOD} = 0
+),
+{_sql_kmeans_unrolled(n, src="fitset", seed_sql=seed)},
+{_sql_semdedup_tail(n)}"""
+
+
 SQL_SIM_SEMDEDUP = _sql_semdedup()
+SQL_SIM_SEMDEDUP_SAMPLED = _sql_semdedup_sampled()
 
 
 QUERIES = {
     "sim_kmeans_fit": (q_sim_kmeans_fit, SQL_SIM_KMEANS_FIT),
     "sim_semdedup": (q_sim_semdedup, SQL_SIM_SEMDEDUP),
+    "sim_semdedup_sampled": (q_sim_semdedup_sampled, SQL_SIM_SEMDEDUP_SAMPLED),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_dup_clusters": (q_sim_dup_clusters, SQL_SIM_DUP_CLUSTERS),
     "sim_ivf_recenter": (q_sim_ivf_recenter, SQL_SIM_IVF_RECENTER),

@@ -267,3 +267,35 @@ def test_semdedup_keeps_one_canonical_per_component(spark):
         assert len(keepers) == 1 and keepers[0].vec_id == label == min(
             r.vec_id for r in members
         )
+
+
+def test_semdedup_sampled_fit_touches_only_the_sample(spark, monkeypatch):
+    """The 10⁹-vector contract of q_sim_semdedup_sampled: the Lloyd fit
+    runs on the deterministic md5-gated 1/SEMDEDUP_FIT_MOD sample only —
+    never the full corpus. Capture the frame kmeans_fit receives and
+    assert it is exactly the gate's row set, a strict subset of the
+    corpus, and that its seeds are the K smallest sampled ids."""
+    from pdfplucker_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n_all = emb.count()
+    expected_fit_ids = {
+        r.vec_id for r in sim._semdedup_fit_sample(emb).select("vec_id").collect()
+    }
+    assert 0 < len(expected_fit_ids) < n_all
+
+    seen = {}
+    real_fit = sim.kmeans_fit
+
+    def spy(fit_emb, max_iters=sim.KMEANS_MAX_ITERS, seeds=None):
+        seen["fit_ids"] = {r.vec_id for r in fit_emb.select("vec_id").collect()}
+        seen["seed_cids"] = {r.cid for r in seeds.select("cid").collect()}
+        return real_fit(fit_emb, max_iters=max_iters, seeds=seeds)
+
+    monkeypatch.setattr(sim, "kmeans_fit", spy)
+    out = sim.q_sim_semdedup_sampled(spark, sf).collect()
+    assert seen["fit_ids"] == expected_fit_ids
+    assert seen["seed_cids"] == set(sorted(expected_fit_ids)[: sim.IVF_K])
+    # the verdict still covers the WHOLE corpus (assignment is full-scan)
+    assert len(out) == n_all
