@@ -33,14 +33,23 @@ QUANTILES = (0.25, 0.5, 0.75)
 # ---------------------------------------------------------------------------
 # as-of join (events → latest prior purchase of the same user)
 # ---------------------------------------------------------------------------
-def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_events_asof_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every event, the user's most recent purchase event at-or-before
     its timestamp (attribution-style as-of join, an operator Spark lacks
-    natively). Scalable shape: purchases (state) and events (queries) are
-    unioned and resolved with ONE window over (user_id, ts) — a single
-    shuffle on user_id; last(ignorenulls) carries the open state forward.
-    Ties: purchases are deduped to max(event_id) per (user, ts); state rows
-    order before query rows at equal ts, so <= semantics hold."""
+    natively). Union+single-window shape: purchases (state) and events
+    (queries) are unioned and resolved with ONE window over (user_id, ts)
+    — a single shuffle on user_id; last(ignorenulls) carries the open
+    state forward. Ties: purchases are deduped to max(event_id) per
+    (user, ts); state rows order before query rows at equal ts, so <=
+    semantics hold.
+
+    NOT the registered default: the window partitions on ``user_id``
+    ALONE, so one pathological user serializes into one reducer sort at
+    10⁹-event scale. ``q_events_asof_bucketed`` (the default under the
+    ``events_asof_purchase`` registry name) chops that window by time
+    bucket; this build is kept as the independent cross-check the
+    bucketed plan is pytest-compared against (test_pipeline_ops.py,
+    test_plan_properties.py)."""
     ev = load(spark, sf_dir, "events")
     purchases = (
         ev.where(F.col("event_type") == "purchase")
@@ -113,8 +122,10 @@ ASOF_BUCKET_US = 3_600_000_000  # 1 hour
 
 
 def q_events_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME as-of semantics as ``q_events_asof_purchase``, with the
-    skew-proof plan: that operator's single window partitions on ``user_id``
+    """The SAME as-of semantics as ``q_events_asof_plain``, with the
+    skew-proof plan — since round 6 THE DEFAULT registered under the
+    ``events_asof_purchase`` name (the plain build stays as its pytest
+    cross-check): the plain single window partitions on ``user_id``
     alone, so one pathological user (10⁹ events at 100 TB) serializes into
     one reducer sort. Here the event-cardinality window partitions on
     (user_id, time_bucket) — bounded by per-bucket traffic — and purchase
@@ -219,6 +230,12 @@ def q_events_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("asof.pts div 1000000").alias("last_purchase_ts_epoch"),
         )
     )
+
+
+# The default as-of plan: the skew-proof bucketed build. Kept as a module
+# alias so callers (bench, jobs) importing the operator by its semantic
+# name get the plan you'd run at scale.
+q_events_asof_purchase = q_events_asof_bucketed
 
 
 # ---------------------------------------------------------------------------
@@ -1045,9 +1062,10 @@ SELECT doc_id, source, q AS quality_score FROM (
 
 
 QUERIES = {
-    "events_asof_purchase": (q_events_asof_purchase, SQL_EVENTS_ASOF_PURCHASE),
-    # the skew-proof plan, gated by the SAME oracle (identical semantics)
-    "events_asof_bucketed": (q_events_asof_bucketed, SQL_EVENTS_ASOF_PURCHASE),
+    # the DEFAULT is the skew-proof bucketed plan (round-6 promotion); the
+    # plain single-window build survives as q_events_asof_plain, gated by
+    # the pytest cross-checks (test_pipeline_ops, test_plan_properties)
+    "events_asof_purchase": (q_events_asof_bucketed, SQL_EVENTS_ASOF_PURCHASE),
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),

@@ -877,13 +877,24 @@ LIMIT 20
 
 def q_regional_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style local-supplier revenue, submitted through the
-    spark.sql() TEXT entry path over temp views — the SQL API surface,
-    same Catalyst plan as the DataFrame build (6-way join, dims broadcast
-    by AQE, decimal-exact sums). The oracle is the identical statement in
-    DuckDB — one SQL string, two engines."""
-    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
-        load(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_Q5_SQL)
+    spark.sql() TEXT entry path — the SQL API surface, same Catalyst plan
+    as the DataFrame build (6-way join, dims broadcast by AQE,
+    decimal-exact sums). The frames substitute as PARAMETERS
+    (``spark.sql(q, lineitem=df, ...)``, the q_events_time_rollup
+    pattern), not session-global temp views, so concurrent invocations on
+    one SparkSession cannot race on a shared name. The oracle is the
+    same statement over DuckDB's named views — one SQL text, two engines
+    (``{t}`` placeholders swap for bare table names)."""
+    frames = {
+        t: load(spark, sf_dir, t)
+        for t in ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    }
+    q = _Q5_SQL
+    for t in frames:
+        q = q.replace(f"FROM {t}", f"FROM {{{t}}}").replace(
+            f"JOIN {t} ", f"JOIN {{{t}}} "
+        )
+    return spark.sql(q, **frames)
 
 
 def q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -151,7 +151,7 @@ def test_asof_bucketed_equals_plain_on_pathological_user(spark, tmp_path):
     as-of result exactly."""
     from pdfplucker_spark.operators.pipeline import (
         q_events_asof_bucketed,
-        q_events_asof_purchase,
+        q_events_asof_plain,
     )
 
     rows = []
@@ -173,7 +173,7 @@ def test_asof_bucketed_equals_plain_on_pathological_user(spark, tmp_path):
         "CAST(timestamp_micros(CAST(tsec * 1000000 AS BIGINT)) AS TIMESTAMP_NTZ) AS ts",
         "user_id", "event_type", "value", "props",
     ).write.parquet(p)
-    plain = q_events_asof_purchase(spark, str(tmp_path))
+    plain = q_events_asof_plain(spark, str(tmp_path))
     bucketed = q_events_asof_bucketed(spark, str(tmp_path))
     assert plain.exceptAll(bucketed).count() == 0
     assert bucketed.exceptAll(plain).count() == 0
@@ -218,7 +218,7 @@ def test_asof_bucketed_equals_plain_on_boundary_heavy_random_corpora(spark, tmp_
     from pdfplucker_spark.operators.pipeline import (
         ASOF_BUCKET_US,
         q_events_asof_bucketed,
-        q_events_asof_purchase,
+        q_events_asof_plain,
     )
 
     rng = random.Random(41)
@@ -242,7 +242,7 @@ def test_asof_bucketed_equals_plain_on_boundary_heavy_random_corpora(spark, tmp_
             "CAST(timestamp_micros(tus) AS TIMESTAMP_NTZ) AS ts",
             "user_id", "event_type", "value", "props",
         ).write.parquet(f"{tmp_path}/t{trial}/events.parquet")
-        plain = q_events_asof_purchase(spark, f"{tmp_path}/t{trial}")
+        plain = q_events_asof_plain(spark, f"{tmp_path}/t{trial}")
         bucketed = q_events_asof_bucketed(spark, f"{tmp_path}/t{trial}")
         diff = plain.exceptAll(bucketed).count() + bucketed.exceptAll(plain).count()
         assert diff == 0, f"trial {trial}: {diff} differing rows"

@@ -101,9 +101,12 @@ def test_range_join_is_bucketed_hash_join(spark):
 
 
 def test_asof_single_user_shuffle(spark):
-    from pdfplucker_spark.operators.pipeline import q_events_asof_purchase
+    """Gates the PLAIN cross-check build (the registered default is the
+    bucketed plan — see test_asof_bucketed_has_no_unbounded_single_key_sort
+    and test_asof_registry_default_is_bucketed)."""
+    from pdfplucker_spark.operators.pipeline import q_events_asof_plain
 
-    plan = _plan(q_events_asof_purchase(spark, SF))
+    plan = _plan(q_events_asof_plain(spark, SF))
     # one exchange for the resolving window + one for the tiny purchase
     # pre-agg; an inequality-join implementation would show a cartesian
     assert "CartesianProduct" not in plan
@@ -163,3 +166,13 @@ def test_ngram_prefix_join_is_hash_keyed(spark):
     plan = _plan(q_dedup_ngram_pairs(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_registry_default_is_bucketed():
+    """The events_asof_purchase registry name must resolve to the
+    skew-proof bucketed plan (round-6 promotion), never silently revert
+    to the user_id-alone single-window build."""
+    from pdfplucker_spark.operators.pipeline import QUERIES, q_events_asof_bucketed
+
+    assert QUERIES["events_asof_purchase"][0] is q_events_asof_bucketed
+    assert "events_asof_bucketed" not in QUERIES  # superseded, not duplicated
