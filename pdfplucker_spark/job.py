@@ -192,6 +192,67 @@ def latest_view(
     return tbl.join(winners, ["doc_id", "run_id"], "left_semi")
 
 
+# test seam: called by _fenced_commit after ownership is verified, before
+# the marker lands — still under the lease-inode flock, so an injected
+# takeover attempt must block or abort rather than interleave
+_fence_hook = None
+
+
+def _fenced_commit(output: str, run_id: str, supersedes=None) -> None:
+    """Verify lease ownership AND write the commit marker as one critical
+    section under an ``flock`` on the lease inode — closing the re-read →
+    ``_mark_committed`` TOCTOU both the job and compact fences carried
+    (a takeover landing inside that gap could let a displaced writer
+    commit). Takeover (``_acquire_lock``) takes the same flock before
+    renaming the stale lease away, so the two critical sections serialize:
+    either the takeover's rename lands first (this fence then sees the
+    path gone or a different inode and aborts), or this fence completes
+    the marker first (the supersede/commit happened while the lease was
+    still owned — correct either way).
+
+    flock is advisory, which suffices here: every writer path (job,
+    compact, vacuum, takeover) goes through this module. The fd is closed
+    in ``finally`` — flocks die with the fd, so no crash leaves the lease
+    inode locked."""
+    import fcntl
+
+    lock_path = os.path.join(output, "_RUN_LOCK")
+
+    def _lost(detail: str):
+        return RuntimeError(
+            f"writer lease lost during run {run_id!r} ({detail}); refusing "
+            "to commit — this run's appends stay torn (invisible to "
+            "committed_view) and vacuum/resume will reclaim or reprocess them"
+        )
+
+    try:
+        fd = os.open(lock_path, os.O_RDONLY)
+    except FileNotFoundError:
+        raise _lost("lease file gone") from None
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        # the path must still BE the flocked inode: a takeover renames the
+        # stale lease away and a fresh writer O_EXCL-creates a NEW inode —
+        # both make this check fail even though a file named _RUN_LOCK may
+        # exist again
+        st_fd = os.fstat(fd)
+        try:
+            st_path = os.stat(lock_path)
+        except FileNotFoundError:
+            raise _lost("lease file gone under fence") from None
+        if (st_fd.st_dev, st_fd.st_ino) != (st_path.st_dev, st_path.st_ino):
+            raise _lost("lease inode replaced by another writer")
+        with open(fd, closefd=False) as f:
+            holder = f.read().strip()
+        if holder != run_id:
+            raise _lost(f"now held by {holder!r}")
+        if _fence_hook is not None:
+            _fence_hook()
+        _mark_committed(output, run_id, supersedes=supersedes)
+    finally:
+        os.close(fd)
+
+
 def _acquire_lock(output: str, run_id: str, stale_sec: float = 24 * 3600) -> str:
     """Single-writer lease for the parquet fallback. Iceberg gets real
     optimistic concurrency from the catalog; the parquet commit protocol
@@ -225,11 +286,46 @@ def _acquire_lock(output: str, run_id: str, stale_sec: float = 24 * 3600) -> str
                 "finish or delete the stale lock"
             )
         grabbed = f"{path}.stale.{run_id}"
+        # serialize the takeover against a commit fence in flight: the
+        # fence (_fenced_commit) holds an flock on the lease inode across
+        # verify+mark, so renaming the lease away must wait for it — a
+        # displaced holder can then never have a marker mid-write while
+        # its lease disappears. flock the SAME inode the rename moves.
+        import fcntl
+
         try:
-            os.rename(path, grabbed)  # one winner only
+            lfd = os.open(path, os.O_RDONLY)
         except FileNotFoundError:
-            pass  # another taker won the rename; contend on the fresh path
-        else:
+            lfd = None  # released just now; contend on the fresh path
+        renamed = False
+        if lfd is not None:
+            try:
+                fcntl.flock(lfd, fcntl.LOCK_EX)
+                st_fd = os.fstat(lfd)
+                try:
+                    st_path = os.stat(path)
+                except FileNotFoundError:
+                    st_path = None  # released while we waited
+                if st_path is not None and (
+                    (st_fd.st_dev, st_fd.st_ino)
+                    == (st_path.st_dev, st_path.st_ino)
+                ):
+                    if time.time() - st_path.st_mtime < stale_sec:
+                        # freshened while we waited for the flock (e.g. a
+                        # fence completed and a new writer re-acquired)
+                        with open(path) as f:
+                            holder = f.read().strip()
+                        raise RuntimeError(
+                            f"run {holder!r} holds the writer lease {path}; "
+                            "takeover aborted — lease is no longer stale"
+                        )
+                    os.rename(path, grabbed)  # one winner only
+                    renamed = True
+                # inode changed / path gone: another taker or a release won
+                # while we waited; fall through to the O_EXCL contention
+            finally:
+                os.close(lfd)
+        if renamed:
             if time.time() - os.path.getmtime(grabbed) < stale_sec:
                 # TOCTOU: we captured a FRESH lease (new writer acquired
                 # between our check and rename) — put it back and back off.
@@ -535,20 +631,10 @@ def _run_locked(
         # takeover race window (a job outliving stale_sec), only the
         # CURRENT lease holder may commit — a displaced writer's appends
         # stay torn (invisible to committed_view) and resume reprocesses
-        # them, instead of two writers both committing.
-        lock = os.path.join(output, "_RUN_LOCK")
-        try:
-            with open(lock) as f:
-                holder = f.read().strip()
-        except FileNotFoundError:
-            holder = None
-        if holder != run_id:
-            raise RuntimeError(
-                f"writer lease lost during run {run_id!r} (now held by "
-                f"{holder!r}); refusing to commit — this run's appends stay "
-                "torn and resume will reprocess its docs"
-            )
-        _mark_committed(output, run_id)  # the run's atomic commit point
+        # them, instead of two writers both committing. The ownership
+        # check and the marker write are ONE flock-guarded critical
+        # section (_fenced_commit) — a takeover cannot land between them.
+        _fenced_commit(output, run_id)  # the run's atomic commit point
     else:
         # catalog analogue of the marker's seq: one ordering row per run,
         # appended AFTER docs_out. Committedness still keys on docs_out;

@@ -33,11 +33,16 @@ from pyspark.sql import SparkSession, functions as F
 
 from pdfplucker_spark.job import (
     _acquire_lock,
-    _mark_committed,
+    _fenced_commit,
     _release_lock,
     committed_run_ids,
     committed_view,
 )
+
+# test seam: called right before compact's fenced supersede switch — the
+# takeover-interleaving tests displace the lease here and assert the
+# fence aborts the commit
+_pre_commit_hook = None
 
 
 def discover_tables(output: str) -> tuple[str, ...]:
@@ -184,28 +189,15 @@ def compact(
         #    lease taken over must NOT retire the old runs while another
         #    writer is live — its rewrite stays torn (invisible) and the
         #    next vacuum reclaims it.
-        #    Residual TOCTOU window, accepted under the single-writer
-        #    design: a takeover landing between this holder re-read and the
-        #    marker rename below would let a displaced compact retire the
-        #    old runs. Takeover requires the lease to sit past stale_sec
-        #    (default 3600 s) while this fence-to-rename gap is
-        #    microseconds, and the supersede marker names the runs it
-        #    retires, so the outcome is recoverable from the marker log.
-        #    Closing it fully needs an fcntl/O_EXCL rename keyed to the
-        #    holder — not worth the portability cost here.
-        lock_path = os.path.join(output, "_RUN_LOCK")
-        try:
-            with open(lock_path) as f:
-                holder = f.read().strip()
-        except FileNotFoundError:
-            holder = None
-        if holder != new_run:
-            raise RuntimeError(
-                f"writer lease lost during compact {new_run!r} (now held by "
-                f"{holder!r}); refusing to commit the supersede switch — the "
-                "rewritten run stays torn and vacuum will reclaim it"
-            )
-        _mark_committed(output, new_run, supersedes=old_runs)
+        #    The ownership check and the marker write are ONE flock-guarded
+        #    critical section (_fenced_commit): takeover flocks the same
+        #    lease inode before renaming it away, so a takeover can never
+        #    land between this holder verification and the marker rename —
+        #    the round-5 residual TOCTOU is closed (gated by
+        #    test_maintenance.py takeover-interleaving tests).
+        if _pre_commit_hook is not None:
+            _pre_commit_hook()  # test seam: inject a takeover right here
+        _fenced_commit(output, new_run, supersedes=old_runs)
         # 3) idempotent cleanup (crash here leaves superseded markers/dirs
         #    that the next vacuum reclaims; readers already see only new_run)
         for rid in old_runs:

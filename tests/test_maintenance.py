@@ -307,3 +307,67 @@ def test_table_stats_distinguishes_superseded_from_torn(spark, t1_path, tmp_path
     assert stats["spans_out"]["committed_runs"] == 1  # the compacted run
     assert stats["spans_out"]["superseded_runs"] == 1  # the leftover
     assert stats["spans_out"]["torn_runs"] == 0
+
+
+def test_compact_fence_aborts_on_takeover_at_commit_point(
+    spark, t1_path, tmp_path, monkeypatch
+):
+    """THE round-5 residual TOCTOU, now injected at its exact window: a
+    REAL lease takeover (job._acquire_lock, stale_sec=0) fired between
+    compact's rewrite and the supersede switch. The flock-fenced commit
+    must see the lease inode replaced and abort — old runs stay
+    committed, the rewrite stays torn, the usurper's lease survives."""
+    import pdfplucker_spark.maintenance as M
+
+    out = str(tmp_path / "out_toctou")
+    job.run(spark, t1_path, out, run_id="r1", partitions=4, limit=30)
+    before = job.committed_run_ids(out)
+    before_fp = _fingerprint(spark, out)
+
+    def takeover():
+        job._acquire_lock(out, "usurper", stale_sec=0.0)
+
+    monkeypatch.setattr(M, "_pre_commit_hook", takeover)
+    with pytest.raises(RuntimeError, match="refusing to commit"):
+        compact(spark, out)
+    assert job.committed_run_ids(out) == before  # supersede never landed
+    assert _fingerprint(spark, out) == before_fp
+    with open(os.path.join(out, "_RUN_LOCK")) as f:
+        assert f.read().strip() == "usurper"  # displaced writer kept out
+
+
+def test_fenced_commit_critical_section_blocks_takeover(tmp_path, monkeypatch):
+    """Atomicity of the fence itself: while _fenced_commit holds the lease
+    flock (ownership verified, marker not yet written), a concurrent
+    takeover must BLOCK — not interleave. It may only proceed after the
+    marker lands, so a displaced writer can never abort-and-lose a commit
+    that was already decided under an owned lease."""
+    import threading
+    import time as _time
+
+    out = str(tmp_path / "out_flock")
+    os.makedirs(out)
+    job._acquire_lock(out, "me")
+    state = {}
+
+    def usurp():
+        job._acquire_lock(out, "usurper", stale_sec=0.0)
+        state["acquired_at"] = _time.monotonic()
+
+    def hook():  # runs under the fence flock, pre-marker
+        t = threading.Thread(target=usurp)
+        t.start()
+        state["thread"] = t
+        _time.sleep(1.0)
+        state["blocked_during_fence"] = t.is_alive()
+        state["marker_decided_at"] = _time.monotonic()
+
+    monkeypatch.setattr(job, "_fence_hook", hook)
+    job._fenced_commit(out, "me")
+    state["thread"].join(timeout=30)
+    assert not state["thread"].is_alive()
+    assert state["blocked_during_fence"]  # takeover waited out the fence
+    assert state["acquired_at"] > state["marker_decided_at"]
+    assert job.committed_run_ids(out) == ["me"]  # commit landed first
+    with open(os.path.join(out, "_RUN_LOCK")) as f:
+        assert f.read().strip() == "usurper"  # then the takeover won
