@@ -79,6 +79,19 @@ def main():
             os.path.join(BENCH_OUT, "spans_out")
         )
 
+    # skew leg: a giant-HEAVY corpus (1% docs at 100k spans) vs a uniform
+    # control of equal doc count and ~equal total span mass — the measured
+    # number behind giant-tier routing + chunked assembly (a plan that
+    # serialized on giants would blow the ratio far past 2x)
+    skew_path = write_tier("skew", os.path.join(REPO, ".data"))
+    uni_path = write_tier("uniform", os.path.join(REPO, ".data"))
+
+    def _leg(path, sink):
+        routed = balance_docs(spark.read.parquet(path), cpus * 2)
+        extract_spans(routed).write.mode("overwrite").parquet(
+            os.path.join(BENCH_OUT, sink)
+        )
+
     from pdfplucker_spark.operators.pipeline import (
         q_docs_decontaminate,
         q_docs_decontaminate_incremental,
@@ -96,6 +109,8 @@ def main():
     # back-to-back pair inside each pass is what reaches steady state.
     measured = [
         ("extract_e2e_bench50k", extract_e2e, 2),
+        ("extract_e2e_skew5k", lambda: _leg(skew_path, "spans_skew"), 1),
+        ("extract_e2e_uniform5k", lambda: _leg(uni_path, "spans_uniform"), 1),
         ("extract_full_sf", lambda: q_extract_full(spark, sf_dir).count(), 1),
         ("dedup_minhash_sig", lambda: q_dedup_minhash_sig(spark, sf_dir).count(), 1),
         ("sim_cosine_topk", lambda: q_sim_cosine_topk(spark, sf_dir).collect(), 1),
@@ -187,6 +202,17 @@ def main():
         "sf": sf_dir,
         "bench_docs": n_docs,
         "docs_per_sec": docs_per_sec,
+        "skew_leg": {
+            "skew_sec": queries["extract_e2e_skew5k"],
+            "uniform_sec": queries["extract_e2e_uniform5k"],
+            "docs": 5000,
+            "throughput_ratio_skew_vs_uniform": round(
+                queries["extract_e2e_uniform5k"] / queries["extract_e2e_skew5k"], 3
+            ),
+            "note": "1% giant (100k-span) docs vs uniform control of equal doc "
+            "count and ~equal span mass; giant-tier routing keeps the ratio "
+            "within 2x (>= 0.5)",
+        },
         "scaling": {
             **{f"cpus{lvl}_sec": t for lvl, t in sorted(scale.items())},
             "cores_ratio": n_hi // n_lo,

@@ -171,9 +171,18 @@ TIERS = {
     "t1": (100, 5, 200),
     "t2": (2000, 5, 500),
     "bench": (50_000, 5, 2000),
+    # giant-HEAVY leg: 1% of docs are 100k-span giants (every 100th doc, so
+    # each shard carries some), rest Zipf like bench — the corpus where
+    # giant-tier routing (plans/partitioning.py) earns its keep
+    "skew": (5_000, 5, 2000),
+    # the control: SAME doc count and ~same total span mass as "skew"
+    # (50×100k giant + ~4950×140 Zipf ≈ 5.69M spans → 1138/doc), uniform —
+    # the denominator for the skew-leg throughput ratio
+    "uniform": (5_000, 1138, 1138),
 }
 GIANT_SPANS = 100_000
 N_GIANTS = 5  # bench tier: 5 giant docs → deliberate skew
+SKEW_GIANT_EVERY = 100  # skew tier: 1 giant per 100 docs
 
 
 def gen_rows(tier: str, seed: int = SEED) -> Iterable[Tuple[str, List[Dict]]]:
@@ -181,7 +190,9 @@ def gen_rows(tier: str, seed: int = SEED) -> Iterable[Tuple[str, List[Dict]]]:
     for i in range(n_docs):
         if tier == "bench" and i < N_GIANTS:
             yield gen_doc(i, seed, GIANT_SPANS, GIANT_SPANS, poison=False)
-        elif tier == "bench":
+        elif tier == "skew" and i % SKEW_GIANT_EVERY == 0:
+            yield gen_doc(i, seed, GIANT_SPANS, GIANT_SPANS, poison=False)
+        elif tier in ("bench", "skew"):
             # Zipf-ish size skew (Pareto tail, mean ≈ 140 spans/doc)
             rng = random.Random((seed << 21) ^ i)
             size = min(hi, max(lo, int(20 * (1.0 / max(1e-9, rng.random())) ** 1.2)))

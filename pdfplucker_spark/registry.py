@@ -23,56 +23,65 @@ _OPERATOR_MODULES = (
 # two rounds. Names not in the registry are ignored; names not listed
 # keep module order after these.
 _RECORD_FIRST = (
-    # round-5 additions / newly-oracled (sim_kmeans_fit gained its DuckDB
-    # oracle this round — its r4 row is the one `err: no_oracle` record)
-    "sim_kmeans_fit",
-    "sim_semdedup",
-    "docs_decontaminate_incremental",
-    # stale: last driver-recorded in r1–r3 (absent from CORRECTNESS_r04)
-    "events_funnel",
-    "events_retention",
-    "events_daily_ma",
-    "regional_revenue_sql",
-    "events_salted_agg",
-    "events_json_props",
-    "customers_without_orders",
-    "events_minutely_gapfill",
-    "events_sessionize",
-    "event_type_pivot",
-    "lineitem_cube",
-    "custkeys_setops",
-    "returnflag_rollup",
-    "top_orders",
-    "regional_supply",
-    "events_window",
-    "order_priority_distinct",
-    "text_tokens",
-    "text_pii_scan",
-    "text_repetition",
-    "text_regex_stats",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_bag",
-    "dedup_bag_nulls",
-    "dedup_minhash_pairs_nulls",
-    "dedup_incremental",
-    "dedup_minhash_sig",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_ngram_pairs",
-    "sim_cosine_topk",
-    "sim_dup_clusters",
-    "sim_ivf_recenter",
-    "sim_lsh_buckets",
-    "sim_cosine_dup_pairs",
-    "sim_ann_topk",
-    "media_decode_image",
-    "media_decode_audio",
+    # round-6 additions / materially changed plans: the sampled-fit
+    # SemDeDup, the foreachBatch standing-index dedup stream, the as-of
+    # name now resolving to the bucketed plan, and the parameterized-SQL
+    # Q5 path
+    "sim_semdedup_sampled",
+    "stream_dedup_incremental",
     "events_asof_purchase",
-    "corpus_filter",
-    "text_top_terms",
+    "regional_revenue_sql",
+    # round-5-changed plans that missed a CORRECTNESS_r05 record
+    # (ADVICE r5): skew-proof transition matrix, guard-_occ containment
+    # prefix, shingle-hoisted decontaminate, temp-view-free time rollup
+    "events_transition_matrix",
+    "dedup_containment_prefix",
+    "docs_decontaminate",
+    "events_time_rollup",
+    # stale: last driver-recorded in r4 (absent from CORRECTNESS_r05) —
+    # rotating them to the head keeps every registry name green within
+    # the last two rounds (r5 ∪ r6)
+    "extract_full",
+    "extract_agg_metrics",
+    "extract_images_detail",
+    "extract_pages_detail",
+    "extract_tables_detail",
+    "f3_format",
+    "f4_pages",
+    "f6_picture_seq",
+    "f7_captions",
+    "json_export",
+    "markdown_export_embedded",
+    "stream_click_purchase_join",
+    "stream_dedup_exact",
+    "stream_extract",
+    "stream_sessionize",
+    "stream_user_running_totals",
+    "stream_windowed_counts",
+    "docs_dedup_rate_report",
+    "docs_dedup_verdict",
+    "docs_mix_report",
+    "docs_pack_shards",
+    "docs_sample",
+    "docs_sample_weighted",
+    "dedup_canonical",
+    "dedup_clusters",
+    "dedup_containment_pairs",
+    "events_approx_distinct",
+    "events_approx_overlap",
+    "events_daily_anomaly",
+    "events_purchase_range_join",
+    "lineitem_approx_quantiles",
+    "lineitem_price_histogram",
+    "lineitem_quantiles",
+    "media_decode_video",
+    "media_features",
+    "media_frames",
+    "pricing_summary",
+    "returned_items_report",
+    "sim_ivf_assign",
+    "sim_ivf_topk",
+    "text_gopher_rules",
 )
 
 

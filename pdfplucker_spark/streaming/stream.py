@@ -559,8 +559,210 @@ FROM events GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# foreachBatch incremental near-dup screening against a STANDING INDEX —
+# the production cadence of dedup_incremental (operators/dedup.py): each
+# arriving micro-batch is banded, joined against the index of previously
+# arrived docs (never against itself at corpus scale), verified with the
+# exact Jaccard, and then added to the index.
+# ---------------------------------------------------------------------------
+STREAM_INC_BATCHES = 4
+
+
+def stream_dedup_incremental(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
+):
+    """foreachBatch standing-index near-dup screening. Each doc carries its
+    arrival-wave number ``bno`` IN the data (not inferred from micro-batch
+    ids): results are defined by wave order alone, so they are invariant
+    to how the file source groups files into micro-batches, and per-wave
+    output/index directories make foreachBatch retries IDEMPOTENT
+    (overwrite of the same ``bno=`` dir) — the manual-sink analogue of the
+    checkpointed parquet sink's exactly-once. The index is two small
+    parquet tables per wave (band keys + token sets): at production scale
+    these are the standing dedup index a live pipeline maintains, and the
+    per-batch join cost tracks the BATCH's dup mass, never corpus²."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _band_rows,
+        _sig_cols,
+        _verify_jaccard,
+    )
+
+    index_dir = output_dir + "_index"
+
+    src = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, bno int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _screen(batch_df, _batch_id):
+        sp = batch_df.sparkSession
+        # ascending-wave loop: even if the source coalesces several staged
+        # files into one micro-batch, earlier waves index before later
+        # waves screen — the wave boundary, not the trigger boundary, is
+        # the semantic unit
+        bnos = sorted(
+            r.bno for r in batch_df.select("bno").distinct().collect()
+        )
+        for bno in bnos:
+            cur = batch_df.where(F.col("bno") == bno).persist()
+            bands = cur.select("doc_id", *_sig_cols())
+            bands = _band_rows(bands)
+            toks = cur.select(
+                "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+            )
+            prior = sorted(
+                d
+                for d in (
+                    os.listdir(index_dir) if os.path.isdir(index_dir) else []
+                )
+                if d.startswith("bno=") and int(d.split("=")[1]) < bno
+            )
+            if prior:
+                ib = sp.read.parquet(
+                    *[os.path.join(index_dir, p, "bands") for p in prior]
+                )
+                it = sp.read.parquet(
+                    *[os.path.join(index_dir, p, "toks") for p in prior]
+                )
+                cand = (
+                    bands.select(
+                        F.col("doc_id").alias("batch_doc_id"), "band", "key"
+                    )
+                    .join(
+                        ib.select(
+                            F.col("doc_id").alias("index_doc_id"), "band", "key"
+                        ),
+                        ["band", "key"],
+                    )
+                    .select("batch_doc_id", "index_doc_id")
+                    .distinct()
+                )
+                all_toks = toks.unionByName(it).persist()
+                res = _verify_jaccard(
+                    cand, all_toks, "batch_doc_id", "index_doc_id",
+                    JACCARD_THRESHOLD,
+                )
+            else:
+                res = sp.createDataFrame(
+                    [], "batch_doc_id long, index_doc_id long, jaccard double"
+                )
+            res.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"bno={bno}")
+            )
+            bands.write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"bno={bno}", "bands")
+            )
+            toks.write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"bno={bno}", "toks")
+            )
+            cur.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str):
+    """DRIVER-GATED streaming: the documents corpus arrives as
+    ``STREAM_INC_BATCHES`` waves (deterministic md5 gate, strictly
+    increasing file mtimes so the file source drains them in wave order),
+    screened incrementally against the growing standing index. The oracle
+    encodes the BATCH BOUNDARY in one SQL predicate: a pair is reported
+    iff the band keys match, the exact Jaccard clears the threshold, and
+    the screened doc's wave is STRICTLY LATER than the indexed doc's —
+    exactly what the per-wave index reads enforce."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.functions.hashing import md5_long
+
+    def _stage(sp, in_dir):
+        os.makedirs(in_dir)
+        d = sp.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        d = d.withColumn(
+            "bno",
+            (
+                md5_long(F.concat(F.lit("sb:"), F.col("doc_id").cast("string")))
+                % STREAM_INC_BATCHES
+            ).cast("int"),
+        )
+        for k in range(STREAM_INC_BATCHES):
+            tmp = f"{in_dir}.w{k}"
+            d.where(F.col("bno") == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = os.path.join(in_dir, f"{k:02d}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            # wave order = file-source order = strictly increasing mtimes
+            os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+
+    sink = _drain(spark, sf_dir, "inc", _stage, stream_dedup_incremental)
+    return spark.read.schema(
+        "batch_doc_id long, index_doc_id long, jaccard double, bno int"
+    ).parquet(sink)
+
+
+def _sql_stream_dedup_incremental() -> str:
+    from pdfplucker_spark.functions.hashing import sql_md5_long
+    from pdfplucker_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _sql_band_cte,
+        _sql_sigs,
+    )
+
+    gate = sql_md5_long("'sb:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH sigs AS (
+  SELECT doc_id,
+  {_sql_sigs()}
+  FROM documents
+),
+bands AS (
+  {_sql_band_cte()}
+),
+gated AS (
+  SELECT doc_id, band, key, CAST({gate} % {STREAM_INC_BATCHES} AS INTEGER) AS bno
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS batch_doc_id, b.doc_id AS index_doc_id, a.bno
+  FROM gated a JOIN gated b
+    ON a.band = b.band AND a.key = b.key AND a.bno > b.bno
+),
+toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)
+SELECT batch_doc_id, index_doc_id, round(jac, 6) AS jaccard, bno FROM (
+  SELECT batch_doc_id, index_doc_id, bno,
+         CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+           / len(list_distinct(ta.t || tb.t)) AS jac
+  FROM cand JOIN toks ta ON ta.doc_id = batch_doc_id
+            JOIN toks tb ON tb.doc_id = index_doc_id
+) WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+
 QUERIES = {
     "stream_extract": (q_stream_extract, _sql_stream_extract()),
+    "stream_dedup_incremental": (
+        q_stream_dedup_incremental,
+        _sql_stream_dedup_incremental(),
+    ),
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
     "stream_user_running_totals": (
         q_stream_user_running_totals,
