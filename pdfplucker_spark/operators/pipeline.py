@@ -172,9 +172,11 @@ def q_events_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(state).alias("bstate")
     )
     # 2) the carry over bucket summaries (bucket-cardinality rows only)
+    # ONE distinct over the union (map-side partial aggregation already
+    # collapses duplicates pre-shuffle) — a per-side distinct before the
+    # union would pay a second full shuffle of the event-side keys
     bkeys = (
         e.select("user_id", "bk")
-        .distinct()
         .unionByName(psum.select("user_id", "bk"))
         .distinct()
     )

@@ -29,6 +29,7 @@ _RECORD_FIRST = (
     # Q5 path
     "sim_semdedup_sampled",
     "stream_dedup_incremental",
+    "stream_decontaminate_incremental",
     "events_asof_purchase",
     "regional_revenue_sql",
     # round-5-changed plans that missed a CORRECTNESS_r05 record

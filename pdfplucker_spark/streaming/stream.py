@@ -675,6 +675,168 @@ def stream_dedup_incremental(
     )
 
 
+def stream_decontaminate_incremental(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
+):
+    """foreachBatch incremental decontamination — the production cadence
+    of ``docs_decontaminate_incremental`` (operators/pipeline.py): the
+    eval-shingle index is STANDING (benchmark suites are static; staged
+    beside the stream input, df-capped once), and the TRAIN corpus
+    arrives as waves — each micro-batch shingles only its own docs and
+    joins the index, so per-wave cost tracks the wave, never the corpus.
+    Unlike the batch operator (which screens a 1/20 train slice), the
+    drained stream screens the ENTIRE train corpus, wave by wave.
+    Per-wave overwrite dirs make retries idempotent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.operators.dedup import _SHINGLE_OVER_TOKENS
+    from pdfplucker_spark.operators.pipeline import (
+        DECONTAM_DF_CAP,
+        DECONTAM_MIN_SHARED,
+    )
+    from pdfplucker_spark.plans.guards import drop_oversized_buckets
+
+    # the standing index: built ONCE from the staged eval docs, persisted —
+    # every micro-batch joins this cached frame instead of re-shingling
+    eval_ix = drop_oversized_buckets(
+        spark.read.parquet(input_dir + "_eval")
+        .select(
+            F.col("doc_id").alias("eval_doc_id"),
+            F.split("text", " ").alias("__tk"),
+        )
+        .select("eval_doc_id", F.explode(F.expr(_SHINGLE_OVER_TOKENS)).alias("g")),
+        ("g",),
+        DECONTAM_DF_CAP,
+        "stream_decontaminate_incremental",
+    ).persist()
+
+    src = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, bno int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _screen(batch_df, _batch_id):
+        from pyspark.sql import functions as F
+
+        bnos = sorted(
+            r.bno for r in batch_df.select("bno").distinct().collect()
+        )
+        for bno in bnos:
+            sh = (
+                batch_df.where(F.col("bno") == bno)
+                .select(
+                    F.col("doc_id").alias("train_doc_id"),
+                    F.split("text", " ").alias("__tk"),
+                )
+                .select(
+                    "train_doc_id",
+                    F.explode(F.expr(_SHINGLE_OVER_TOKENS)).alias("g"),
+                )
+            )
+            res = (
+                sh.join(eval_ix, "g")
+                .groupBy("train_doc_id", "eval_doc_id")
+                .agg(F.count("*").alias("n_shared_ngrams"))
+                .where(F.col("n_shared_ngrams") >= DECONTAM_MIN_SHARED)
+            )
+            res.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"bno={bno}")
+            )
+
+    return (
+        src.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def q_stream_decontaminate_incremental(spark: SparkSession, sf_dir: str):
+    """DRIVER-GATED streaming: eval docs (the ``docs_sample`` md5 stratum)
+    become the standing df-capped shingle index; the WHOLE train corpus
+    arrives as ``STREAM_INC_BATCHES`` waves and is screened wave-by-wave.
+    Oracle: the full-scan decontamination algebra over all train docs,
+    each tagged with its wave — the wave tag is pure partition bookkeeping
+    here (the index is static), so the boundary check is that per-wave
+    union equals the corpus-wide screen."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.functions.hashing import md5_long
+    from pdfplucker_spark.operators.pipeline import SAMPLE_MOD
+
+    def _stage(sp, in_dir):
+        os.makedirs(in_dir)
+        d = sp.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        gate = md5_long(
+            F.concat("source", F.lit(":"), F.col("doc_id").cast("string"))
+        )
+        d.where(gate % SAMPLE_MOD == 0).write.mode("overwrite").parquet(
+            in_dir + "_eval"
+        )
+        train = d.where(gate % SAMPLE_MOD != 0).withColumn(
+            "bno",
+            (
+                md5_long(F.concat(F.lit("db:"), F.col("doc_id").cast("string")))
+                % STREAM_INC_BATCHES
+            ).cast("int"),
+        )
+        for k in range(STREAM_INC_BATCHES):
+            tmp = f"{in_dir}.w{k}"
+            train.where(F.col("bno") == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = os.path.join(in_dir, f"{k:02d}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+
+    sink = _drain(
+        spark, sf_dir, "deconinc", _stage, stream_decontaminate_incremental
+    )
+    return spark.read.schema(
+        "train_doc_id long, eval_doc_id long, n_shared_ngrams long, bno int"
+    ).parquet(sink)
+
+
+def _sql_stream_decontaminate_incremental() -> str:
+    from pdfplucker_spark.functions.hashing import sql_md5_long
+    from pdfplucker_spark.operators.pipeline import (
+        DECONTAM_DF_CAP,
+        DECONTAM_MIN_SHARED,
+        SAMPLE_MOD,
+        _SQL_SHINGLES,
+    )
+
+    egate = sql_md5_long("source || ':' || CAST(doc_id AS VARCHAR)")
+    bgate = sql_md5_long("'db:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         {egate} % {SAMPLE_MOD} AS gate,
+         CAST({bgate} % {STREAM_INC_BATCHES} AS INTEGER) AS bno,
+         UNNEST({_SQL_SHINGLES}) AS g
+  FROM documents
+),
+ok AS (SELECT g FROM sh WHERE gate = 0 GROUP BY g HAVING COUNT(*) <= {DECONTAM_DF_CAP})
+SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+       COUNT(*) AS n_shared_ngrams, t.bno
+FROM (SELECT doc_id, g, bno FROM sh WHERE gate <> 0) t
+JOIN (SELECT doc_id, g FROM sh JOIN ok USING (g) WHERE gate = 0) e USING (g)
+GROUP BY 1, 2, 4
+HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
+"""
+
+
 def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str):
     """DRIVER-GATED streaming: the documents corpus arrives as
     ``STREAM_INC_BATCHES`` waves (deterministic md5 gate, strictly
@@ -762,6 +924,10 @@ QUERIES = {
     "stream_dedup_incremental": (
         q_stream_dedup_incremental,
         _sql_stream_dedup_incremental(),
+    ),
+    "stream_decontaminate_incremental": (
+        q_stream_decontaminate_incremental,
+        _sql_stream_decontaminate_incremental(),
     ),
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
     "stream_user_running_totals": (

@@ -399,3 +399,85 @@ def test_streaming_instants_are_session_tz_proof(spark):
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
     assert len(set(epochs.values())) == 1, epochs
     assert epochs["UTC"] == 1704110400  # 2024-01-01T12:00:00Z
+
+
+def test_stream_incremental_dedup_is_idempotent_and_wave_consistent(spark):
+    """Re-invoking the drained foreachBatch query must be a no-op drain
+    over the same checkpoint returning identical rows (the per-wave
+    overwrite-dir contract), and every reported pair must screen a doc
+    against a STRICTLY earlier wave."""
+    from pdfplucker_spark.streaming.stream import q_stream_dedup_incremental
+
+    sf = "/root/testdata/sf0.001"
+    first = sorted(map(tuple, q_stream_dedup_incremental(spark, sf).collect()))
+    again = sorted(map(tuple, q_stream_dedup_incremental(spark, sf).collect()))
+    assert first == again and first
+    # wave boundary: batch doc's wave strictly later than the indexed doc's
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.functions.hashing import md5_long
+    from pdfplucker_spark.streaming.stream import STREAM_INC_BATCHES
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id",
+        (
+            md5_long(F.concat(F.lit("sb:"), F.col("doc_id").cast("string")))
+            % STREAM_INC_BATCHES
+        ).alias("bno"),
+    )
+    wave = {r.doc_id: r.bno for r in d.collect()}
+    for batch_doc, index_doc, _jac, bno in first:
+        assert wave[batch_doc] == bno and wave[batch_doc] > wave[index_doc]
+
+
+def test_stream_decontaminate_covers_full_train_corpus(spark):
+    """The drained stream screens EVERY train wave: the union over waves
+    must equal the corpus-wide batch screen (same index, same caps) —
+    the stream adds cadence, never changes the answer."""
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.functions.hashing import md5_long
+    from pdfplucker_spark.operators.dedup import _SHINGLE_OVER_TOKENS
+    from pdfplucker_spark.operators.pipeline import (
+        DECONTAM_DF_CAP,
+        DECONTAM_MIN_SHARED,
+        SAMPLE_MOD,
+    )
+    from pdfplucker_spark.plans.guards import drop_oversized_buckets
+    from pdfplucker_spark.streaming.stream import (
+        q_stream_decontaminate_incremental,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.train_doc_id, r.eval_doc_id, r.n_shared_ngrams)
+        for r in q_stream_decontaminate_incremental(spark, sf).collect()
+    )
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    gate = md5_long(F.concat("source", F.lit(":"), F.col("doc_id").cast("string")))
+    sh = d.select(
+        "doc_id",
+        (gate % SAMPLE_MOD == 0).alias("is_eval"),
+        F.split("text", " ").alias("__tk"),
+    ).select(
+        "doc_id", "is_eval", F.explode(F.expr(_SHINGLE_OVER_TOKENS)).alias("g")
+    ).persist()
+    ev = drop_oversized_buckets(
+        sh.where("is_eval").select(F.col("doc_id").alias("eval_doc_id"), "g"),
+        ("g",),
+        DECONTAM_DF_CAP,
+        "test_batch_ref",
+    )
+    exp = sorted(
+        map(
+            tuple,
+            sh.where(~F.col("is_eval"))
+            .select(F.col("doc_id").alias("train_doc_id"), "g")
+            .join(ev, "g")
+            .groupBy("train_doc_id", "eval_doc_id")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= DECONTAM_MIN_SHARED)
+            .collect(),
+        )
+    )
+    assert got == exp and got
