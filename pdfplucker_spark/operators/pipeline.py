@@ -372,6 +372,85 @@ WHERE CAST({sql_md5_long("'ws:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBL
 """
 
 
+# temperature-flattened source mixing (the multilingual-LM alpha-sampling
+# scheme): target mix share of source s ∝ share_s^alpha — alpha < 1
+# upweights low-resource sources relative to their natural share
+MIX_TEMPERATURE = 0.7
+MIX_TARGET_FRAC = 0.5  # keep ~this fraction of the corpus overall
+
+
+def q_docs_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature sampling across sources. Per source s
+    with natural share p_s = n_s/N: target share q_s = p_s^α / Σ p^α, so
+    the per-doc keep rate is r_s = min(1, t·q_s·N/n_s). The keep decision
+    is a content-free md5 Bernoulli gate compared against r_s scaled to
+    integer MICRO-units (round(r_s·10⁶) — an integer comparison on both
+    engines, so a last-ulp double difference cannot flip a doc across the
+    gate). Plan shape: one tiny per-source aggregate (|sources| rows),
+    its Σ p^α / N totals broadcast back, then a map-only gate over the
+    corpus — no corpus-scale shuffle at any N."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").alias("n"),
+        F.sum(F.pow(F.col("n_s").cast("double"), F.lit(MIX_TEMPERATURE))).alias(
+            "wsum_raw"
+        ),
+    )
+    # w_s computed as n_s^α (NOT (n_s/N)^α): dividing by N^α cancels in
+    # q_s = w_s / Σw — fewer double ops, fewer ulp hazards, same math
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            F.least(
+                F.lit(1.0),
+                F.lit(MIX_TARGET_FRAC)
+                * (
+                    F.pow(F.col("n_s").cast("double"), F.lit(MIX_TEMPERATURE))
+                    / F.col("wsum_raw")
+                )
+                * F.col("n").cast("double")
+                / F.col("n_s").cast("double"),
+            ).alias("keep_rate"),
+        )
+        .withColumn(
+            "thresh", F.round(F.col("keep_rate") * 1e6, 0).cast("long")
+        )
+    )
+    gate = md5_long(
+        F.concat(F.lit("mt:"), F.col("doc_id").cast("string"))
+    ) % 1_000_000
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(gate < F.col("thresh"))
+        .select("doc_id", "source", F.round("keep_rate", 6).alias("keep_rate"))
+    )
+
+
+SQL_DOCS_MIX_TEMPERATURE = f"""
+WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+t AS (
+  SELECT SUM(n_s) AS n,
+         SUM(pow(CAST(n_s AS DOUBLE), {MIX_TEMPERATURE})) AS wsum_raw
+  FROM c
+),
+rates AS (
+  SELECT source,
+         least(1.0,
+               {MIX_TARGET_FRAC}
+               * (pow(CAST(n_s AS DOUBLE), {MIX_TEMPERATURE}) / wsum_raw)
+               * CAST(n AS DOUBLE) / CAST(n_s AS DOUBLE)) AS keep_rate
+  FROM c, t
+)
+SELECT d.doc_id, d.source, round(r.keep_rate, 6) AS keep_rate
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {sql_md5_long("'mt:' || CAST(doc_id AS VARCHAR)")} % 1000000
+      < CAST(round(r.keep_rate * 1000000, 0) AS BIGINT)
+"""
+
+
 # ---------------------------------------------------------------------------
 # canonical-document selection per near-dup group
 # ---------------------------------------------------------------------------
@@ -1073,6 +1152,7 @@ QUERIES = {
     "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),
     "docs_sample": (q_docs_sample, SQL_DOCS_SAMPLE),
     "docs_sample_weighted": (q_docs_sample_weighted, SQL_DOCS_SAMPLE_WEIGHTED),
+    "docs_mix_temperature": (q_docs_mix_temperature, SQL_DOCS_MIX_TEMPERATURE),
     "docs_mix_report": (q_docs_mix_report, SQL_DOCS_MIX_REPORT),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "docs_dedup_verdict": (q_docs_dedup_verdict, _sql_docs_dedup_verdict()),

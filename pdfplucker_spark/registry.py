@@ -30,6 +30,7 @@ _RECORD_FIRST = (
     "sim_semdedup_sampled",
     "stream_dedup_incremental",
     "stream_decontaminate_incremental",
+    "docs_mix_temperature",
     "events_asof_purchase",
     "regional_revenue_sql",
     # round-5-changed plans that missed a CORRECTNESS_r05 record

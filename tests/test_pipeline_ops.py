@@ -313,3 +313,49 @@ def test_incremental_decontaminate_tracks_batch(spark):
     full_restricted = q_docs_decontaminate(spark, sf).join(batch_ids, "train_doc_id")
     assert inc.exceptAll(full_restricted).count() == 0
     assert full_restricted.exceptAll(inc).count() == 0
+
+
+def test_mix_temperature_flattens_skewed_sources(spark, tmp_path):
+    """alpha-sampling contract on a skewed corpus (one source 20x the
+    other): keep rates are deterministic, the minority source keeps a
+    LARGER fraction than the majority (flattening), rates match the
+    closed-form formula, and the overall kept mass tracks the target."""
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.pipeline import (
+        MIX_TARGET_FRAC,
+        MIX_TEMPERATURE,
+        q_docs_mix_temperature,
+    )
+
+    rows = [
+        Row(doc_id=i, text=f"doc {i}", lang="en", source="big", n_chars=10)
+        for i in range(2000)
+    ] + [
+        Row(doc_id=10_000 + i, text=f"doc {i}", lang="en", source="small", n_chars=10)
+        for i in range(100)
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    out = q_docs_mix_temperature(spark, str(tmp_path)).collect()
+    again = q_docs_mix_temperature(spark, str(tmp_path)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))  # no RNG
+
+    kept = {"big": 0, "small": 0}
+    rate = {}
+    for r in out:
+        kept[r.source] += 1
+        rate[r.source] = r.keep_rate
+    # closed form: r_s = min(1, t * (n_s^a / sum n^a) * N / n_s)
+    import math
+
+    n = {"big": 2000, "small": 100}
+    wsum = sum(v**MIX_TEMPERATURE for v in n.values())
+    for s, n_s in n.items():
+        exp = min(1.0, MIX_TARGET_FRAC * (n_s**MIX_TEMPERATURE / wsum) * 2100 / n_s)
+        assert rate[s] == round(exp, 6), (s, rate[s], exp)
+    # flattening: the minority source keeps a strictly larger fraction
+    assert rate["small"] > rate["big"]
+    assert kept["small"] / 100 > kept["big"] / 2000
+    # realized keep tracks the gate probability within Bernoulli noise
+    for s in n:
+        assert abs(kept[s] / n[s] - rate[s]) < 0.12, (s, kept[s], rate[s])
