@@ -451,6 +451,55 @@ WHERE {sql_md5_long("'mt:' || CAST(doc_id AS VARCHAR)")} % 1000000
 """
 
 
+# deterministic global training-shuffle order
+SHUFFLE_EPOCH_SEED = 1
+SHUFFLE_BUCKETS = 256  # top-8-bits of the 60-bit hash → ordered buckets
+
+
+def q_docs_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every doc its position in a deterministic GLOBAL training
+    shuffle (epoch reshuffles = change the seed). The order is
+    (md5(seed:doc), doc_id); a naive global row_number would be one
+    single-reducer sort over the corpus, so the scale shape is two-level
+    distributed ranking: the hash's TOP 8 bits form 256 ORDERED buckets
+    (a prefix of the sort key, so bucket-concatenation IS the global
+    order), a 256-row count aggregate yields broadcast cumulative
+    offsets, and each bucket ranks independently with a per-bucket
+    window — position = offset(bucket) + in-bucket rank. Every shuffle
+    is keyed on the uniform hash; no partition ever holds more than
+    ~N/256 rows. Oracle: the plain global ROW_NUMBER in DuckDB — two
+    shapes, one order."""
+    d = load(spark, sf_dir, "documents")
+    h = md5_long(
+        F.concat(F.lit(f"sh{SHUFFLE_EPOCH_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    base = d.select("doc_id", h.alias("h")).withColumn(
+        "bkt", F.shiftright("h", 52)  # 60-bit hash → top 8 bits
+    )
+    counts = base.groupBy("bkt").agg(F.count("*").alias("n_b"))
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bkt", F.coalesce(F.sum("n_b").over(woff), F.lit(0)).alias("offset")
+    )
+    wrk = Window.partitionBy("bkt").orderBy("h", "doc_id")
+    return (
+        base.join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.row_number().over(wrk) - 1).alias("shuffle_pos"),
+        )
+    )
+
+
+SQL_DOCS_SHUFFLE_ORDER = f"""
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY {sql_md5_long(f"'sh{SHUFFLE_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)")},
+                  doc_id) - 1 AS shuffle_pos
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # canonical-document selection per near-dup group
 # ---------------------------------------------------------------------------
@@ -1153,6 +1202,7 @@ QUERIES = {
     "docs_sample": (q_docs_sample, SQL_DOCS_SAMPLE),
     "docs_sample_weighted": (q_docs_sample_weighted, SQL_DOCS_SAMPLE_WEIGHTED),
     "docs_mix_temperature": (q_docs_mix_temperature, SQL_DOCS_MIX_TEMPERATURE),
+    "docs_shuffle_order": (q_docs_shuffle_order, SQL_DOCS_SHUFFLE_ORDER),
     "docs_mix_report": (q_docs_mix_report, SQL_DOCS_MIX_REPORT),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "docs_dedup_verdict": (q_docs_dedup_verdict, _sql_docs_dedup_verdict()),

@@ -31,6 +31,7 @@ _RECORD_FIRST = (
     "stream_dedup_incremental",
     "stream_decontaminate_incremental",
     "docs_mix_temperature",
+    "docs_shuffle_order",
     "events_asof_purchase",
     "regional_revenue_sql",
     # round-5-changed plans that missed a CORRECTNESS_r05 record

@@ -359,3 +359,44 @@ def test_mix_temperature_flattens_skewed_sources(spark, tmp_path):
     # realized keep tracks the gate probability within Bernoulli noise
     for s in n:
         assert abs(kept[s] / n[s] - rate[s]) < 0.12, (s, kept[s], rate[s])
+
+
+def test_shuffle_order_matches_global_rank_and_avoids_global_sort(spark):
+    """Two-level distributed ranking == the naive global row_number (the
+    bucket is a PREFIX of the sort key), positions are a 0..N-1
+    permutation, and the corpus-grain window partitions on the bucket —
+    the only unpartitioned window runs on the 256-row offsets frame."""
+    import re
+
+    from pyspark.sql import Window, functions as F
+
+    from pdfplucker_spark.functions.hashing import md5_long
+    from pdfplucker_spark.operators.pipeline import (
+        SHUFFLE_EPOCH_SEED,
+        q_docs_shuffle_order,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_docs_shuffle_order(spark, sf)
+    got = {r.doc_id: r.shuffle_pos for r in out.collect()}
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    h = md5_long(
+        F.concat(F.lit(f"sh{SHUFFLE_EPOCH_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    ref = {
+        r.doc_id: r.pos
+        for r in d.select(
+            "doc_id",
+            (F.row_number().over(Window.orderBy(h.alias("h"), "doc_id")) - 1).alias(
+                "pos"
+            ),
+        ).collect()
+    }
+    assert got == ref
+    assert sorted(got.values()) == list(range(len(got)))  # true permutation
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\((.*?)\)", plan)
+    assert specs
+    # the row_number over the corpus must be bucket-partitioned; 'h' may
+    # appear only as an ORDER key beside bkt
+    assert any("bkt" in s for s in specs), specs
