@@ -334,8 +334,9 @@ def _acquire_lock(output: str, run_id: str, stale_sec: float = 24 * 3600) -> str
                 # (it is the displaced holder's lease record — deleting it
                 # would erase the evidence of the collision) and surface
                 # the conflict loudly. Residual double-writer windows are
-                # additionally fenced at the COMMIT point: _run_locked
-                # re-verifies lease ownership before writing the marker.
+                # additionally fenced at the COMMIT point: _fenced_commit
+                # verifies ownership and writes the marker under the
+                # lease-inode flock.
                 try:
                     os.link(grabbed, path)  # never clobbers a newer lock
                 except FileExistsError:

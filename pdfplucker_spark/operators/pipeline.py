@@ -390,7 +390,10 @@ def q_docs_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     its Σ p^α / N totals broadcast back, then a map-only gate over the
     corpus — no corpus-scale shuffle at any N."""
     d = load(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    # counts feeds BOTH the totals aggregate and the rates projection —
+    # persist the |sources|-row frame or the corpus-scale scan under it
+    # runs twice
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s")).persist()
     tot = counts.agg(
         F.sum("n_s").alias("n"),
         F.sum(F.pow(F.col("n_s").cast("double"), F.lit(MIX_TEMPERATURE))).alias(

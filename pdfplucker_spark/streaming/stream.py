@@ -614,12 +614,15 @@ def stream_dedup_incremental(
             r.bno for r in batch_df.select("bno").distinct().collect()
         )
         for bno in bnos:
-            cur = batch_df.where(F.col("bno") == bno).persist()
-            bands = cur.select("doc_id", *_sig_cols())
-            bands = _band_rows(bands)
+            cur = batch_df.where(F.col("bno") == bno)
+            # bands and toks each feed TWO consumers (candidate join +
+            # index write / verify union + index write): persist THEM, not
+            # the raw rows — the minhash fold is the expensive part and
+            # must not run twice per wave
+            bands = _band_rows(cur.select("doc_id", *_sig_cols())).persist()
             toks = cur.select(
                 "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-            )
+            ).persist()
             prior = sorted(
                 d
                 for d in (
@@ -647,7 +650,7 @@ def stream_dedup_incremental(
                     .select("batch_doc_id", "index_doc_id")
                     .distinct()
                 )
-                all_toks = toks.unionByName(it).persist()
+                all_toks = toks.unionByName(it)
                 res = _verify_jaccard(
                     cand, all_toks, "batch_doc_id", "index_doc_id",
                     JACCARD_THRESHOLD,
@@ -665,7 +668,10 @@ def stream_dedup_incremental(
             toks.write.mode("overwrite").parquet(
                 os.path.join(index_dir, f"bno={bno}", "toks")
             )
-            cur.unpersist()
+            # per-wave caches die with the wave — a 10⁹-doc drain must not
+            # accumulate one cached frame pair per micro-batch
+            bands.unpersist()
+            toks.unpersist()
 
     return (
         src.writeStream.foreachBatch(_screen)
