@@ -456,28 +456,35 @@ WHERE {sql_md5_long("'mt:' || CAST(doc_id AS VARCHAR)")} % 1000000
 
 # deterministic global training-shuffle order
 SHUFFLE_EPOCH_SEED = 1
-SHUFFLE_BUCKETS = 256  # top-8-bits of the 60-bit hash → ordered buckets
+SHUFFLE_BUCKET_BITS = 8  # top-8-bits of the 60-bit hash → 256 buckets
 
 
-def q_docs_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_docs_shuffle_order(
+    spark: SparkSession, sf_dir: str, bucket_bits: int = SHUFFLE_BUCKET_BITS
+) -> DataFrame:
     """Assign every doc its position in a deterministic GLOBAL training
     shuffle (epoch reshuffles = change the seed). The order is
     (md5(seed:doc), doc_id); a naive global row_number would be one
     single-reducer sort over the corpus, so the scale shape is two-level
-    distributed ranking: the hash's TOP 8 bits form 256 ORDERED buckets
-    (a prefix of the sort key, so bucket-concatenation IS the global
-    order), a 256-row count aggregate yields broadcast cumulative
-    offsets, and each bucket ranks independently with a per-bucket
-    window — position = offset(bucket) + in-bucket rank. Every shuffle
-    is keyed on the uniform hash; no partition ever holds more than
-    ~N/256 rows. Oracle: the plain global ROW_NUMBER in DuckDB — two
-    shapes, one order."""
+    distributed ranking: the hash's top ``bucket_bits`` bits form 2^bits
+    ORDERED buckets (a prefix of the sort key, so bucket-concatenation
+    IS the global order), a 2^bits-row count aggregate yields broadcast
+    cumulative offsets, and each bucket ranks independently with a
+    per-bucket window — position = offset(bucket) + in-bucket rank.
+    Every shuffle is keyed on the uniform hash; no partition ever holds
+    more than ~N/2^bits rows. POSITIONS ARE INDEPENDENT OF
+    ``bucket_bits`` (the bucket is a key prefix), so the knob is pure
+    plan shape: the registry pins 8 for the small driver corpora; size
+    production as bits ≈ log2(N / target_rows_per_sort) — 20 bits keeps
+    10^12 docs near 10^6 rows per bucket sort (pytest asserts bit-equal
+    output across bits 4/8/12). Oracle: the plain global ROW_NUMBER in
+    DuckDB — two plan shapes, one order."""
     d = load(spark, sf_dir, "documents")
     h = md5_long(
         F.concat(F.lit(f"sh{SHUFFLE_EPOCH_SEED}:"), F.col("doc_id").cast("string"))
     )
     base = d.select("doc_id", h.alias("h")).withColumn(
-        "bkt", F.shiftright("h", 52)  # 60-bit hash → top 8 bits
+        "bkt", F.shiftright("h", 60 - bucket_bits)  # top bits of 60-bit hash
     )
     counts = base.groupBy("bkt").agg(F.count("*").alias("n_b"))
     woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)

@@ -400,3 +400,19 @@ def test_shuffle_order_matches_global_rank_and_avoids_global_sort(spark):
     # the row_number over the corpus must be bucket-partitioned; 'h' may
     # appear only as an ORDER key beside bkt
     assert any("bkt" in s for s in specs), specs
+
+
+def test_shuffle_order_invariant_to_bucket_count(spark):
+    """The bucket count is pure plan shape (the bucket is a prefix of the
+    sort key): positions must be bit-equal across 16, 256 and 4096
+    buckets — the knob that sizes per-bucket sorts at 10^12 docs cannot
+    change the shuffle order."""
+    from pdfplucker_spark.operators.pipeline import q_docs_shuffle_order
+
+    sf = "/root/testdata/sf0.001"
+    ref = sorted(map(tuple, q_docs_shuffle_order(spark, sf, bucket_bits=8).collect()))
+    for bits in (4, 12):
+        got = sorted(
+            map(tuple, q_docs_shuffle_order(spark, sf, bucket_bits=bits).collect())
+        )
+        assert got == ref, bits
