@@ -32,8 +32,6 @@ _RECORD_FIRST = (
     "stream_decontaminate_incremental",
     "docs_mix_temperature",
     "docs_shuffle_order",
-    "events_asof_purchase",
-    "regional_revenue_sql",
     # round-5-changed plans that missed a CORRECTNESS_r05 record
     # (ADVICE r5): skew-proof transition matrix, guard-_occ containment
     # prefix, shingle-hoisted decontaminate, temp-view-free time rollup
@@ -85,6 +83,12 @@ _RECORD_FIRST = (
     "sim_ivf_assign",
     "sim_ivf_topk",
     "text_gopher_rules",
+    # plan-swapped this round but r5-green (bucketed as-of default,
+    # parameterized-SQL Q5): strict-verified in-session; they sit AFTER
+    # the 50 names that lack any r5 record so the driver's 50-name sample
+    # restores two-round freshness for every name first
+    "events_asof_purchase",
+    "regional_revenue_sql",
 )
 
 
