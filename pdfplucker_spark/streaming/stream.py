@@ -592,6 +592,10 @@ def stream_dedup_incremental(
         _sig_cols,
         _verify_jaccard,
     )
+    from pdfplucker_spark.plans.guards import (
+        DEFAULT_BUCKET_CAP,
+        drop_oversized_buckets,
+    )
 
     index_dir = output_dir + "_index"
 
@@ -637,16 +641,26 @@ def stream_dedup_incremental(
                 it = sp.read.parquet(
                     *[os.path.join(index_dir, p, "toks") for p in prior]
                 )
+                # the standing guard invariant (CLAUDE.md): every LSH
+                # candidate join crosses drop_oversized_buckets. Capping
+                # the INDEX side bounds the per-wave join at
+                # wave_size × cap even on a degenerate corpus (the wave
+                # side is already bounded by the wave itself); the cap
+                # never fires on honest corpora, so the oracle is
+                # unchanged — same treatment as dedup_incremental
+                ib_ok = drop_oversized_buckets(
+                    ib.select(
+                        F.col("doc_id").alias("index_doc_id"), "band", "key"
+                    ),
+                    ("band", "key"),
+                    DEFAULT_BUCKET_CAP,
+                    "stream_dedup_incremental",
+                )
                 cand = (
                     bands.select(
                         F.col("doc_id").alias("batch_doc_id"), "band", "key"
                     )
-                    .join(
-                        ib.select(
-                            F.col("doc_id").alias("index_doc_id"), "band", "key"
-                        ),
-                        ["band", "key"],
-                    )
+                    .join(ib_ok, ["band", "key"])
                     .select("batch_doc_id", "index_doc_id")
                     .distinct()
                 )
