@@ -454,6 +454,56 @@ WHERE {sql_md5_long("'mt:' || CAST(doc_id AS VARCHAR)")} % 1000000
 """
 
 
+# per-domain document cap (crawl-curation shape: no single domain may
+# contribute more than K docs to the training mix)
+DOMAIN_CAP = 20
+DOMAIN_CAP_SALTS = 16
+
+
+def q_docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most ``DOMAIN_CAP`` docs per source/domain, preferring the
+    longest (n_chars DESC, doc_id ASC — a deterministic total order).
+    The naive shape is one row_number window per domain — a hot domain
+    (10⁸ pages of one site in a crawl) then serializes into a single
+    reducer sort. Scale shape: SALTED TWO-LEVEL top-K. Level 1 windows
+    on (source, md5-salt) — 16 uniform shards per domain, each sorting
+    only its shard — and keeps its local top K; level 2 re-ranks the
+    ≤ K·16 survivors per domain, a frame bounded by cap×salts whatever
+    the domain's raw size. Same algebra as the salted aggregation
+    (``events_salted_agg``), applied to order statistics: local top-K
+    per shard is a superset of the global top-K's members in that shard,
+    so no qualifying doc is lost. Oracle: the naive single window in
+    DuckDB — two plans, one answer."""
+    d = load(spark, sf_dir, "documents")
+    salt = (
+        md5_long(F.concat(F.lit("dc:"), F.col("doc_id").cast("string")))
+        % DOMAIN_CAP_SALTS
+    ).alias("salt")
+    base = d.select("doc_id", "source", "n_chars", salt)
+    w1 = Window.partitionBy("source", "salt").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    survivors = base.withColumn("r1", F.row_number().over(w1)).where(
+        F.col("r1") <= DOMAIN_CAP
+    )
+    w2 = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("domain_rank", F.row_number().over(w2))
+        .where(F.col("domain_rank") <= DOMAIN_CAP)
+        .select("doc_id", "source", "n_chars", "domain_rank")
+    )
+
+
+SQL_DOCS_DOMAIN_CAP = f"""
+SELECT doc_id, source, n_chars, domain_rank FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS domain_rank
+  FROM documents
+) WHERE domain_rank <= {DOMAIN_CAP}
+"""
+
+
 # deterministic global training-shuffle order
 SHUFFLE_EPOCH_SEED = 1
 SHUFFLE_BUCKET_BITS = 8  # top-8-bits of the 60-bit hash → 256 buckets
@@ -1213,6 +1263,7 @@ QUERIES = {
     "docs_sample_weighted": (q_docs_sample_weighted, SQL_DOCS_SAMPLE_WEIGHTED),
     "docs_mix_temperature": (q_docs_mix_temperature, SQL_DOCS_MIX_TEMPERATURE),
     "docs_shuffle_order": (q_docs_shuffle_order, SQL_DOCS_SHUFFLE_ORDER),
+    "docs_domain_cap": (q_docs_domain_cap, SQL_DOCS_DOMAIN_CAP),
     "docs_mix_report": (q_docs_mix_report, SQL_DOCS_MIX_REPORT),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "docs_dedup_verdict": (q_docs_dedup_verdict, _sql_docs_dedup_verdict()),

@@ -32,6 +32,7 @@ _RECORD_FIRST = (
     "stream_decontaminate_incremental",
     "docs_mix_temperature",
     "docs_shuffle_order",
+    "docs_domain_cap",
     # round-5-changed plans that missed a CORRECTNESS_r05 record
     # (ADVICE r5): skew-proof transition matrix, guard-_occ containment
     # prefix, shingle-hoisted decontaminate, temp-view-free time rollup

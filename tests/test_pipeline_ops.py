@@ -416,3 +416,49 @@ def test_shuffle_order_invariant_to_bucket_count(spark):
             map(tuple, q_docs_shuffle_order(spark, sf, bucket_bits=bits).collect())
         )
         assert got == ref, bits
+
+
+def test_domain_cap_two_level_matches_naive_and_salts_the_window(spark, tmp_path):
+    """Salted two-level top-K per domain == the naive single window, on a
+    skewed corpus (one domain 30x the cap, one under it), and the
+    corpus-grain window partitions on (source, salt) — never source
+    alone at document grain."""
+    import re
+
+    from pyspark.sql import Row, Window, functions as F
+
+    from pdfplucker_spark.operators.pipeline import DOMAIN_CAP, q_docs_domain_cap
+
+    rows = [
+        Row(doc_id=i, text="x", lang="en", source="hot", n_chars=(i * 37) % 500)
+        for i in range(600)
+    ] + [
+        Row(doc_id=1000 + i, text="x", lang="en", source="cold", n_chars=50 + i)
+        for i in range(5)  # under the cap: all kept
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    out = q_docs_domain_cap(spark, str(tmp_path))
+    got = sorted(map(tuple, out.collect()))
+    naive = (
+        spark.read.parquet(f"{tmp_path}/documents.parquet")
+        .withColumn(
+            "domain_rank",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("n_chars"), F.asc("doc_id")
+                )
+            ),
+        )
+        .where(F.col("domain_rank") <= DOMAIN_CAP)
+        .select("doc_id", "source", "n_chars", "domain_rank")
+    )
+    assert got == sorted(map(tuple, naive.collect()))
+    per_source = {}
+    for _doc, src, _n, _r in got:
+        per_source[src] = per_source.get(src, 0) + 1
+    assert per_source == {"hot": DOMAIN_CAP, "cold": 5}
+    # plan: the document-grain window must carry the salt; source-alone
+    # windows may only rank the <= cap*salts survivor frame
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\((.*?)\)", plan)
+    assert any("salt" in s for s in specs), specs
