@@ -528,8 +528,14 @@ def q_docs_shuffle_order(
     production as bits ≈ log2(N / target_rows_per_sort) — 20 bits keeps
     10^12 docs near 10^6 rows per bucket sort (pytest asserts bit-equal
     output across bits 4/8/12). Oracle: the plain global ROW_NUMBER in
-    DuckDB — two plan shapes, one order."""
-    d = load(spark, sf_dir, "documents")
+    DuckDB — two plan shapes, one order.
+
+    NULL-id docs are EXCLUDED in both engines: their hash is NULL, so
+    they have no well-defined place in the total order ((h, doc_id)
+    collapses to (NULL, NULL) for every such row — any rank assignment
+    would be engine-arbitrary), and a doc a manifest cannot address has
+    no training-order position anyway."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     h = md5_long(
         F.concat(F.lit(f"sh{SHUFFLE_EPOCH_SEED}:"), F.col("doc_id").cast("string"))
     )
@@ -556,7 +562,7 @@ SELECT doc_id,
        ROW_NUMBER() OVER (
          ORDER BY {sql_md5_long(f"'sh{SHUFFLE_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)")},
                   doc_id) - 1 AS shuffle_pos
-FROM documents
+FROM documents WHERE doc_id IS NOT NULL
 """
 
 

@@ -101,3 +101,41 @@ def test_transition_matrix_null_event_types(spark, tmp_path):
     assert ("view", None, 1, 1.0) in got
     assert ("purchase", "view", 1, 1.0) in got
     assert not any(r[0] is None for r in got)
+
+
+def test_round6_curation_ops_on_null_heavy_corpus(spark, tmp_path):
+    """Round-6 curation operators on a corpus the driver SFs never build:
+    NULL doc_id, NULL source, NULL n_chars, and heavy n_chars ties. Each
+    operator must agree with its REGISTERED oracle SQL, and NULL-id docs
+    must be absent from the shuffle order in both engines."""
+    from pdfplucker_spark.operators.pipeline import (
+        SQL_DOCS_DOMAIN_CAP,
+        SQL_DOCS_MIX_TEMPERATURE,
+        SQL_DOCS_SHUFFLE_ORDER,
+        q_docs_domain_cap,
+        q_docs_mix_temperature,
+        q_docs_shuffle_order,
+    )
+
+    rows = [
+        (None, "orphan", "en", "s1", 10),
+        (1, "a", "en", None, 10),        # NULL source
+        (2, "b", "en", None, 20),
+        (3, "c", "en", "s1", None),      # NULL n_chars
+        (4, "d", "en", "s1", 30),
+        (5, "e", "en", "s1", 30),        # tie with 4
+        (6, "f", "en", "s2", 30),
+    ] + [(100 + i, "t", "en", "s2", 30) for i in range(30)]  # ties past the cap
+    p = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+
+    shuffle = _cmp(q_docs_shuffle_order(spark, str(tmp_path)), con, SQL_DOCS_SHUFFLE_ORDER)
+    ids = [r[0] for r in shuffle]
+    assert None not in ids and sorted(r[1] for r in shuffle) == list(range(len(ids)))
+
+    _cmp(q_docs_domain_cap(spark, str(tmp_path)), con, SQL_DOCS_DOMAIN_CAP)
+    _cmp(q_docs_mix_temperature(spark, str(tmp_path)), con, SQL_DOCS_MIX_TEMPERATURE)
