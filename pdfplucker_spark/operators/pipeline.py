@@ -475,11 +475,18 @@ def q_docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no qualifying doc is lost. Oracle: the naive single window in
     DuckDB — two plans, one answer."""
     d = load(spark, sf_dir, "documents")
+    return _domain_cap_frame(d.select("doc_id", "source", "n_chars"))
+
+
+def _domain_cap_frame(base: DataFrame) -> DataFrame:
+    """The salted two-level per-domain top-K over ANY (doc_id, source,
+    n_chars) frame — shared by the standalone operator and the curation
+    manifest (which caps the quality+dedup SURVIVOR set)."""
     salt = (
         md5_long(F.concat(F.lit("dc:"), F.col("doc_id").cast("string")))
         % DOMAIN_CAP_SALTS
     ).alias("salt")
-    base = d.select("doc_id", "source", "n_chars", salt)
+    base = base.select("doc_id", "source", "n_chars", salt)
     w1 = Window.partitionBy("source", "salt").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
@@ -535,12 +542,23 @@ def q_docs_shuffle_order(
     collapses to (NULL, NULL) for every such row — any rank assignment
     would be engine-arbitrary), and a doc a manifest cannot address has
     no training-order position anyway."""
-    d = load(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    d = load(spark, sf_dir, "documents")
+    return _shuffle_rank(d.select("doc_id"), bucket_bits)
+
+
+def _shuffle_rank(base: DataFrame, bucket_bits: int) -> DataFrame:
+    """Two-level distributed shuffle ranking over ANY frame carrying
+    ``doc_id`` (extra columns ride along) — shared by the standalone
+    operator and the curation manifest. NULL-id rows are excluded (see
+    q_docs_shuffle_order's contract)."""
+    carry = [c for c in base.columns if c != "doc_id"]
     h = md5_long(
         F.concat(F.lit(f"sh{SHUFFLE_EPOCH_SEED}:"), F.col("doc_id").cast("string"))
     )
-    base = d.select("doc_id", h.alias("h")).withColumn(
-        "bkt", F.shiftright("h", 60 - bucket_bits)  # top bits of 60-bit hash
+    base = (
+        base.where(F.col("doc_id").isNotNull())
+        .withColumn("h", h)
+        .withColumn("bkt", F.shiftright("h", 60 - bucket_bits))
     )
     counts = base.groupBy("bkt").agg(F.count("*").alias("n_b"))
     woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -552,6 +570,7 @@ def q_docs_shuffle_order(
         base.join(F.broadcast(offsets), "bkt")
         .select(
             "doc_id",
+            *carry,
             (F.col("offset") + F.row_number().over(wrk) - 1).alias("shuffle_pos"),
         )
     )
@@ -563,6 +582,85 @@ SELECT doc_id,
          ORDER BY {sql_md5_long(f"'sh{SHUFFLE_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)")},
                   doc_id) - 1 AS shuffle_pos
 FROM documents WHERE doc_id IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation manifest: quality gate → dedup canonical → domain cap
+# → epoch-shuffle order, as ONE composed query
+# ---------------------------------------------------------------------------
+def q_docs_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE training manifest: the sequential curation DAG a data run
+    actually executes, composed from the registered operators —
+
+      1. Gopher quality gate (``text_gopher_rules``): keep gopher_pass;
+      2. exact dedup (``dedup_canonical``): keep only each bag-of-tokens
+         group's canonical doc;
+      3. per-domain cap over the SURVIVORS (the sequential semantics: a
+         domain's cap counts quality-passing canonical docs, so capped
+         domains still contribute K usable docs);
+      4. deterministic epoch-shuffle position over the final keep set —
+         a dense 0..M-1 training order.
+
+    Every stage is hash-deterministic (no RNG) and each reuses the exact
+    component plan (the salted two-level cap, the two-level shuffle
+    ranking), so the composition inherits their scale shapes: three
+    corpus passes + survivor-set windows, no corpus-scale single-reducer
+    anything. The oracle chains the SAME four stages as DuckDB derived
+    tables — one statement, the whole pipeline."""
+    from pdfplucker_spark.operators.textstats import q_text_gopher_rules
+
+    d = load(spark, sf_dir, "documents")
+    passed = (
+        q_text_gopher_rules(spark, sf_dir)
+        .where("gopher_pass")
+        .select("doc_id")
+    )
+    canon = q_dedup_canonical(spark, sf_dir).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    surv = (
+        d.select("doc_id", "source", "n_chars")
+        .where(F.col("doc_id").isNotNull())
+        .join(passed, "doc_id")
+        .join(canon, "doc_id")
+    )
+    capped = _domain_cap_frame(surv).select("doc_id", "source", "n_chars")
+    return _shuffle_rank(capped, SHUFFLE_BUCKET_BITS)
+
+
+def _sql_docs_curation_manifest() -> str:
+    # the component SQL texts nest as derived tables (DuckDB allows WITH
+    # inside a subquery), so the oracle is literally the chained stages
+    from pdfplucker_spark.operators.textstats import SQL_TEXT_GOPHER_RULES
+
+    order_h = sql_md5_long(
+        f"'sh{SHUFFLE_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+WITH gpass AS (
+  SELECT doc_id FROM ({SQL_TEXT_GOPHER_RULES}) WHERE gopher_pass
+),
+canon AS (
+  SELECT canonical_doc_id AS doc_id FROM ({SQL_DEDUP_CANONICAL})
+),
+surv AS (
+  SELECT d.doc_id, d.source, d.n_chars
+  FROM documents d
+  JOIN gpass USING (doc_id) JOIN canon USING (doc_id)
+  WHERE d.doc_id IS NOT NULL
+),
+capped AS (
+  SELECT doc_id, source, n_chars FROM (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id ASC) AS rnk
+    FROM surv
+  ) WHERE rnk <= {DOMAIN_CAP}
+)
+SELECT doc_id, source, n_chars,
+       ROW_NUMBER() OVER (ORDER BY {order_h}, doc_id) - 1 AS shuffle_pos
+FROM capped
 """
 
 
@@ -1270,6 +1368,10 @@ QUERIES = {
     "docs_mix_temperature": (q_docs_mix_temperature, SQL_DOCS_MIX_TEMPERATURE),
     "docs_shuffle_order": (q_docs_shuffle_order, SQL_DOCS_SHUFFLE_ORDER),
     "docs_domain_cap": (q_docs_domain_cap, SQL_DOCS_DOMAIN_CAP),
+    "docs_curation_manifest": (
+        q_docs_curation_manifest,
+        _sql_docs_curation_manifest(),
+    ),
     "docs_mix_report": (q_docs_mix_report, SQL_DOCS_MIX_REPORT),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "docs_dedup_verdict": (q_docs_dedup_verdict, _sql_docs_dedup_verdict()),

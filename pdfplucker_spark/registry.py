@@ -33,6 +33,7 @@ _RECORD_FIRST = (
     "docs_mix_temperature",
     "docs_shuffle_order",
     "docs_domain_cap",
+    "docs_curation_manifest",
     # round-5-changed plans that missed a CORRECTNESS_r05 record
     # (ADVICE r5): skew-proof transition matrix, guard-_occ containment
     # prefix, shingle-hoisted decontaminate, temp-view-free time rollup

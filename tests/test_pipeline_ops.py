@@ -462,3 +462,46 @@ def test_domain_cap_two_level_matches_naive_and_salts_the_window(spark, tmp_path
     plan = out._jdf.queryExecution().executedPlan().toString()
     specs = re.findall(r"windowspecdefinition\((.*?)\)", plan)
     assert any("salt" in s for s in specs), specs
+
+
+def test_curation_manifest_stage_algebra(spark):
+    """Piecewise contract of the composed manifest: every kept doc passes
+    the quality gate AND is its dup group's canonical AND sits within
+    the domain cap of the SURVIVOR set (sequential semantics — the cap
+    counts usable docs, not raw corpus docs); positions are a dense
+    0..M-1 permutation."""
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.operators.pipeline import (
+        DOMAIN_CAP,
+        q_dedup_canonical,
+        q_docs_curation_manifest,
+    )
+    from pdfplucker_spark.operators.textstats import q_text_gopher_rules
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_docs_curation_manifest(spark, sf).collect()
+    assert rows
+    got_ids = {r.doc_id for r in rows}
+    assert sorted(r.shuffle_pos for r in rows) == list(range(len(rows)))
+
+    passed = {
+        r.doc_id
+        for r in q_text_gopher_rules(spark, sf).where("gopher_pass").collect()
+    }
+    canon = {
+        r.canonical_doc_id for r in q_dedup_canonical(spark, sf).collect()
+    }
+    assert got_ids <= passed and got_ids <= canon
+    # per-domain count never exceeds the cap, and equals the survivor
+    # count where the domain is under it
+    surv = passed & canon
+    d = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    by_src_surv, by_src_kept = {}, {}
+    for r in d:
+        if r.doc_id in surv:
+            by_src_surv[r.source] = by_src_surv.get(r.source, 0) + 1
+        if r.doc_id in got_ids:
+            by_src_kept[r.source] = by_src_kept.get(r.source, 0) + 1
+    for src, n_surv in by_src_surv.items():
+        assert by_src_kept.get(src, 0) == min(n_surv, DOMAIN_CAP), src
