@@ -43,7 +43,10 @@ _RECORD_FIRST = (
     "events_time_rollup",
     # stale: last driver-recorded in r4 (absent from CORRECTNESS_r05) —
     # rotating them to the head keeps every registry name green within
-    # the last two rounds (r5 ∪ r6)
+    # the last two rounds (r5 ∪ r6). NOTE r7: with 8 round-6 additions
+    # the must-record set exceeds the 50-name sample by ~3; the overflow
+    # lands on this list's TAIL (sim_ivf_assign/sim_ivf_topk/
+    # text_gopher_rules, all r4-green) — put those FIRST next round
     "extract_full",
     "extract_agg_metrics",
     "extract_images_detail",
