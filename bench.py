@@ -93,6 +93,7 @@ def main():
         )
 
     from pdfplucker_spark.operators.pipeline import (
+        q_docs_curation_manifest,
         q_docs_decontaminate,
         q_docs_decontaminate_incremental,
         q_events_asof_plain,
@@ -100,45 +101,59 @@ def main():
     from pdfplucker_spark.operators.relational import q_events_salted_agg
     from pdfplucker_spark.operators.spans_sql import q_spans_main_content
 
-    # Two INTERLEAVED passes over every measured query (headline included),
-    # min per query: bursty neighbor load on the shared VM hits both passes
+    # INTERLEAVED passes over every measured query (headline included),
+    # min per query: bursty neighbor load on the shared VM hits every pass
     # of every query instead of poisoning whichever single-shot measurement
     # it landed on — the same noise-robust estimator the scaling legs use.
     # The headline gets 2 reps per pass (min-of-4 total): its first run
     # after any other work carries JVM/worker re-warm cost, so a
     # back-to-back pair inside each pass is what reaches steady state.
+    # SUB-1.5s queries run FOUR passes (min-of-4): the round-6 driver
+    # record showed shared-VM spread (±15-40%) larger than a real
+    # regression on these legs (pricing_summary +34% in the driver file,
+    # faster in the same-code closing bench), so the min needs more draws
+    # to be load-robust; the multi-second legs keep 2 passes (their
+    # relative noise is smaller and passes are expensive).
     measured = [
-        ("extract_e2e_bench50k", extract_e2e, 2),
-        ("extract_e2e_skew5k", lambda: _leg(skew_path, "spans_skew"), 1),
-        ("extract_e2e_uniform5k", lambda: _leg(uni_path, "spans_uniform"), 1),
-        ("extract_full_sf", lambda: q_extract_full(spark, sf_dir).count(), 1),
-        ("dedup_minhash_sig", lambda: q_dedup_minhash_sig(spark, sf_dir).count(), 1),
-        ("sim_cosine_topk", lambda: q_sim_cosine_topk(spark, sf_dir).collect(), 1),
-        ("pricing_summary", lambda: q_pricing_summary(spark, sf_dir).collect(), 1),
-        ("text_quality", lambda: q_text_quality(spark, sf_dir).count(), 1),
-        ("events_asof_purchase", lambda: q_events_asof_purchase(spark, sf_dir).count(), 1),
-        ("dedup_ngram_pairs", lambda: q_dedup_ngram_pairs(spark, sf_dir).count(), 1),
-        ("events_salted_agg", lambda: q_events_salted_agg(spark, sf_dir).collect(), 1),
-        ("docs_decontaminate", lambda: q_docs_decontaminate(spark, sf_dir).count(), 1),
+        # (name, fn, reps_per_pass, n_passes)
+        ("extract_e2e_bench50k", extract_e2e, 2, 2),
+        ("extract_e2e_skew5k", lambda: _leg(skew_path, "spans_skew"), 1, 2),
+        ("extract_e2e_uniform5k", lambda: _leg(uni_path, "spans_uniform"), 1, 2),
+        ("extract_full_sf", lambda: q_extract_full(spark, sf_dir).count(), 1, 4),
+        ("dedup_minhash_sig", lambda: q_dedup_minhash_sig(spark, sf_dir).count(), 1, 4),
+        ("sim_cosine_topk", lambda: q_sim_cosine_topk(spark, sf_dir).collect(), 1, 4),
+        ("pricing_summary", lambda: q_pricing_summary(spark, sf_dir).collect(), 1, 4),
+        ("text_quality", lambda: q_text_quality(spark, sf_dir).count(), 1, 4),
+        ("events_asof_purchase", lambda: q_events_asof_purchase(spark, sf_dir).count(), 1, 4),
+        ("dedup_ngram_pairs", lambda: q_dedup_ngram_pairs(spark, sf_dir).count(), 1, 2),
+        ("events_salted_agg", lambda: q_events_salted_agg(spark, sf_dir).collect(), 1, 4),
+        ("docs_decontaminate", lambda: q_docs_decontaminate(spark, sf_dir).count(), 1, 2),
         (
             "docs_decontaminate_incremental",
             lambda: q_docs_decontaminate_incremental(spark, sf_dir).count(),
             1,
+            4,
         ),
         # since round 6 events_asof_purchase IS the bucketed plan (the
         # registry default); the plain single-window build is timed beside
         # it to keep the plain-vs-bucketed cost visible per round
-        ("events_asof_plain", lambda: q_events_asof_plain(spark, sf_dir).count(), 1),
-        ("spans_main_content", lambda: q_spans_main_content(spark, sf_dir).count(), 1),
+        ("events_asof_plain", lambda: q_events_asof_plain(spark, sf_dir).count(), 1, 4),
+        ("spans_main_content", lambda: q_spans_main_content(spark, sf_dir).count(), 1, 4),
+        # the composed query a training run actually executes (gate →
+        # dedup-among-survivors → domain cap → shuffle rank): tracked
+        # round-over-round like the headline (round-6 verdict #6)
+        ("docs_curation_manifest", lambda: q_docs_curation_manifest(spark, sf_dir).count(), 1, 2),
     ]
-    for _pass in range(2):
-        for name, fn, reps in measured:
+    for _pass in range(4):
+        for name, fn, reps, n_passes in measured:
+            if _pass >= n_passes:
+                continue
             t = min(_timed(fn) for _ in range(reps))
             queries[name] = min(t, queries.get(name, float("inf")))
             # operators persist() intermediates; clear after EACH measured
             # operator (the CLAUDE.md sweep invariant, same policy as
             # check_driver_strict) so later queries are neither sped up by
-            # a neighbor's cache nor skewed by eviction pressure from 13
+            # a neighbor's cache nor skewed by eviction pressure from 14
             # accumulated persists
             spark.catalog.clearCache()
     docs_per_sec = round(n_docs / queries["extract_e2e_bench50k"], 1)
@@ -197,8 +212,9 @@ def main():
         "value": queries["extract_e2e_bench50k"],
         "unit": "sec",
         "queries": queries,
-        "queries_note": "min of 2 interleaved passes per query (headline: 2 reps/pass, "
-        "min-of-4); persisted caches cleared between passes",
+        "queries_note": "min of 4 interleaved passes for sub-1.5s queries, 2 for "
+        "multi-second legs (headline: 2 reps/pass, min-of-4); persisted caches "
+        "cleared between queries",
         "sf": sf_dir,
         "bench_docs": n_docs,
         "docs_per_sec": docs_per_sec,

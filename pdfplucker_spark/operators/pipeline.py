@@ -401,7 +401,16 @@ def q_docs_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # w_s computed as n_s^α (NOT (n_s/N)^α): dividing by N^α cancels in
-    # q_s = w_s / Σw — fewer double ops, fewer ulp hazards, same math
+    # q_s = w_s / Σw — fewer double ops, fewer ulp hazards, same math.
+    # ACCEPTED ulp risk: keep_rate itself is a pow()-derived double, so
+    # JVM Math.pow vs DuckDB libm could in principle differ by 1 ulp; the
+    # micro-unit rounding would then have to land EXACTLY on a .5
+    # boundary AND a doc's md5 gate exactly on the threshold value for a
+    # verdict to flip — pow is correctly-rounded on glibc for these
+    # ranges and no driver corpus has ever produced a boundary hit. A
+    # fully-exact alternative (rational arithmetic on the integer counts)
+    # does not exist for irrational exponents α, so the residual risk is
+    # documented rather than hidden behind a false-precision rewrite.
     rates = (
         counts.crossJoin(F.broadcast(tot))
         .select(
@@ -473,9 +482,19 @@ def q_docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``events_salted_agg``), applied to order statistics: local top-K
     per shard is a superset of the global top-K's members in that shard,
     so no qualifying doc is lost. Oracle: the naive single window in
-    DuckDB — two plans, one answer."""
+    DuckDB — two plans, one answer.
+
+    NULL-id docs are EXCLUDED in both engines (the ``docs_shuffle_order``
+    contract): the tie-break ``doc_id ASC`` sorts NULLs FIRST in Spark
+    but LAST in DuckDB, so a NULL-id doc tying on n_chars would rank
+    engine-differently — and a doc a manifest cannot address cannot be
+    kept by a curation cap anyway."""
     d = load(spark, sf_dir, "documents")
-    return _domain_cap_frame(d.select("doc_id", "source", "n_chars"))
+    return _domain_cap_frame(
+        d.select("doc_id", "source", "n_chars").where(
+            F.col("doc_id").isNotNull()
+        )
+    )
 
 
 def _domain_cap_frame(base: DataFrame) -> DataFrame:
@@ -506,7 +525,7 @@ SELECT doc_id, source, n_chars, domain_rank FROM (
   SELECT doc_id, source, n_chars,
          ROW_NUMBER() OVER (PARTITION BY source
                             ORDER BY n_chars DESC, doc_id ASC) AS domain_rank
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ) WHERE domain_rank <= {DOMAIN_CAP}
 """
 
@@ -593,12 +612,16 @@ def q_docs_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE training manifest: the sequential curation DAG a data run
     actually executes, composed from the registered operators —
 
-      1. Gopher quality gate (``text_gopher_rules``): keep gopher_pass;
-      2. exact dedup (``dedup_canonical``): keep only each bag-of-tokens
-         group's canonical doc;
-      3. per-domain cap over the SURVIVORS (the sequential semantics: a
-         domain's cap counts quality-passing canonical docs, so capped
-         domains still contribute K usable docs);
+      1. Gopher quality gate (``text_gopher_rules``): keep gopher_pass
+         docs with addressable (non-NULL) ids;
+      2. exact dedup AMONG THE GATE SURVIVORS (``_dedup_canonical_frame``
+         over the gated frame — true sequential semantics: each dup
+         group's canonical is the longest doc that PASSED the gate, so a
+         group whose corpus-wide longest member fails quality still
+         contributes its best passing member);
+      3. per-domain cap over the deduped survivors (a domain's cap
+         counts quality-passing canonical docs, so capped domains still
+         contribute K usable docs);
       4. deterministic epoch-shuffle position over the final keep set —
          a dense 0..M-1 training order.
 
@@ -616,15 +639,18 @@ def q_docs_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("gopher_pass")
         .select("doc_id")
     )
-    canon = q_dedup_canonical(spark, sf_dir).select(
-        F.col("canonical_doc_id").alias("doc_id")
-    )
-    surv = (
-        d.select("doc_id", "source", "n_chars")
+    # gated feeds BOTH the canonical window and the survivor join —
+    # persist it or the gate's text scans run twice
+    gated = (
+        d.select("doc_id", "text", "source", "n_chars")
         .where(F.col("doc_id").isNotNull())
         .join(passed, "doc_id")
-        .join(canon, "doc_id")
+        .persist()
     )
+    canon = _dedup_canonical_frame(gated).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    surv = gated.select("doc_id", "source", "n_chars").join(canon, "doc_id")
     capped = _domain_cap_frame(surv).select("doc_id", "source", "n_chars")
     return _shuffle_rank(capped, SHUFFLE_BUCKET_BITS)
 
@@ -637,18 +663,22 @@ def _sql_docs_curation_manifest() -> str:
     order_h = sql_md5_long(
         f"'sh{SHUFFLE_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)"
     )
+    canon_over_gated = _SQL_DEDUP_CANONICAL_TMPL.format(src="gated")
     return f"""
 WITH gpass AS (
   SELECT doc_id FROM ({SQL_TEXT_GOPHER_RULES}) WHERE gopher_pass
 ),
+gated AS (
+  SELECT d.doc_id, d.text, d.source, d.n_chars
+  FROM documents d JOIN gpass USING (doc_id)
+  WHERE d.doc_id IS NOT NULL
+),
 canon AS (
-  SELECT canonical_doc_id AS doc_id FROM ({SQL_DEDUP_CANONICAL})
+  SELECT canonical_doc_id AS doc_id FROM ({canon_over_gated})
 ),
 surv AS (
-  SELECT d.doc_id, d.source, d.n_chars
-  FROM documents d
-  JOIN gpass USING (doc_id) JOIN canon USING (doc_id)
-  WHERE d.doc_id IS NOT NULL
+  SELECT doc_id, source, n_chars
+  FROM gated JOIN canon USING (doc_id)
 ),
 capped AS (
   SELECT doc_id, source, n_chars FROM (
@@ -672,6 +702,14 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup): longest text wins, doc_id breaks ties. One window per group —
     the shuffle key is the group hash, uniform by construction."""
     d = load(spark, sf_dir, "documents")
+    return _dedup_canonical_frame(d)
+
+
+def _dedup_canonical_frame(docs: DataFrame) -> DataFrame:
+    """Canonical-per-bag-of-tokens-group over ANY (doc_id, text, n_chars)
+    frame — shared by the standalone operator (full corpus) and the
+    curation manifest (which dedups AMONG quality-gate survivors, the true
+    sequential semantics)."""
     key = F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
     )
@@ -679,7 +717,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("n_chars"), F.asc("doc_id")
     )
     return (
-        d.select("doc_id", "n_chars", key.alias("bag_hash"))
+        docs.select("doc_id", "n_chars", key.alias("bag_hash"))
         .withColumn("rn", F.row_number().over(w))
         .withColumn(
             "group_size", F.count("*").over(Window.partitionBy("bag_hash"))
@@ -694,16 +732,21 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_CANONICAL = """
+# authored WITH the {src} placeholder (not reverse-engineered by string
+# replace — the q_regional_revenue_sql lesson): the standalone oracle
+# formats src="documents", the manifest oracle formats its gated CTE
+_SQL_DEDUP_CANONICAL_TMPL = """
 SELECT bag_hash, canonical_doc_id, canonical_n_chars, group_size FROM (
   SELECT md5(coalesce(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '), '')) AS bag_hash,
          doc_id AS canonical_doc_id, n_chars AS canonical_n_chars,
          ROW_NUMBER() OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
                             ORDER BY n_chars DESC, doc_id ASC) AS rn,
          COUNT(*) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS group_size
-  FROM documents
+  FROM {src}
 ) WHERE rn = 1
 """
+
+SQL_DEDUP_CANONICAL = _SQL_DEDUP_CANONICAL_TMPL.format(src="documents")
 
 
 # ---------------------------------------------------------------------------

@@ -564,24 +564,34 @@ LEFT JOIN counts c
 """
 
 
-_Q5_SQL = """
+# Authored WITH {placeholders} (one SQL text, two bindings): the Spark
+# path hands the template to spark.sql(...) whose formatter substitutes
+# the parameter DataFrames for {lineitem} etc.; the DuckDB oracle formats
+# the same template with bare table names. No whitespace-sensitive
+# reverse-engineering of placeholders by string replace — a reformat of
+# the SQL cannot silently leave an unresolvable bare name (round-6 advice).
+_Q5_TABLES = ("customer", "orders", "lineitem", "supplier", "nation", "region")
+
+_Q5_SQL_TMPL = """
 SELECT n_name,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
          AS revenue,
        COUNT(*) AS n_items
-FROM lineitem
-JOIN orders   ON l_orderkey  = o_orderkey
-JOIN customer ON o_custkey   = c_custkey
-JOIN supplier ON l_suppkey   = s_suppkey
-JOIN nation   ON s_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
+FROM {lineitem}
+JOIN {orders}   ON l_orderkey  = o_orderkey
+JOIN {customer} ON o_custkey   = c_custkey
+JOIN {supplier} ON l_suppkey   = s_suppkey
+JOIN {nation}   ON s_nationkey = n_nationkey
+JOIN {region}   ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
   AND c_nationkey = s_nationkey
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n_name
 """
+
+_Q5_SQL = _Q5_SQL_TMPL.format(**{t: t for t in _Q5_TABLES})
 
 
 def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,17 +894,10 @@ def q_regional_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern), not session-global temp views, so concurrent invocations on
     one SparkSession cannot race on a shared name. The oracle is the
     same statement over DuckDB's named views — one SQL text, two engines
-    (``{t}`` placeholders swap for bare table names)."""
-    frames = {
-        t: load(spark, sf_dir, t)
-        for t in ("customer", "orders", "lineitem", "supplier", "nation", "region")
-    }
-    q = _Q5_SQL
-    for t in frames:
-        q = q.replace(f"FROM {t}", f"FROM {{{t}}}").replace(
-            f"JOIN {t} ", f"JOIN {{{t}}} "
-        )
-    return spark.sql(q, **frames)
+    (``_Q5_SQL_TMPL``'s placeholders bind to frames here, to bare table
+    names in the oracle)."""
+    frames = {t: load(spark, sf_dir, t) for t in _Q5_TABLES}
+    return spark.sql(_Q5_SQL_TMPL, **frames)
 
 
 def q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -355,8 +355,8 @@ _IVF_BEST = (
 )
 
 
-def _ivf_centroids(emb):
-    return emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K)).select(
+def _ivf_centroids(emb, k: int = IVF_K):
+    return emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= k)).select(
         F.col("vec_id").cast("int").alias("cid"),
         F.col("embedding").cast("array<double>").alias("cv"),
     )
@@ -593,7 +593,7 @@ def _kmeans_recenter(emb, assigned):
     )
 
 
-def kmeans_fit(emb, max_iters: int = KMEANS_MAX_ITERS, seeds=None):
+def kmeans_fit(emb, max_iters: int = KMEANS_MAX_ITERS, seeds=None, k: int = IVF_K):
     """Lloyd's k-means over the IVF machinery: broadcast-argmax ASSIGN
     (map-only, no shuffle of the N-row side) → decimal-exact RECENTER (one
     hash aggregation on (cid, dim) — K·D cells) until no centroid moves.
@@ -615,8 +615,11 @@ def kmeans_fit(emb, max_iters: int = KMEANS_MAX_ITERS, seeds=None):
     emb = emb.persist()
     # ``seeds``: an explicit (cid, cv) seed frame — the sampled-fit path
     # (``q_sim_semdedup_sampled``) seeds from its own sample; default is
-    # the fixed-id IVF seeding the full-corpus oracle replays
-    cents = _ivf_centroids(emb) if seeds is None else seeds
+    # the fixed-id IVF seeding the full-corpus oracle replays. ``k`` sizes
+    # the default seeding only (a caller-supplied seed frame fixes K
+    # itself): at 10⁹ vectors K scales ∝ N / target-cluster-size, so the
+    # cluster count is a CALL parameter, not a module constant (r6 advice).
+    cents = _ivf_centroids(emb, k) if seeds is None else seeds
     converged = False
     movement = None
     for _ in range(max_iters):
@@ -835,7 +838,10 @@ def _semdedup_fit_sample(emb):
 
 
 def q_sim_semdedup_sampled(
-    spark: SparkSession, sf_dir: str, cluster_cap: int | None = DEFAULT_BUCKET_CAP
+    spark: SparkSession,
+    sf_dir: str,
+    cluster_cap: int | None = DEFAULT_BUCKET_CAP,
+    k: int = IVF_K,
 ) -> DataFrame:
     """SemDeDup with a SAMPLED centroid fit — the 10⁹-vector shape. The
     full-corpus variant's Lloyd loop scans the whole corpus up to
@@ -843,18 +849,23 @@ def q_sim_semdedup_sampled(
     10⁹ vectors; centroid QUALITY only needs a representative sample, so
     the fit runs on a deterministic 1/``SEMDEDUP_FIT_MOD`` md5-gated
     sample (the ``docs_sample`` pattern — engine- and scan-order-
-    independent, no RNG), seeded by the ``IVF_K`` smallest sampled vec_ids
+    independent, no RNG), seeded by the ``k`` smallest sampled vec_ids
     (top-k scan, not a fixed-id lookup — the fixed ids may not survive the
     gate). The full corpus then pays exactly ONE map-only broadcast-argmax
     assignment pass, and blocking/verify/closure are the standard tail.
-    Oracle: the identical Lloyd unroll over the identical sample CTE (the
-    exact-fixpoint replay argument is unchanged — same recurrence, smaller
-    relation), then full-corpus assignment against the converged chain."""
+    ``k`` is the cluster count (default ``IVF_K``): at 10⁹ vectors K must
+    scale ∝ N / target-cluster-size, so it is a call parameter — the
+    registry pins the default for the driver corpora and additionally
+    registers a non-default-K variant (``sim_semdedup_k16``) against the
+    K-parameterized oracle. Oracle: the identical Lloyd unroll over the
+    identical sample CTE (the exact-fixpoint replay argument is
+    unchanged — same recurrence, smaller relation), then full-corpus
+    assignment against the converged chain."""
     emb = load(spark, sf_dir, "embeddings")
     fit = _semdedup_fit_sample(emb)
     seeds = (
         fit.orderBy("vec_id")
-        .limit(IVF_K)
+        .limit(k)
         .select(
             F.col("vec_id").cast("int").alias("cid"),
             F.col("embedding").cast("array<double>").alias("cv"),
@@ -904,12 +915,12 @@ def _sql_semdedup() -> str:
     return f"WITH RECURSIVE {_sql_kmeans_unrolled(n)},\n{_sql_semdedup_tail(n)}"
 
 
-def _sql_semdedup_sampled() -> str:
+def _sql_semdedup_sampled(k: int = IVF_K) -> str:
     n = KMEANS_MAX_ITERS
     gate = sql_md5_long("'sdfit:' || CAST(vec_id AS VARCHAR)")
     seed = (
         "SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv\n"
-        f"  FROM fitset ORDER BY vec_id LIMIT {IVF_K}"
+        f"  FROM fitset ORDER BY vec_id LIMIT {k}"
     )
     return f"""WITH RECURSIVE fitset AS MATERIALIZED (
   SELECT vec_id, embedding FROM embeddings
@@ -923,10 +934,23 @@ SQL_SIM_SEMDEDUP = _sql_semdedup()
 SQL_SIM_SEMDEDUP_SAMPLED = _sql_semdedup_sampled()
 
 
+def q_sim_semdedup_k16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_sim_semdedup_sampled`` at a NON-DEFAULT cluster count (K=16) —
+    the registry-level proof that K is a real parameter of the sampled
+    fit, not a constant baked into plan or oracle: the driver compares
+    this against the K-parameterized oracle chain
+    (``_sql_semdedup_sampled(k=16)``)."""
+    return q_sim_semdedup_sampled(spark, sf_dir, k=16)
+
+
+SQL_SIM_SEMDEDUP_K16 = _sql_semdedup_sampled(k=16)
+
+
 QUERIES = {
     "sim_kmeans_fit": (q_sim_kmeans_fit, SQL_SIM_KMEANS_FIT),
     "sim_semdedup": (q_sim_semdedup, SQL_SIM_SEMDEDUP),
     "sim_semdedup_sampled": (q_sim_semdedup_sampled, SQL_SIM_SEMDEDUP_SAMPLED),
+    "sim_semdedup_k16": (q_sim_semdedup_k16, SQL_SIM_SEMDEDUP_K16),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_dup_clusters": (q_sim_dup_clusters, SQL_SIM_DUP_CLUSTERS),
     "sim_ivf_recenter": (q_sim_ivf_recenter, SQL_SIM_IVF_RECENTER),

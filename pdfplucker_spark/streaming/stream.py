@@ -569,6 +569,34 @@ FROM events GROUP BY user_id
 STREAM_INC_BATCHES = 4
 
 
+def _index_marker(bno: int) -> str:
+    """Commit-marker run_id for wave ``bno`` of a standing index (the
+    marker grammar forbids '=' so the ``bno=k`` partition dir maps to a
+    ``bno-k`` marker name)."""
+    return f"bno-{int(bno)}"
+
+
+def _committed_waves(index_dir: str) -> list[int]:
+    """Wave numbers whose index tables landed DURABLY — membership comes
+    from the repo's commit-marker protocol (job.committed_run_ids over
+    ``{index_dir}/_commits``), NOT from listing ``bno=`` directories: a
+    torn wave dir (crash between the bands and toks writes, or mid-write)
+    has no marker and is invisible to every later wave's screen, and the
+    one-file-per-wave marker listing is an atomic committed-set view at
+    any wave count, where a recursive data-directory scan is neither
+    atomic nor cheap."""
+    import re as _re
+
+    from pdfplucker_spark.job import committed_run_ids
+
+    out = []
+    for rid in committed_run_ids(index_dir):
+        m = _re.fullmatch(r"bno-(\d+)", rid)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
 def stream_dedup_incremental(
     spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
 ):
@@ -581,7 +609,13 @@ def stream_dedup_incremental(
     checkpointed parquet sink's exactly-once. The index is two small
     parquet tables per wave (band keys + token sets): at production scale
     these are the standing dedup index a live pipeline maintains, and the
-    per-batch join cost tracks the BATCH's dup mass, never corpus²."""
+    per-batch join cost tracks the BATCH's dup mass, never corpus².
+
+    Index MEMBERSHIP is the commit-marker protocol (``_committed_waves``):
+    a wave joins the standing index only after BOTH its tables landed and
+    its ``bno-k`` marker renamed into ``{index}/_commits/`` — the same
+    atomic-visibility contract the batch job's run_id partitions use, so
+    a torn/partial wave dir can never leak into a later wave's screen."""
     import os
 
     from pyspark.sql import functions as F
@@ -627,19 +661,13 @@ def stream_dedup_incremental(
             toks = cur.select(
                 "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
             ).persist()
-            prior = sorted(
-                d
-                for d in (
-                    os.listdir(index_dir) if os.path.isdir(index_dir) else []
-                )
-                if d.startswith("bno=") and int(d.split("=")[1]) < bno
-            )
+            prior = [k for k in _committed_waves(index_dir) if k < bno]
             if prior:
                 ib = sp.read.parquet(
-                    *[os.path.join(index_dir, p, "bands") for p in prior]
+                    *[os.path.join(index_dir, f"bno={k}", "bands") for k in prior]
                 )
                 it = sp.read.parquet(
-                    *[os.path.join(index_dir, p, "toks") for p in prior]
+                    *[os.path.join(index_dir, f"bno={k}", "toks") for k in prior]
                 )
                 # the standing guard invariant (CLAUDE.md): every LSH
                 # candidate join crosses drop_oversized_buckets. Capping
@@ -682,6 +710,12 @@ def stream_dedup_incremental(
             toks.write.mode("overwrite").parquet(
                 os.path.join(index_dir, f"bno={bno}", "toks")
             )
+            # the wave becomes index-visible ONLY here, after both tables
+            # landed: marker write is an atomic tmp-write + rename
+            # (job._mark_committed), idempotent under foreachBatch retry
+            from pdfplucker_spark.job import _mark_committed
+
+            _mark_committed(index_dir, _index_marker(bno))
             # per-wave caches die with the wave — a 10⁹-doc drain must not
             # accumulate one cached frame pair per micro-batch
             bands.unpersist()

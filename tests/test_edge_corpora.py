@@ -119,6 +119,11 @@ def test_round6_curation_ops_on_null_heavy_corpus(spark, tmp_path):
 
     rows = [
         (None, "orphan", "en", "s1", 10),
+        # NULL id TYING real docs on n_chars in the same source: doc_id ASC
+        # sorts NULLs first in Spark but last in DuckDB, so without the
+        # NULL-id exclusion this row would shift domain_rank for 4/5 in
+        # one engine only (the round-6 advice divergence, now exercised)
+        (None, "tie", "en", "s1", 30),
         (1, "a", "en", None, 10),        # NULL source
         (2, "b", "en", None, 20),
         (3, "c", "en", "s1", None),      # NULL n_chars
@@ -137,5 +142,6 @@ def test_round6_curation_ops_on_null_heavy_corpus(spark, tmp_path):
     ids = [r[0] for r in shuffle]
     assert None not in ids and sorted(r[1] for r in shuffle) == list(range(len(ids)))
 
-    _cmp(q_docs_domain_cap(spark, str(tmp_path)), con, SQL_DOCS_DOMAIN_CAP)
+    capped = _cmp(q_docs_domain_cap(spark, str(tmp_path)), con, SQL_DOCS_DOMAIN_CAP)
+    assert not any(r[0] is None for r in capped)  # NULL ids excluded (both engines)
     _cmp(q_docs_mix_temperature(spark, str(tmp_path)), con, SQL_DOCS_MIX_TEMPERATURE)

@@ -140,3 +140,28 @@ def test_embeddings_finite(spark):
         .count()
     )
     assert n_bad == 0
+
+
+def test_semdedup_sampled_k_is_a_real_parameter(spark):
+    """K=4 and K=16 (both non-default vs IVF_K=8) must be green against
+    the K-parameterized oracle chain — the cluster count is a call
+    parameter a 10⁹-vector deployment sizes as N/target-cluster-size, so
+    plan and oracle must track it together (round-6 advice #5)."""
+    from pdfplucker_spark.operators.similarity import (
+        _sql_semdedup_sampled,
+        q_sim_semdedup_sampled,
+    )
+    from tests.check_driver_strict import strict_compare
+    from tests.util_compare import duck_con
+
+    sf = "/root/testdata/sf0.001"
+    con = duck_con(sf)
+    for k in (4, 16):
+        sp = q_sim_semdedup_sampled(spark, sf, k=k).toPandas()
+        du = con.sql(_sql_semdedup_sampled(k=k)).df()
+        ok, msg = strict_compare(sp, du)
+        assert ok, f"k={k}: {msg}"
+        # different K ⇒ different blocking: the verdict frame still covers
+        # every vector exactly once
+        assert len(sp) == sp.vec_id.nunique()
+        spark.catalog.clearCache()

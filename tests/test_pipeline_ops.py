@@ -465,16 +465,14 @@ def test_domain_cap_two_level_matches_naive_and_salts_the_window(spark, tmp_path
 
 
 def test_curation_manifest_stage_algebra(spark):
-    """Piecewise contract of the composed manifest: every kept doc passes
-    the quality gate AND is its dup group's canonical AND sits within
-    the domain cap of the SURVIVOR set (sequential semantics — the cap
-    counts usable docs, not raw corpus docs); positions are a dense
-    0..M-1 permutation."""
-    from pyspark.sql import functions as F
-
+    """Piecewise contract of the composed manifest under the SEQUENTIAL
+    semantics (round 7): every kept doc passes the quality gate AND is
+    the canonical of its dup group AMONG GATE SURVIVORS (replayed here
+    in pure Python — gate first, then per-bag argmax over passing docs
+    only) AND sits within the domain cap of the deduped survivor set;
+    positions are a dense 0..M-1 permutation."""
     from pdfplucker_spark.operators.pipeline import (
         DOMAIN_CAP,
-        q_dedup_canonical,
         q_docs_curation_manifest,
     )
     from pdfplucker_spark.operators.textstats import q_text_gopher_rules
@@ -489,14 +487,22 @@ def test_curation_manifest_stage_algebra(spark):
         r.doc_id
         for r in q_text_gopher_rules(spark, sf).where("gopher_pass").collect()
     }
-    canon = {
-        r.canonical_doc_id for r in q_dedup_canonical(spark, sf).collect()
+    # pure-Python replay of stage 2: bag-of-tokens groups over the GATE
+    # SURVIVORS, canonical = (n_chars DESC, doc_id ASC) argmax per group
+    d = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    groups: dict = {}
+    for r in d:
+        if r.doc_id is None or r.doc_id not in passed:
+            continue
+        bag = " ".join(sorted(set((r.text or "").split(" "))))
+        groups.setdefault(bag, []).append(r)
+    surv = {
+        min(ms, key=lambda r: (-r.n_chars, r.doc_id)).doc_id
+        for ms in groups.values()
     }
-    assert got_ids <= passed and got_ids <= canon
+    assert got_ids <= passed and got_ids <= surv
     # per-domain count never exceeds the cap, and equals the survivor
     # count where the domain is under it
-    surv = passed & canon
-    d = spark.read.parquet(f"{sf}/documents.parquet").collect()
     by_src_surv, by_src_kept = {}, {}
     for r in d:
         if r.doc_id in surv:
@@ -505,3 +511,37 @@ def test_curation_manifest_stage_algebra(spark):
             by_src_kept[r.source] = by_src_kept.get(r.source, 0) + 1
     for src, n_surv in by_src_surv.items():
         assert by_src_kept.get(src, 0) == min(n_surv, DOMAIN_CAP), src
+
+
+def test_curation_manifest_sequential_not_intersect(spark, tmp_path):
+    """THE sequential-vs-intersect distinction (round-6 advice): a dup
+    group whose corpus-wide LONGEST member fails the gopher gate must
+    still contribute its best PASSING member. Intersect semantics
+    (full-corpus canonical ∩ gate survivors) would keep nothing from the
+    group; both engines must keep the shorter passing doc."""
+    import duckdb
+
+    from pdfplucker_spark.operators.pipeline import q_docs_curation_manifest
+    from pdfplucker_spark.registry import all_queries
+
+    words = ["the", "cat", "sat", "on", "big", "mat"]
+    short = " ".join(words)                # 6 tokens: passes every rule
+    long = " ".join(words * 2000)          # same BAG, 12000 tokens: fails r_wordcount
+    rows = [
+        (1, short, "en", "s1", len(short)),
+        (2, long, "en", "s1", len(long)),   # full-corpus canonical, gate-fails
+        (3, "a dog ran over there quickly", "en", "s1", 29),
+    ]
+    p = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+
+    got = sorted(map(tuple, q_docs_curation_manifest(spark, str(tmp_path)).collect()))
+    oracle_sql = all_queries()["docs_curation_manifest"][1]
+    exp = sorted(map(tuple, con.execute(oracle_sql).fetchall()))
+    assert got == exp
+    kept = {r[0] for r in got}
+    assert 1 in kept and 2 not in kept and 3 in kept

@@ -299,3 +299,45 @@ def test_semdedup_sampled_fit_touches_only_the_sample(spark, monkeypatch):
     assert seen["seed_cids"] == set(sorted(expected_fit_ids)[: sim.IVF_K])
     # the verdict still covers the WHOLE corpus (assignment is full-scan)
     assert len(out) == n_all
+
+
+def test_stream_dedup_incremental_cap_silent_on_driver_corpus(spark, tmp_path, caplog):
+    """ADVICE r6: stream_dedup_incremental caps its INDEX side at
+    DEFAULT_BUCKET_CAP while the registered oracle encodes no cap, so
+    correctness rests on the cap never firing on driver corpora — assert
+    that directly (caplog stays guard-silent over a full fresh drain of
+    the sf0.001 wave staging), mirroring the batch guards' never-fires
+    tests. A firing cap would otherwise surface only as an opaque oracle
+    mismatch."""
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.functions.hashing import md5_long
+    from pdfplucker_spark.streaming.stream import (
+        STREAM_INC_BATCHES,
+        stream_dedup_incremental,
+    )
+    from tests.test_streaming import _stage_wave_files
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").withColumn(
+        "bno",
+        (
+            md5_long(F.concat(F.lit("sb:"), F.col("doc_id").cast("string")))
+            % STREAM_INC_BATCHES
+        ).cast("int"),
+    )
+    in_dir = f"{tmp_path}/in"
+    _stage_wave_files(spark, d, in_dir)
+    with caplog.at_level(logging.WARNING, logger="pdfplucker_spark.plans.guards"):
+        q = stream_dedup_incremental(
+            spark, in_dir, f"{tmp_path}/out", f"{tmp_path}/ckpt"
+        )
+        assert q.awaitTermination(300)
+    assert not [
+        r for r in caplog.records if "stream_dedup_incremental" in r.message
+    ], [r.message for r in caplog.records]
+    # the drain really screened: the committed index holds every wave
+    from pdfplucker_spark.streaming.stream import _committed_waves
+
+    assert _committed_waves(f"{tmp_path}/out_index") == list(
+        range(STREAM_INC_BATCHES)
+    )

@@ -155,20 +155,31 @@ def test_no_event_grain_window_keys_on_user_alone(spark):
         "events_transition_matrix",
         "events_window",
     }
-    # iterative/loop operators run Spark jobs during plan CONSTRUCTION
-    # (Lloyd fits, label propagation) — they never read events and have no
-    # user_id windows, so skip the expensive builds rather than pay
-    # minutes of fitting for a regex that cannot match
+    # SPECIFIC names only (round-7 narrowing — the old blanket prefixes
+    # would silently exempt any future operator registered under them):
+    # the streaming queries drain real StreamingQueries at invocation, and
+    # the Lloyd-fit family runs tens of Spark jobs during plan
+    # CONSTRUCTION — minutes of fitting for a regex that cannot match
+    # (none reads events). Everything else — including every current and
+    # future docs_/dedup_/text_/media_/extract_ name — is swept.
     skip = {
-        name
-        for name in all_queries()
-        if name.startswith(("sim_", "stream_", "media_", "dedup_", "docs_"))
-        or name.startswith(("text_", "extract_", "f3", "f4", "f6", "f7"))
-        or name in {"json_export", "markdown_export", "markdown_export_embedded",
-                    "spans_derive", "spans_main_content"}
+        "stream_windowed_counts",
+        "stream_dedup_exact",
+        "stream_click_purchase_join",
+        "stream_sessionize",
+        "stream_extract",
+        "stream_user_running_totals",
+        "stream_dedup_incremental",
+        "stream_decontaminate_incremental",
+        "sim_kmeans_fit",
+        "sim_semdedup",
+        "sim_semdedup_sampled",
+        "sim_semdedup_k16",
     }
+    reg = all_queries()
+    assert skip <= set(reg), skip - set(reg)  # a renamed op can't hide here
     checked = 0
-    for name, (q, _sql) in all_queries().items():
+    for name, (q, _sql) in reg.items():
         if name in skip:
             continue
         plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
@@ -179,7 +190,11 @@ def test_no_event_grain_window_keys_on_user_alone(spark):
         bad = [s for s in specs if "user_id" in s and "bk" not in s]
         assert not bad, (name, bad)
         checked += 1
-    assert checked >= 20, checked  # the sweep actually covered the family
+        # operators persist() multi-consumer intermediates (sweep invariant)
+        spark.catalog.clearCache()
+    # the sweep is genuinely registry-wide: every registered plan except
+    # the 12 named drain/fit queries
+    assert checked == len(reg) - len(skip) and checked >= 90, checked
 
 
 def test_main_content_chunked_assembly_matches_and_bounds_buffers(spark, tmp_path):

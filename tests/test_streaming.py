@@ -481,3 +481,89 @@ def test_stream_decontaminate_covers_full_train_corpus(spark):
         )
     )
     assert got == exp and got
+
+
+def _stage_wave_files(spark, docs_df, in_dir):
+    """Stage a (…, bno int) docs frame as one file per wave with strictly
+    increasing mtimes — the q_stream_dedup_incremental staging contract."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(in_dir, exist_ok=True)
+    waves = sorted(r.bno for r in docs_df.select("bno").distinct().collect())
+    for k in waves:
+        tmp = f"{in_dir}.w{k}"
+        docs_df.where(F.col("bno") == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(in_dir, f"{k:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+
+
+def test_stream_dedup_index_ignores_uncommitted_wave_dir(spark, tmp_path):
+    """Round-7 membership contract: the standing index is read through the
+    commit-marker protocol, so a TORN wave dir (data files present, no
+    marker — a crash between the index write and the commit) is invisible
+    to later waves' screens. The torn dir here carries a POISON twin of a
+    wave-2 doc: directory-listing membership would report the pair
+    (30, 999); marker membership must not."""
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.operators.dedup import _band_rows, _sig_cols
+    from pdfplucker_spark.streaming.stream import (
+        _committed_waves,
+        stream_dedup_incremental,
+    )
+
+    texts = {
+        10: "alpha beta gamma delta epsilon zeta",
+        11: "one two three four five six seven",
+        30: "red green blue yellow purple orange",
+        40: "alpha beta gamma delta epsilon zeta",  # dup of 10, later wave
+    }
+    waves = {10: 0, 11: 0, 30: 2, 40: 2}
+    rows = [
+        (d, texts[d], "en", "s", len(texts[d]), waves[d]) for d in sorted(texts)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, bno int",
+    )
+    in_dir = f"{tmp_path}/in"
+    _stage_wave_files(spark, docs, in_dir)
+
+    # torn wave 1 (never staged as input, so never overwritten): index
+    # tables for a poison doc 999 identical to doc 30, but NO commit marker
+    out_dir = f"{tmp_path}/out"
+    index_dir = out_dir + "_index"
+    poison = spark.createDataFrame(
+        [(999, texts[30])], "doc_id long, text string"
+    )
+    _band_rows(poison.select("doc_id", *_sig_cols())).write.parquet(
+        os.path.join(index_dir, "bno=1", "bands")
+    )
+    poison.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    ).write.parquet(os.path.join(index_dir, "bno=1", "toks"))
+
+    q = stream_dedup_incremental(spark, in_dir, out_dir, f"{tmp_path}/ckpt")
+    assert q.awaitTermination(300)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.schema(
+                "batch_doc_id long, index_doc_id long, jaccard double, bno int"
+            )
+            .parquet(out_dir)
+            .collect(),
+        )
+    )
+    assert (40, 10, 1.0, 2) in got  # the real cross-wave dup still reported
+    assert not any(r[1] == 999 for r in got), got  # torn wave never screened
+    # only the two real waves ever committed; the torn dir stays unmarked
+    assert _committed_waves(index_dir) == [0, 2]
