@@ -23,77 +23,74 @@ _OPERATOR_MODULES = (
 # two rounds. Names not in the registry are ignored; names not listed
 # keep module order after these.
 _RECORD_FIRST = (
-    # round-6 additions / materially changed plans: the sampled-fit
-    # SemDeDup, the foreachBatch standing-index dedup stream, the as-of
-    # name now resolving to the bucketed plan, and the parameterized-SQL
-    # Q5 path
-    "sim_semdedup_sampled",
-    "stream_dedup_incremental",
-    "stream_decontaminate_incremental",
-    "docs_mix_temperature",
-    "docs_shuffle_order",
-    "docs_domain_cap",
-    "docs_curation_manifest",
-    # round-5-changed plans that missed a CORRECTNESS_r05 record
-    # (ADVICE r5): skew-proof transition matrix, guard-_occ containment
-    # prefix, shingle-hoisted decontaminate, temp-view-free time rollup
-    "events_transition_matrix",
-    "dedup_containment_prefix",
-    "docs_decontaminate",
-    "events_time_rollup",
-    # stale: last driver-recorded in r4 (absent from CORRECTNESS_r05) —
-    # rotating them to the head keeps every registry name green within
-    # the last two rounds (r5 ∪ r6). NOTE r7: with 8 round-6 additions
-    # the must-record set exceeds the 50-name sample by ~3; the overflow
-    # lands on this list's TAIL (sim_ivf_assign/sim_ivf_topk/
-    # text_gopher_rules, all r4-green) — put those FIRST next round
-    "extract_full",
-    "extract_agg_metrics",
-    "extract_images_detail",
-    "extract_pages_detail",
-    "extract_tables_detail",
-    "f3_format",
-    "f4_pages",
-    "f6_picture_seq",
-    "f7_captions",
-    "json_export",
-    "markdown_export_embedded",
-    "stream_click_purchase_join",
-    "stream_dedup_exact",
-    "stream_extract",
-    "stream_sessionize",
-    "stream_user_running_totals",
-    "stream_windowed_counts",
-    "docs_dedup_rate_report",
-    "docs_dedup_verdict",
-    "docs_mix_report",
-    "docs_pack_shards",
-    "docs_sample",
-    "docs_sample_weighted",
-    "dedup_canonical",
-    "dedup_clusters",
-    "dedup_containment_pairs",
-    "events_approx_distinct",
-    "events_approx_overlap",
-    "events_daily_anomaly",
-    "events_purchase_range_join",
-    "lineitem_approx_quantiles",
-    "lineitem_price_histogram",
-    "lineitem_quantiles",
-    "media_decode_video",
-    "media_features",
-    "media_frames",
-    "pricing_summary",
-    "returned_items_report",
-    "sim_ivf_assign",
+    # ROUND-7 rotation. Must-record set = 56 names (2 r4-stale overflow
+    # + 4 round-7-changed/new + 50 r5-only) vs the driver's 50-name
+    # sample. Order: the r4-stale overflow pair leads (r6 verdict #1),
+    # then the operators whose plans/semantics changed THIS round, then
+    # the 44 of the 50 r5-only names that fit the sample (the r6 plan
+    # swaps events_asof_purchase / regional_revenue_sql first).
     "sim_ivf_topk",
     "text_gopher_rules",
-    # plan-swapped this round but r5-green (bucketed as-of default,
-    # parameterized-SQL Q5): strict-verified in-session; they sit AFTER
-    # the 50 names that lack any r5 record so the driver's 50-name sample
-    # restores two-round freshness for every name first
+    "docs_domain_cap",
+    "docs_curation_manifest",
+    "stream_dedup_incremental",
+    "sim_semdedup_k16",
+    # --- the 44 r5-only names inside the 50-name sample ---
     "events_asof_purchase",
     "regional_revenue_sql",
+    "spans_derive",
+    "spans_main_content",
+    "regional_supply",
+    "returnflag_rollup",
+    "lineitem_cube",
+    "event_type_pivot",
+    "events_window",
+    "events_sessionize",
+    "events_daily_ma",
+    "events_funnel",
+    "events_retention",
+    "events_minutely_gapfill",
+    "events_salted_agg",
+    "events_json_props",
+    "text_langid",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "text_top_terms",
+    "text_regex_stats",
+    "text_repetition",
+    "text_pii_scan",
+    "dedup_exact",
+    "dedup_bag",
+    "dedup_bag_nulls",
+    "dedup_minhash_sig",
+    "dedup_minhash_pairs",
+    "dedup_minhash_pairs_nulls",
+    "dedup_incremental",
+    "dedup_simhash",
+    "dedup_ngram_pairs",
+    "docs_decontaminate_incremental",
+    "sim_cosine_topk",
+    "sim_lsh_buckets",
+    "sim_cosine_dup_pairs",
+    "sim_ann_topk",
+    "sim_dup_clusters",
+    "sim_ivf_recenter",
+    "sim_kmeans_fit",
+    "sim_semdedup",
+    "media_decode_image",
+    "media_decode_audio",
+    # --- the 6 names that spill PAST the 50-name sample (carried on
+    # their r5 records one extra round): all stable single-shuffle
+    # relational/scan ops untouched since r2, each strict-verified
+    # in-session this round (see BENCH/BASELINE.md round-7 evidence).
+    # They lead the r8 rotation.
+    "corpus_filter",
+    "custkeys_setops",
+    "customers_without_orders",
+    "markdown_export",
+    "order_priority_distinct",
+    "top_orders",
 )
 
 

@@ -7,7 +7,9 @@ locally. Usage:  python tests/check_driver_strict.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
+import time
 
 sys.path.insert(0, ".")
 
@@ -39,7 +41,18 @@ def main():
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or list(entry.queries().keys())
-    spark = get_spark()
+    # SPARK_GRAFT_HOSTILE=1: the repeatable hostile sweep — session runs
+    # under TZ=Asia/Tokyo + ANSI mode so tz-dependent instants and
+    # ANSI-strict casts/arithmetic can't hide behind the UTC/lax defaults.
+    # Launch via tests/hostile_sweep.py (fresh process: the JVM captures
+    # TZ at startup, an in-process flip after launch is a no-op).
+    hostile = os.environ.get("SPARK_GRAFT_HOSTILE") == "1"
+    if hostile:
+        os.environ["TZ"] = "Asia/Tokyo"
+        time.tzset()
+    spark = get_spark(
+        extra_conf={"spark.sql.ansi.enabled": "true"} if hostile else None
+    )
     qs, oracles = entry.queries(), entry.oracle_sql()
     con = duck_con(sf_dir)
     bad = 0
