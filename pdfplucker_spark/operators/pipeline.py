@@ -626,31 +626,34 @@ def q_docs_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
          a dense 0..M-1 training order.
 
     Every stage is hash-deterministic (no RNG) and each reuses the exact
-    component plan (the salted two-level cap, the two-level shuffle
-    ranking), so the composition inherits their scale shapes: three
-    corpus passes + survivor-set windows, no corpus-scale single-reducer
-    anything. The oracle chains the SAME four stages as DuckDB derived
-    tables — one statement, the whole pipeline."""
-    from pdfplucker_spark.operators.textstats import q_text_gopher_rules
+    component LOGIC (the shared gopher gate expression, the salted
+    two-level cap, the two-level shuffle ranking), so the composition
+    inherits their scale shapes. Stage 1 applies ``gopher_pass_col()``
+    in-line on the manifest's OWN scan — a map-only filter; joining the
+    audit query's output back to the corpus would pay a corpus⋈corpus
+    shuffle on doc_id just to apply a per-doc predicate. One corpus scan
+    + survivor-set windows; no corpus-scale single-reducer anything. The
+    oracle chains the SAME four stages as DuckDB derived tables — one
+    statement, the whole pipeline."""
+    from pdfplucker_spark.operators.textstats import gopher_pass_col
 
     d = load(spark, sf_dir, "documents")
-    passed = (
-        q_text_gopher_rules(spark, sf_dir)
-        .where("gopher_pass")
-        .select("doc_id")
+    gated = d.select("doc_id", "text", "source", "n_chars").where(
+        F.col("doc_id").isNotNull() & gopher_pass_col()
     )
-    # gated feeds BOTH the canonical window and the survivor join —
-    # persist it or the gate's text scans run twice
-    gated = (
-        d.select("doc_id", "text", "source", "n_chars")
-        .where(F.col("doc_id").isNotNull())
-        .join(passed, "doc_id")
-        .persist()
+    # stage 2 in-line: the canonical window CARRIES source/n_chars, so
+    # the survivor set needs no join-back onto the gated frame — the
+    # gated corpus shuffles exactly once (on the uniform bag hash), and
+    # the whole manifest reads the corpus in a single scan
+    w = Window.partitionBy("bag_hash").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
     )
-    canon = _dedup_canonical_frame(gated).select(
-        F.col("canonical_doc_id").alias("doc_id")
+    surv = (
+        gated.withColumn("bag_hash", _bag_hash_key())
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "n_chars")
     )
-    surv = gated.select("doc_id", "source", "n_chars").join(canon, "doc_id")
     capped = _domain_cap_frame(surv).select("doc_id", "source", "n_chars")
     return _shuffle_rank(capped, SHUFFLE_BUCKET_BITS)
 
@@ -705,19 +708,25 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_canonical_frame(d)
 
 
+def _bag_hash_key():
+    """THE bag-of-tokens group key (md5 of the sorted distinct token set)
+    — one definition shared by the canonical operator and the manifest's
+    in-line dedup window."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+
+
 def _dedup_canonical_frame(docs: DataFrame) -> DataFrame:
     """Canonical-per-bag-of-tokens-group over ANY (doc_id, text, n_chars)
     frame — shared by the standalone operator (full corpus) and the
     curation manifest (which dedups AMONG quality-gate survivors, the true
     sequential semantics)."""
-    key = F.md5(
-        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
-    )
     w = Window.partitionBy("bag_hash").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
     return (
-        docs.select("doc_id", "n_chars", key.alias("bag_hash"))
+        docs.select("doc_id", "n_chars", _bag_hash_key().alias("bag_hash"))
         .withColumn("rn", F.row_number().over(w))
         .withColumn(
             "group_size", F.count("*").over(Window.partitionBy("bag_hash"))

@@ -297,17 +297,16 @@ FROM p
 # ---------------------------------------------------------------------------
 # Gopher-style rule filter: the standard production text gate
 # ---------------------------------------------------------------------------
-def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style quality RULES (word-count bounds, mean word length,
-    symbol ratio, stopword presence, numeric-token fraction) as per-doc
-    boolean columns plus the composite pass flag — the rule-stack shape
-    production filters use (each rule auditable, the gate their AND).
-    Map-only integer/char arithmetic; NULL text coalesces to '' BEFORE
-    tokenizing in both engines (the list_distinct/concat_ws NULL-gram
-    divergence, CLAUDE.md). Mean word length uses the exact identity
-    total_token_chars = length(text) − (n_tok − 1) for space-joined text —
-    no per-token length pass."""
-    d = load(spark, sf_dir, "documents")
+def _gopher_metrics() -> dict:
+    """The Gopher rule expressions over a ``text`` column, as named
+    Columns — ONE definition shared by the audit query (which projects
+    every metric/rule) and in-line consumers like the curation manifest
+    (which applies ``gopher_pass`` as a map-only filter on its own scan
+    instead of paying a corpus⋈corpus join against the audit output).
+    NULL text coalesces to '' BEFORE tokenizing in both engines (the
+    list_distinct/concat_ws NULL-gram divergence, CLAUDE.md). Mean word
+    length uses the exact identity total_token_chars = length(text) −
+    (n_tok − 1) for space-joined text — no per-token length pass."""
     txt = F.coalesce(F.col("text"), F.lit(""))
     toks = F.split(txt, " ")
     n_tok = F.size(toks)
@@ -330,18 +329,46 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_sym = sym_ratio <= 0.1
     r_stop = n_stop >= 1
     r_num = num_frac <= 0.3
+    return {
+        "n_tok": n_tok,
+        "mean_wl": mean_wl,
+        "sym_ratio": sym_ratio,
+        "num_frac": num_frac,
+        "r_wc": r_wc,
+        "r_wl": r_wl,
+        "r_sym": r_sym,
+        "r_stop": r_stop,
+        "r_num": r_num,
+        "gopher_pass": r_wc & r_wl & r_sym & r_stop & r_num,
+    }
+
+
+def gopher_pass_col():
+    """The composite Gopher gate as a single boolean Column over ``text``
+    — the map-only form scale consumers apply directly to their own scan."""
+    return _gopher_metrics()["gopher_pass"]
+
+
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality RULES (word-count bounds, mean word length,
+    symbol ratio, stopword presence, numeric-token fraction) as per-doc
+    boolean columns plus the composite pass flag — the rule-stack shape
+    production filters use (each rule auditable, the gate their AND).
+    Map-only integer/char arithmetic (``_gopher_metrics``)."""
+    d = load(spark, sf_dir, "documents")
+    m = _gopher_metrics()
     return d.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(sym_ratio, 6).alias("symbol_ratio"),
-        F.round(num_frac, 6).alias("numeric_frac"),
-        r_wc.alias("r_wordcount"),
-        r_wl.alias("r_wordlen"),
-        r_sym.alias("r_symbols"),
-        r_stop.alias("r_stopwords"),
-        r_num.alias("r_numeric"),
-        (r_wc & r_wl & r_sym & r_stop & r_num).alias("gopher_pass"),
+        m["n_tok"].alias("n_tokens"),
+        F.round(m["mean_wl"], 6).alias("mean_word_len"),
+        F.round(m["sym_ratio"], 6).alias("symbol_ratio"),
+        F.round(m["num_frac"], 6).alias("numeric_frac"),
+        m["r_wc"].alias("r_wordcount"),
+        m["r_wl"].alias("r_wordlen"),
+        m["r_sym"].alias("r_symbols"),
+        m["r_stop"].alias("r_stopwords"),
+        m["r_num"].alias("r_numeric"),
+        m["gopher_pass"].alias("gopher_pass"),
     )
 
 
