@@ -176,3 +176,24 @@ def test_asof_registry_default_is_bucketed():
 
     assert QUERIES["events_asof_purchase"][0] is q_events_asof_bucketed
     assert "events_asof_bucketed" not in QUERIES  # superseded, not duplicated
+
+
+def test_curation_manifest_is_single_scan_join_free(spark):
+    """The composed manifest's round-7 plan contract (BENCH/PLANS.md):
+    ONE corpus scan (the gopher gate is an in-line map-only filter, the
+    canonical window carries source/n_chars — no audit-output join-back,
+    no canon join-back), zero sort-merge joins (the only joins left are
+    the broadcast shuffle-rank offsets), and the dedup window keyed on
+    the uniform bag hash plus the salted domain-cap window."""
+    from pdfplucker_spark.operators.pipeline import q_docs_curation_manifest
+
+    plan = _plan(q_docs_curation_manifest(spark, SF))
+    assert plan.count("SortMergeJoin") == 0, plan[:3000]
+    # one corpus scan + at most one reused tiny side (offsets derive from
+    # the same frame); the r6 shape read the corpus 4x
+    assert plan.count("FileScan") <= 2, plan.count("FileScan")
+    import re
+
+    specs = re.findall(r"windowspecdefinition\((.*?)\)", plan)
+    assert any("bag_hash" in s for s in specs), specs
+    assert any("salt" in s for s in specs), specs
