@@ -654,7 +654,14 @@ def q_docs_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "source", "n_chars")
     )
-    capped = _domain_cap_frame(surv).select("doc_id", "source", "n_chars")
+    # _shuffle_rank consumes its input TWICE (bucket-count offsets +
+    # rank join): persist the capped survivor set so the gate → bag-hash
+    # window → domain-cap window chain executes once and the corpus is
+    # genuinely read in a single scan (multi-consumer persist invariant;
+    # sweeps clearCache between operators)
+    capped = (
+        _domain_cap_frame(surv).select("doc_id", "source", "n_chars").persist()
+    )
     return _shuffle_rank(capped, SHUFFLE_BUCKET_BITS)
 
 
@@ -721,9 +728,15 @@ def _dedup_canonical_frame(docs: DataFrame) -> DataFrame:
     """Canonical-per-bag-of-tokens-group over ANY (doc_id, text, n_chars)
     frame — shared by the standalone operator (full corpus) and the
     curation manifest (which dedups AMONG quality-gate survivors, the true
-    sequential semantics)."""
+    sequential semantics). The doc_id tie-break is asc_nulls_last: Spark's
+    plain ASC sorts NULLs FIRST while DuckDB's sorts them LAST, so a
+    NULL-id doc tying a real doc on n_chars inside one bag group would
+    pick engine-different canonicals (the docs_domain_cap divergence
+    class); NULLS LAST matches the oracle's default and keeps NULL-id
+    docs from ever shadowing an addressable canonical. Identical output
+    on NULL-free corpora — the driver record is unaffected."""
     w = Window.partitionBy("bag_hash").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
+        F.desc("n_chars"), F.asc_nulls_last("doc_id")
     )
     return (
         docs.select("doc_id", "n_chars", _bag_hash_key().alias("bag_hash"))

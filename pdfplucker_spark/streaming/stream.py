@@ -569,6 +569,40 @@ FROM events GROUP BY user_id
 STREAM_INC_BATCHES = 4
 
 
+def stage_waves(docs_df, in_dir: str, waves=None):
+    """Stage a (…, bno int) docs frame as ONE parquet file per wave under
+    ``in_dir`` — ``{k:02d}.parquet`` with strictly increasing mtimes, so
+    the file source (maxFilesPerTrigger=1) drains waves in wave order.
+    This is THE staging contract for every foreachBatch standing-index
+    query; the driver queries and the tests all call this one helper so
+    the contract (file naming, utime base, one-file-per-wave) cannot
+    silently diverge between them. ``waves`` defaults to the distinct
+    ``bno`` values present (an explicit range writes empty files for
+    absent waves — the production queries pass range(STREAM_INC_BATCHES)
+    so every wave number exists on disk)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(in_dir, exist_ok=True)
+    if waves is None:
+        waves = sorted(
+            r.bno for r in docs_df.select("bno").distinct().collect()
+        )
+    for k in waves:
+        tmp = f"{in_dir}.w{k}"
+        docs_df.where(F.col("bno") == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(in_dir, f"{k:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        # wave order = file-source order = strictly increasing mtimes
+        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+
+
 def _index_marker(bno: int) -> str:
     """Commit-marker run_id for wave ``bno`` of a standing index (the
     marker grammar forbids '=' so the ``bno=k`` partition dir maps to a
@@ -652,6 +686,18 @@ def stream_dedup_incremental(
             r.bno for r in batch_df.select("bno").distinct().collect()
         )
         for bno in bnos:
+            committed = _committed_waves(index_dir)
+            if bno in committed:
+                # marker written LAST ⇒ a standing marker proves the wave's
+                # result + both index tables fully landed in a prior run
+                # (a foreachBatch retry after a crash between the marker
+                # write and the checkpoint commit replays the batch).
+                # Re-OVERWRITING here would delete committed data mid-
+                # rewrite — a second crash would leave the marker pointing
+                # at torn parquet. Skipping keeps committed waves immutable
+                # (the batch run_id-partition contract) and makes retries
+                # truly idempotent.
+                continue
             cur = batch_df.where(F.col("bno") == bno)
             # bands and toks each feed TWO consumers (candidate join +
             # index write / verify union + index write): persist THEM, not
@@ -661,7 +707,7 @@ def stream_dedup_incremental(
             toks = cur.select(
                 "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
             ).persist()
-            prior = [k for k in _committed_waves(index_dir) if k < bno]
+            prior = [k for k in committed if k < bno]
             if prior:
                 ib = sp.read.parquet(
                     *[os.path.join(index_dir, f"bno={k}", "bands") for k in prior]
@@ -820,7 +866,6 @@ def q_stream_decontaminate_incremental(spark: SparkSession, sf_dir: str):
     here (the index is static), so the boundary check is that per-wave
     union equals the corpus-wide screen."""
     import os
-    import shutil
 
     from pyspark.sql import functions as F
 
@@ -828,7 +873,6 @@ def q_stream_decontaminate_incremental(spark: SparkSession, sf_dir: str):
     from pdfplucker_spark.operators.pipeline import SAMPLE_MOD
 
     def _stage(sp, in_dir):
-        os.makedirs(in_dir)
         d = sp.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         gate = md5_long(
             F.concat("source", F.lit(":"), F.col("doc_id").cast("string"))
@@ -843,16 +887,7 @@ def q_stream_decontaminate_incremental(spark: SparkSession, sf_dir: str):
                 % STREAM_INC_BATCHES
             ).cast("int"),
         )
-        for k in range(STREAM_INC_BATCHES):
-            tmp = f"{in_dir}.w{k}"
-            train.where(F.col("bno") == k).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-            dst = os.path.join(in_dir, f"{k:02d}.parquet")
-            shutil.move(os.path.join(tmp, part), dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+        stage_waves(train, in_dir, range(STREAM_INC_BATCHES))
 
     sink = _drain(
         spark, sf_dir, "deconinc", _stage, stream_decontaminate_incremental
@@ -901,14 +936,12 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str):
     the screened doc's wave is STRICTLY LATER than the indexed doc's —
     exactly what the per-wave index reads enforce."""
     import os
-    import shutil
 
     from pyspark.sql import functions as F
 
     from pdfplucker_spark.functions.hashing import md5_long
 
     def _stage(sp, in_dir):
-        os.makedirs(in_dir)
         d = sp.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         d = d.withColumn(
             "bno",
@@ -917,17 +950,7 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str):
                 % STREAM_INC_BATCHES
             ).cast("int"),
         )
-        for k in range(STREAM_INC_BATCHES):
-            tmp = f"{in_dir}.w{k}"
-            d.where(F.col("bno") == k).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-            dst = os.path.join(in_dir, f"{k:02d}.parquet")
-            shutil.move(os.path.join(tmp, part), dst)
-            shutil.rmtree(tmp)
-            # wave order = file-source order = strictly increasing mtimes
-            os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+        stage_waves(d, in_dir, range(STREAM_INC_BATCHES))
 
     sink = _drain(spark, sf_dir, "inc", _stage, stream_dedup_incremental)
     return spark.read.schema(

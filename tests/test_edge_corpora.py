@@ -145,3 +145,35 @@ def test_round6_curation_ops_on_null_heavy_corpus(spark, tmp_path):
     capped = _cmp(q_docs_domain_cap(spark, str(tmp_path)), con, SQL_DOCS_DOMAIN_CAP)
     assert not any(r[0] is None for r in capped)  # NULL ids excluded (both engines)
     _cmp(q_docs_mix_temperature(spark, str(tmp_path)), con, SQL_DOCS_MIX_TEMPERATURE)
+
+
+def test_dedup_canonical_null_id_tie(spark, tmp_path):
+    """A NULL-id doc TYING a real doc on n_chars inside one bag group: the
+    canonical window's doc_id tie-break is asc_nulls_last because Spark's
+    plain ASC sorts NULLs FIRST while DuckDB's sorts them LAST — without
+    it the two engines pick different canonicals (NULL vs 7) for the tied
+    group. Also covers an all-NULL-id singleton group (canonical stays
+    NULL in both engines — nothing addressable to prefer)."""
+    from pdfplucker_spark.operators.pipeline import (
+        SQL_DEDUP_CANONICAL,
+        q_dedup_canonical,
+    )
+
+    rows = [
+        (None, "x y", "en", "s1", 10),   # bag {x,y}, ties doc 7
+        (7, "y x", "en", "s1", 10),      # same bag, same n_chars
+        (8, "x y z", "en", "s1", 12),    # different bag
+        (None, "p q", "en", "s1", 5),    # all-NULL-id singleton group
+    ]
+    p = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    got = _cmp(q_dedup_canonical(spark, str(tmp_path)), con, SQL_DEDUP_CANONICAL)
+    tied = [r for r in got if r[3] == 2]
+    assert len(tied) == 1 and tied[0][1] == 7  # tied group: addressable doc wins
+    assert sum(r[1] is None for r in got) == 1  # only the singleton stays NULL

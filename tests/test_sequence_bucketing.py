@@ -157,11 +157,14 @@ def test_no_event_grain_window_keys_on_user_alone(spark):
     }
     # SPECIFIC names only (round-7 narrowing — the old blanket prefixes
     # would silently exempt any future operator registered under them):
-    # the streaming queries drain real StreamingQueries at invocation, and
+    # the streaming queries drain real StreamingQueries at invocation,
     # the Lloyd-fit family runs tens of Spark jobs during plan
-    # CONSTRUCTION — minutes of fitting for a regex that cannot match
-    # (none reads events). Everything else — including every current and
-    # future docs_/dedup_/text_/media_/extract_ name — is swept.
+    # CONSTRUCTION, and the connected-components pair runs iterative
+    # min-label-propagation fixpoint loops (join + aggregate + count
+    # action per round) at plan-construction time — minutes of work for a
+    # regex that cannot match (none reads events). Everything else —
+    # including every current and future docs_/dedup_/text_/media_/
+    # extract_ name — is swept.
     skip = {
         "stream_windowed_counts",
         "stream_dedup_exact",
@@ -175,6 +178,8 @@ def test_no_event_grain_window_keys_on_user_alone(spark):
         "sim_semdedup",
         "sim_semdedup_sampled",
         "sim_semdedup_k16",
+        "dedup_clusters",
+        "sim_dup_clusters",
     }
     reg = all_queries()
     assert skip <= set(reg), skip - set(reg)  # a renamed op can't hide here
@@ -193,8 +198,8 @@ def test_no_event_grain_window_keys_on_user_alone(spark):
         # operators persist() multi-consumer intermediates (sweep invariant)
         spark.catalog.clearCache()
     # the sweep is genuinely registry-wide: every registered plan except
-    # the 12 named drain/fit queries
-    assert checked == len(reg) - len(skip) and checked >= 90, checked
+    # the 14 named drain/fit/fixpoint queries
+    assert checked == len(reg) - len(skip) and checked >= 88, checked
 
 
 def test_main_content_chunked_assembly_matches_and_bounds_buffers(spark, tmp_path):

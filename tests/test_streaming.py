@@ -484,24 +484,12 @@ def test_stream_decontaminate_covers_full_train_corpus(spark):
 
 
 def _stage_wave_files(spark, docs_df, in_dir):
-    """Stage a (…, bno int) docs frame as one file per wave with strictly
-    increasing mtimes — the q_stream_dedup_incremental staging contract."""
-    import shutil
+    """Stage waves through THE production helper (stream.stage_waves) —
+    the tests exercise the exact staging contract the driver queries use,
+    not a hand-rolled copy that could silently diverge."""
+    from pdfplucker_spark.streaming.stream import stage_waves
 
-    from pyspark.sql import functions as F
-
-    os.makedirs(in_dir, exist_ok=True)
-    waves = sorted(r.bno for r in docs_df.select("bno").distinct().collect())
-    for k in waves:
-        tmp = f"{in_dir}.w{k}"
-        docs_df.where(F.col("bno") == k).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        dst = os.path.join(in_dir, f"{k:02d}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+    stage_waves(docs_df, in_dir)
 
 
 def test_stream_dedup_index_ignores_uncommitted_wave_dir(spark, tmp_path):
@@ -566,4 +554,88 @@ def test_stream_dedup_index_ignores_uncommitted_wave_dir(spark, tmp_path):
     assert (40, 10, 1.0, 2) in got  # the real cross-wave dup still reported
     assert not any(r[1] == 999 for r in got), got  # torn wave never screened
     # only the two real waves ever committed; the torn dir stays unmarked
+    assert _committed_waves(index_dir) == [0, 2]
+
+
+def test_stream_dedup_retry_skips_marker_committed_wave(spark, tmp_path):
+    """Round-7 retry contract: a wave whose ``bno-k`` marker stands is
+    FULLY landed (the marker is written last), so a foreachBatch retry
+    must skip it — re-overwriting committed index dirs could tear them if
+    the retry itself crashed mid-rewrite, with the standing marker then
+    pointing at torn parquet. Simulates run 1 having committed wave 0
+    with SENTINEL index content (doc 777, not the staged wave-0 docs) and
+    crashed before the checkpoint commit: the replay must leave the
+    sentinel bytes untouched and screen wave 2 against the sentinel
+    index, never re-deriving wave 0 from the input."""
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.job import _mark_committed
+    from pdfplucker_spark.operators.dedup import _band_rows, _sig_cols
+    from pdfplucker_spark.streaming.stream import (
+        _committed_waves,
+        _index_marker,
+        stream_dedup_incremental,
+    )
+
+    texts = {
+        10: "alpha beta gamma delta epsilon zeta",
+        11: "one two three four five six seven",
+        40: "alpha beta gamma delta epsilon zeta",  # dup of 10 AND of 777
+    }
+    waves = {10: 0, 11: 0, 40: 2}
+    rows = [
+        (d, texts[d], "en", "s", len(texts[d]), waves[d]) for d in sorted(texts)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, bno int",
+    )
+    in_dir = f"{tmp_path}/in"
+    _stage_wave_files(spark, docs, in_dir)
+
+    # run 1's committed wave 0: sentinel doc 777 (same text as 10/40) +
+    # the bno-0 marker — docs 10/11 were "lost" before run 1 indexed them,
+    # proving the replay reads the index, not the input, for this wave
+    out_dir = f"{tmp_path}/out"
+    index_dir = out_dir + "_index"
+    sentinel = spark.createDataFrame(
+        [(777, texts[10])], "doc_id long, text string"
+    )
+    _band_rows(sentinel.select("doc_id", *_sig_cols())).write.parquet(
+        os.path.join(index_dir, "bno=0", "bands")
+    )
+    sentinel.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    ).write.parquet(os.path.join(index_dir, "bno=0", "toks"))
+    _mark_committed(index_dir, _index_marker(0))
+
+    def _snap(sub):
+        root = os.path.join(index_dir, "bno=0", sub)
+        return sorted(
+            (f, os.path.getmtime(os.path.join(root, f)), os.path.getsize(os.path.join(root, f)))
+            for f in os.listdir(root)
+        )
+
+    before = (_snap("bands"), _snap("toks"))
+
+    q = stream_dedup_incremental(spark, in_dir, out_dir, f"{tmp_path}/ckpt")
+    assert q.awaitTermination(300)
+
+    # committed wave 0 is byte-for-byte untouched by the replay
+    assert (_snap("bands"), _snap("toks")) == before
+    got = sorted(
+        map(
+            tuple,
+            spark.read.schema(
+                "batch_doc_id long, index_doc_id long, jaccard double, bno int"
+            )
+            .parquet(out_dir)
+            .collect(),
+        )
+    )
+    # wave 2 screened against the SENTINEL index: 777 reported, and 10's
+    # pair absent because the skipped wave was never re-derived from input
+    assert (40, 777, 1.0, 2) in got, got
+    assert not any(r[1] == 10 for r in got), got
     assert _committed_waves(index_dir) == [0, 2]
