@@ -187,6 +187,10 @@ def test_curation_manifest_is_single_scan_join_free(spark):
     the uniform bag hash plus the salted domain-cap window."""
     from pdfplucker_spark.operators.pipeline import q_docs_curation_manifest
 
+    # clean cache first: operators persist() and do NOT unpersist, so a
+    # preceding test's cached frames would be substituted into this plan
+    # as extra InMemoryRelations, inflating the textual FileScan count
+    spark.catalog.clearCache()
     plan = _plan(q_docs_curation_manifest(spark, SF))
     assert plan.count("SortMergeJoin") == 0, plan[:3000]
     # one corpus scan + at most one reused tiny side (offsets derive from
