@@ -574,10 +574,17 @@ def _shuffle_rank(base: DataFrame, bucket_bits: int) -> DataFrame:
     h = md5_long(
         F.concat(F.lit(f"sh{SHUFFLE_EPOCH_SEED}:"), F.col("doc_id").cast("string"))
     )
+    # TWO consumers of the hashed frame (the bucket-count offsets agg and
+    # the rank join): persist HERE, in the function that creates the
+    # double consumption, so every caller's upstream chain — a raw scan
+    # for the standalone operator, the gate→dedup→cap windows for the
+    # manifest — executes exactly once (the r5/r6 multi-consumer lesson;
+    # sweeps clearCache between operators)
     base = (
         base.where(F.col("doc_id").isNotNull())
         .withColumn("h", h)
         .withColumn("bkt", F.shiftright("h", 60 - bucket_bits))
+        .persist()
     )
     counts = base.groupBy("bkt").agg(F.count("*").alias("n_b"))
     woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -614,11 +621,12 @@ def q_docs_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       1. Gopher quality gate (``text_gopher_rules``): keep gopher_pass
          docs with addressable (non-NULL) ids;
-      2. exact dedup AMONG THE GATE SURVIVORS (``_dedup_canonical_frame``
-         over the gated frame — true sequential semantics: each dup
-         group's canonical is the longest doc that PASSED the gate, so a
-         group whose corpus-wide longest member fails quality still
-         contributes its best passing member);
+      2. exact dedup AMONG THE GATE SURVIVORS (the
+         ``_dedup_canonical_frame`` window spec applied IN-LINE on the
+         gated frame so it can carry source/n_chars — true sequential
+         semantics: each dup group's canonical is the longest doc that
+         PASSED the gate, so a group whose corpus-wide longest member
+         fails quality still contributes its best passing member);
       3. per-domain cap over the deduped survivors (a domain's cap
          counts quality-passing canonical docs, so capped domains still
          contribute K usable docs);
@@ -641,12 +649,15 @@ def q_docs_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = d.select("doc_id", "text", "source", "n_chars").where(
         F.col("doc_id").isNotNull() & gopher_pass_col()
     )
-    # stage 2 in-line: the canonical window CARRIES source/n_chars, so
-    # the survivor set needs no join-back onto the gated frame — the
-    # gated corpus shuffles exactly once (on the uniform bag hash), and
-    # the whole manifest reads the corpus in a single scan
+    # stage 2 in-line: the SAME window spec as _dedup_canonical_frame
+    # (incl. the asc_nulls_last tie-break — gated already excludes NULL
+    # ids, but the two copies of the spec must not drift) CARRYING
+    # source/n_chars, so the survivor set needs no join-back onto the
+    # gated frame — the gated corpus shuffles exactly once (on the
+    # uniform bag hash) and the whole manifest reads the corpus in a
+    # single scan
     w = Window.partitionBy("bag_hash").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
+        F.desc("n_chars"), F.asc_nulls_last("doc_id")
     )
     surv = (
         gated.withColumn("bag_hash", _bag_hash_key())
@@ -654,14 +665,10 @@ def q_docs_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "source", "n_chars")
     )
-    # _shuffle_rank consumes its input TWICE (bucket-count offsets +
-    # rank join): persist the capped survivor set so the gate → bag-hash
-    # window → domain-cap window chain executes once and the corpus is
-    # genuinely read in a single scan (multi-consumer persist invariant;
-    # sweeps clearCache between operators)
-    capped = (
-        _domain_cap_frame(surv).select("doc_id", "source", "n_chars").persist()
-    )
+    # _shuffle_rank persists internally (it consumes its input twice),
+    # so the gate → bag-hash window → domain-cap window chain executes
+    # once and the corpus is genuinely read in a single scan
+    capped = _domain_cap_frame(surv).select("doc_id", "source", "n_chars")
     return _shuffle_rank(capped, SHUFFLE_BUCKET_BITS)
 
 
@@ -726,9 +733,11 @@ def _bag_hash_key():
 
 def _dedup_canonical_frame(docs: DataFrame) -> DataFrame:
     """Canonical-per-bag-of-tokens-group over ANY (doc_id, text, n_chars)
-    frame — shared by the standalone operator (full corpus) and the
-    curation manifest (which dedups AMONG quality-gate survivors, the true
-    sequential semantics). The doc_id tie-break is asc_nulls_last: Spark's
+    frame — the standalone operator runs it on the full corpus; the
+    curation manifest applies the SAME window spec in-line (to carry
+    source/n_chars through, dedup-ing AMONG quality-gate survivors — keep
+    the two copies of the spec in sync). The doc_id tie-break is
+    asc_nulls_last: Spark's
     plain ASC sorts NULLs FIRST while DuckDB's sorts them LAST, so a
     NULL-id doc tying a real doc on n_chars inside one bag group would
     pick engine-different canonicals (the docs_domain_cap divergence

@@ -29,6 +29,12 @@ _RECORD_FIRST = (
     # then the operators whose plans/semantics changed THIS round, then
     # the 44 of the 50 r5-only names that fit the sample (the r6 plan
     # swaps events_asof_purchase / regional_revenue_sql first).
+    # dedup_canonical ALSO changed this round (tie-break → ASC NULLS
+    # LAST) but is NOT in the lead: it holds a fresh r6 record, the
+    # change is output-identical on the NULL-free driver corpora
+    # (strict-verified in-session at sf0.01 + sf0.1 + hostile), and a
+    # lead slot here would displace an r5-only name into exactly the
+    # two-round staleness this rotation exists to prevent. It leads r8.
     "sim_ivf_topk",
     "text_gopher_rules",
     "docs_domain_cap",
