@@ -194,11 +194,11 @@ def test_curation_manifest_is_single_scan_join_free(spark):
     plan = _plan(q_docs_curation_manifest(spark, SF))
     assert plan.count("SortMergeJoin") == 0, plan[:3000]
     # one corpus scan + at most one reused tiny side (offsets derive from
-    # the same frame); the r6 shape read the corpus 4x. The capped
-    # survivor set is persisted (CLAUDE.md multi-consumer invariant), so
-    # BOTH _shuffle_rank consumers (offsets aggregate + rank join) read
-    # the cache and the gate→dedup→cap chain executes once — the plan
-    # string prints the cached plan's FileScan under each of the two
+    # the same frame); the r6 shape read the corpus 4x. _shuffle_rank
+    # persists its hashed frame (CLAUDE.md multi-consumer invariant), so
+    # BOTH its consumers (offsets aggregate + rank join) read the cache
+    # and the gate→dedup→cap chain executes once — the plan string
+    # prints the cached plan's FileScan under each of the two
     # InMemoryTableScans, hence <= 2 textual occurrences of either
     assert plan.count("FileScan") <= 2, plan.count("FileScan")
     assert plan.count("InMemoryTableScan") == 2, plan.count("InMemoryTableScan")
