@@ -103,17 +103,22 @@ def test_decontaminate_df_cap_silent_on_honest_corpus(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    """A 24-node chain has diameter 23 > the old hard 20-iteration cap:
-    the convergence-driven loop must still collapse it to one component."""
+    """A 24-node chain has diameter 23: the r7 min-label loop paid one
+    distributed round PER HOP; the alternating large-star/small-star loop
+    must collapse it to one component in O(log n) rounds (≤6 — the r7
+    verdict's promotion criterion)."""
     n = 24
     nodes = spark.createDataFrame([Row(node=i) for i in range(n)])
     pairs = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
     labels = connected_components(nodes, pairs)
     got = {r["node"]: r["label"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
-    # lineage hygiene: localCheckpoint every 3 iterations truncates the
-    # plan — after ~24 iterations the final frame's plan must NOT carry an
-    # iters-deep join chain (at most the joins since the last checkpoint)
+    assert connected_components.last_rounds <= 6, (
+        connected_components.last_rounds
+    )
+    # lineage hygiene: per-round localCheckpoint truncates the plan — the
+    # final frame's plan must carry only the label read-off join, never a
+    # rounds-deep star-contraction chain
     plan = labels._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 4, plan[:3000]
 
@@ -160,12 +165,14 @@ def test_connected_components_fuzz_vs_union_find(spark):
 
 
 def test_connected_components_cap_logs_not_silent(spark, caplog):
-    """Hitting the safety cap before convergence must be loud."""
-    n = 10
+    """Hitting the safety cap before convergence must be loud. One
+    large+small round cannot fully contract a 24-chain (star contraction
+    only halves distances), so max_iters=1 is guaranteed non-converged."""
+    n = 24
     nodes = spark.createDataFrame([Row(node=i) for i in range(n)])
     pairs = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
     with caplog.at_level(logging.WARNING, logger="pdfplucker_spark.operators.pipeline"):
-        connected_components(nodes, pairs, max_iters=3).collect()
+        connected_components(nodes, pairs, max_iters=1).collect()
     assert any("safety cap" in r.message for r in caplog.records)
 
 
