@@ -481,6 +481,52 @@ LIMIT {TOP_K}
 """
 
 
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k AUDIT of both approximate query paths against the exact
+    brute-force baseline — the number a 100-TB operator tunes nprobe /
+    band width by (r7 verdict #4). One row per ANN method: how many of
+    the exact top-k the approximate top-k recovered, as a recall in
+    [0, 1]. ``probe_param`` is the method's pruning knob (LSH: the OR
+    table count T; IVF: nprobe). All three top-k frames are k-row, so
+    every join here is broadcast-sized — the expensive part is the three
+    underlying scans, each already audited scale-safe on its own.
+    Oracle: the identical composition over the engines' shared top-k SQL
+    texts (each nests as a parenthesized WITH subquery)."""
+    exact = q_sim_cosine_topk(spark, sf_dir).select("vec_id")
+
+    def _row(method: str, param: int, approx: DataFrame) -> DataFrame:
+        hits = approx.select("vec_id").join(
+            F.broadcast(exact), "vec_id", "left_semi"
+        )
+        return hits.agg(F.count("*").alias("n_hits")).select(
+            F.lit(method).alias("method"),
+            F.lit(TOP_K).alias("k"),
+            F.lit(param).alias("probe_param"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / TOP_K).alias("recall"),
+        )
+
+    return _row("lsh", N_TABLES, q_sim_ann_topk(spark, sf_dir)).unionByName(
+        _row("ivf", IVF_NPROBE, q_sim_ivf_topk(spark, sf_dir))
+    )
+
+
+SQL_SIM_ANN_RECALL = f"""
+WITH exact_k AS (SELECT vec_id FROM ({SQL_SIM_COSINE_TOPK})),
+lsh_k AS (SELECT vec_id FROM ({SQL_SIM_ANN_TOPK})),
+ivf_k AS (SELECT vec_id FROM ({SQL_SIM_IVF_TOPK}))
+SELECT 'lsh' AS method, {TOP_K} AS k, {N_TABLES} AS probe_param,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / {TOP_K} AS recall
+FROM lsh_k WHERE vec_id IN (SELECT vec_id FROM exact_k)
+UNION ALL
+SELECT 'ivf' AS method, {TOP_K} AS k, {IVF_NPROBE} AS probe_param,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / {TOP_K} AS recall
+FROM ivf_k WHERE vec_id IN (SELECT vec_id FROM exact_k)
+"""
+
+
 def q_sim_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate CLUSTERS: connected components over the
     sign-LSH cosine pair graph — the same distributed min-label operator
@@ -957,6 +1003,7 @@ QUERIES = {
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
     "sim_cosine_dup_pairs": (q_sim_cosine_dup_pairs, SQL_SIM_COSINE_DUP_PAIRS),
     "sim_ann_topk": (q_sim_ann_topk, SQL_SIM_ANN_TOPK),
+    "sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL),
     "sim_ivf_assign": (q_sim_ivf_assign, SQL_SIM_IVF_ASSIGN),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
 }

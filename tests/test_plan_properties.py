@@ -207,3 +207,29 @@ def test_curation_manifest_is_single_scan_join_free(spark):
     specs = re.findall(r"windowspecdefinition\((.*?)\)", plan)
     assert any("bag_hash" in s for s in specs), specs
     assert any("salt" in s for s in specs), specs
+
+
+def test_sim_ann_recall_consistent_with_component_topk(spark):
+    """The recall audit must equal the hand-computed intersection of its
+    component operators' outputs — and stay a well-formed recall (2 rows,
+    0 <= n_hits <= k, recall = n_hits/k)."""
+    from pdfplucker_spark.operators.similarity import (
+        TOP_K,
+        q_sim_ann_recall,
+        q_sim_ann_topk,
+        q_sim_cosine_topk,
+        q_sim_ivf_topk,
+    )
+
+    exact = {r.vec_id for r in q_sim_cosine_topk(spark, SF).collect()}
+    expect = {
+        "lsh": len({r.vec_id for r in q_sim_ann_topk(spark, SF).collect()} & exact),
+        "ivf": len({r.vec_id for r in q_sim_ivf_topk(spark, SF).collect()} & exact),
+    }
+    rows = {r.method: r for r in q_sim_ann_recall(spark, SF).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    for m, r in rows.items():
+        assert r.k == TOP_K
+        assert 0 <= r.n_hits <= TOP_K
+        assert r.n_hits == expect[m], (m, r)
+        assert r.recall == r.n_hits / TOP_K
