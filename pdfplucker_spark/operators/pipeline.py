@@ -686,9 +686,14 @@ WITH gpass AS (
   SELECT doc_id FROM ({SQL_TEXT_GOPHER_RULES}) WHERE gopher_pass
 ),
 gated AS (
+  -- semi-join, not inner join: the Spark side applies the gopher gate as
+  -- a pure FILTER, so a duplicated doc_id must not fan out rows here
+  -- (r7 advice). The canon stage below still assumes doc_id uniqueness —
+  -- the canonical window itself is only well-defined per distinct doc_id.
   SELECT d.doc_id, d.text, d.source, d.n_chars
-  FROM documents d JOIN gpass USING (doc_id)
+  FROM documents d
   WHERE d.doc_id IS NOT NULL
+    AND d.doc_id IN (SELECT doc_id FROM gpass)
 ),
 canon AS (
   SELECT canonical_doc_id AS doc_id FROM ({canon_over_gated})

@@ -569,17 +569,28 @@ FROM events GROUP BY user_id
 STREAM_INC_BATCHES = 4
 
 
-def stage_waves(docs_df, in_dir: str, waves=None):
-    """Stage a (…, bno int) docs frame as ONE parquet file per wave under
-    ``in_dir`` — ``{k:02d}.parquet`` with strictly increasing mtimes, so
-    the file source (maxFilesPerTrigger=1) drains waves in wave order.
-    This is THE staging contract for every foreachBatch standing-index
-    query; the driver queries and the tests all call this one helper so
-    the contract (file naming, utime base, one-file-per-wave) cannot
-    silently diverge between them. ``waves`` defaults to the distinct
-    ``bno`` values present (an explicit range writes empty files for
-    absent waves — the production queries pass range(STREAM_INC_BATCHES)
-    so every wave number exists on disk)."""
+def stage_waves(docs_df, in_dir: str, waves=None, files_per_wave: int = 1):
+    """Stage a (…, bno int) docs frame as EXACTLY ``files_per_wave``
+    parquet files per wave under ``in_dir`` — ``{k:02d}.parquet`` for the
+    single-file default, ``{k:02d}-{i:02d}.parquet`` otherwise — with
+    strictly increasing PER-WAVE mtimes (all files of a wave share its
+    mtime), so the file source's (mtime, path) order never interleaves
+    waves and ``maxFilesPerTrigger=files_per_wave`` aligns trigger
+    boundaries to wave boundaries. This is THE staging contract for every
+    foreachBatch standing-index query; the driver queries and the tests
+    all call this one helper so the contract (file naming, utime base,
+    exact file count per wave) cannot silently diverge between them.
+
+    The file count per wave is EXACT, not up-to: a short wave is padded
+    with schema-only slices, because a wave emitting fewer files would
+    shift every later trigger boundary into the middle of a wave — the
+    one way the multi-file contract can silently split a wave across
+    micro-batches. Slicing is deterministic (``pmod(doc_id, n)``).
+
+    ``waves`` defaults to the distinct ``bno`` values present (an
+    explicit range writes empty files for absent waves — the production
+    queries pass range(STREAM_INC_BATCHES) so every wave number exists
+    on disk)."""
     import os
     import shutil
 
@@ -591,16 +602,37 @@ def stage_waves(docs_df, in_dir: str, waves=None):
             r.bno for r in docs_df.select("bno").distinct().collect()
         )
     for k in waves:
-        tmp = f"{in_dir}.w{k}"
-        docs_df.where(F.col("bno") == k).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        dst = os.path.join(in_dir, f"{k:02d}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp)
-        # wave order = file-source order = strictly increasing mtimes
-        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+        wave = docs_df.where(F.col("bno") == k)
+        for i in range(files_per_wave):
+            tmp = f"{in_dir}.w{k}.{i}"
+            sl = (
+                wave
+                if files_per_wave == 1
+                else wave.where(F.pmod("doc_id", F.lit(files_per_wave)) == i)
+            )
+            sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+            parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            if not parts:
+                # the contract leans on Spark emitting a schema-only part
+                # file for an empty coalesce(1) write — if a Spark behavior
+                # change ever breaks that, fail AS a staging error, not as
+                # a bare IndexError downstream (r7 advice)
+                raise RuntimeError(
+                    f"stage_waves: no parquet part file produced for wave "
+                    f"{k} slice {i} under {tmp} — empty-write behavior "
+                    "changed; the absent-wave/padding contract is broken"
+                )
+            name = (
+                f"{k:02d}.parquet"
+                if files_per_wave == 1
+                else f"{k:02d}-{i:02d}.parquet"
+            )
+            dst = os.path.join(in_dir, name)
+            shutil.move(os.path.join(tmp, parts[0]), dst)
+            shutil.rmtree(tmp)
+            # wave order = file-source order = strictly increasing mtimes;
+            # files WITHIN a wave share the mtime (path breaks the tie)
+            os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
 
 
 def _index_marker(bno: int) -> str:
@@ -632,7 +664,11 @@ def _committed_waves(index_dir: str) -> list[int]:
 
 
 def stream_dedup_incremental(
-    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    files_per_wave: int = 1,
 ):
     """foreachBatch standing-index near-dup screening. Each doc carries its
     arrival-wave number ``bno`` IN the data (not inferred from micro-batch
@@ -649,7 +685,14 @@ def stream_dedup_incremental(
     a wave joins the standing index only after BOTH its tables landed and
     its ``bno-k`` marker renamed into ``{index}/_commits/`` — the same
     atomic-visibility contract the batch job's run_id partitions use, so
-    a torn/partial wave dir can never leak into a later wave's screen."""
+    a torn/partial wave dir can never leak into a later wave's screen.
+
+    ``files_per_wave`` must match the staging side (``stage_waves``): it
+    becomes ``maxFilesPerTrigger``, and because every wave stages EXACTLY
+    that many files sharing one mtime, each trigger pulls whole waves —
+    a trigger boundary can never split a wave, so the ascending-``bno``
+    loop's wave semantics hold at any wave width (r7 verdict #6: a
+    production wave is multi-file)."""
     import os
 
     from pyspark.sql import functions as F
@@ -672,7 +715,7 @@ def stream_dedup_incremental(
             "doc_id long, text string, lang string, source string, "
             "n_chars long, bno int"
         )
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_wave)
         .parquet(input_dir)
     )
 
@@ -697,6 +740,21 @@ def stream_dedup_incremental(
                 # at torn parquet. Skipping keeps committed waves immutable
                 # (the batch run_id-partition contract) and makes retries
                 # truly idempotent.
+                #
+                # The skip's safety depends on the WRITE ORDER below:
+                # result → index tables → marker. Pin it: a standing
+                # marker whose result dir is missing means a reorder put
+                # the marker first (a retry would then silently drop the
+                # wave's screening output) — fail loud instead (r7
+                # advice).
+                if not os.path.isdir(os.path.join(output_dir, f"bno={bno}")):
+                    raise RuntimeError(
+                        f"stream_dedup_incremental: wave {bno} is marker-"
+                        f"committed but its result dir {output_dir}/bno="
+                        f"{bno} is absent — the result-before-marker "
+                        "write ordering was violated; skipping would drop "
+                        "this wave's output"
+                    )
                 continue
             cur = batch_df.where(F.col("bno") == bno)
             # bands and toks each feed TWO consumers (candidate join +
@@ -776,7 +834,11 @@ def stream_dedup_incremental(
 
 
 def stream_decontaminate_incremental(
-    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    files_per_wave: int = 1,
 ):
     """foreachBatch incremental decontamination — the production cadence
     of ``docs_decontaminate_incremental`` (operators/pipeline.py): the
@@ -786,7 +848,11 @@ def stream_decontaminate_incremental(
     joins the index, so per-wave cost tracks the wave, never the corpus.
     Unlike the batch operator (which screens a 1/20 train slice), the
     drained stream screens the ENTIRE train corpus, wave by wave.
-    Per-wave overwrite dirs make retries idempotent."""
+    Per-wave overwrite dirs make retries idempotent. ``files_per_wave``
+    must match the staging side (see ``stream_dedup_incremental``): with
+    the exact-file-count staging contract, ``maxFilesPerTrigger=
+    files_per_wave`` keeps trigger boundaries aligned to wave
+    boundaries."""
     import os
 
     from pyspark.sql import functions as F
@@ -817,7 +883,7 @@ def stream_decontaminate_incremental(
             "doc_id long, text string, lang string, source string, "
             "n_chars long, bno int"
         )
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_wave)
         .parquet(input_dir)
     )
 

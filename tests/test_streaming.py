@@ -3,6 +3,7 @@
 import os
 
 import pyarrow.parquet as pq
+import pytest
 
 from pdfplucker_spark.gen import gen_rows, rows_to_table
 from pdfplucker_spark.oracle import extract_doc
@@ -608,6 +609,12 @@ def test_stream_dedup_retry_skips_marker_committed_wave(spark, tmp_path):
     sentinel.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     ).write.parquet(os.path.join(index_dir, "bno=0", "toks"))
+    # run 1 wrote the wave-0 RESULT before the index tables and marker
+    # (the pinned result-before-marker ordering): an empty screen, since
+    # wave 0 had no prior index to match against
+    spark.createDataFrame(
+        [], "batch_doc_id long, index_doc_id long, jaccard double"
+    ).write.parquet(os.path.join(out_dir, "bno=0"))
     _mark_committed(index_dir, _index_marker(0))
 
     def _snap(sub):
@@ -639,3 +646,108 @@ def test_stream_dedup_retry_skips_marker_committed_wave(spark, tmp_path):
     assert (40, 777, 1.0, 2) in got, got
     assert not any(r[1] == 10 for r in got), got
     assert _committed_waves(index_dir) == [0, 2]
+
+
+def test_stream_dedup_marker_without_output_raises(spark, tmp_path):
+    """Round-8 ordering pin (r7 advice): the retry-skip is only safe
+    because every wave's RESULT is written before its index tables and
+    marker. A standing marker with NO result dir means that ordering was
+    violated — the drain must fail loud instead of silently dropping the
+    wave's screening output on retry."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from pdfplucker_spark.job import _mark_committed
+    from pdfplucker_spark.operators.dedup import _band_rows, _sig_cols
+    from pdfplucker_spark.streaming.stream import (
+        _index_marker,
+        stream_dedup_incremental,
+    )
+
+    docs = spark.createDataFrame(
+        [(10, "alpha beta gamma", "en", "s", 16, 0)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, bno int",
+    )
+    in_dir = f"{tmp_path}/in"
+    _stage_wave_files(spark, docs, in_dir)
+
+    out_dir = f"{tmp_path}/out"
+    index_dir = out_dir + "_index"
+    # committed wave 0: index tables + marker but NO out_dir/bno=0 —
+    # the simulated marker-before-result reorder
+    _band_rows(docs.select("doc_id", *_sig_cols())).write.parquet(
+        os.path.join(index_dir, "bno=0", "bands")
+    )
+    docs.selectExpr(
+        "doc_id", "array_distinct(split(text, ' ')) AS toks"
+    ).write.parquet(os.path.join(index_dir, "bno=0", "toks"))
+    _mark_committed(index_dir, _index_marker(0))
+
+    q = stream_dedup_incremental(spark, in_dir, out_dir, f"{tmp_path}/ckpt")
+    with pytest.raises(StreamingQueryException, match="result-before-marker"):
+        q.awaitTermination(300)
+
+
+def test_stage_waves_multi_file_contract_and_drain(spark, tmp_path):
+    """Round-8 multi-file wave contract (r7 verdict #6): stage_waves with
+    files_per_wave=3 writes EXACTLY three files per wave (short waves
+    padded with schema-only slices), all sharing the wave mtime — and the
+    dedup stream drained at maxFilesPerTrigger=3 produces the SAME screen
+    results as the single-file staging of the same corpus."""
+    from pdfplucker_spark.streaming.stream import (
+        stage_waves,
+        stream_dedup_incremental,
+    )
+
+    texts = {
+        10: "alpha beta gamma delta epsilon zeta",
+        11: "one two three four five six seven",
+        12: "lorem ipsum dolor sit amet elit",
+        30: "red green blue yellow purple orange",
+        40: "alpha beta gamma delta epsilon zeta",  # dup of 10, later wave
+    }
+    waves = {10: 0, 11: 0, 12: 0, 30: 1, 40: 2}
+    docs = spark.createDataFrame(
+        [(d, texts[d], "en", "s", len(texts[d]), waves[d]) for d in sorted(texts)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, bno int",
+    )
+
+    def _drain(tag, files_per_wave):
+        in_dir = f"{tmp_path}/{tag}/in"
+        out_dir = f"{tmp_path}/{tag}/out"
+        stage_waves(docs, in_dir, waves=range(3), files_per_wave=files_per_wave)
+        q = stream_dedup_incremental(
+            spark, in_dir, out_dir, f"{tmp_path}/{tag}/ckpt",
+            files_per_wave=files_per_wave,
+        )
+        assert q.awaitTermination(300)
+        return sorted(
+            map(
+                tuple,
+                spark.read.schema(
+                    "batch_doc_id long, index_doc_id long, jaccard double, bno int"
+                )
+                .parquet(out_dir)
+                .collect(),
+            )
+        )
+
+    multi = _drain("multi", 3)
+    # staging contract: exactly 3 files per wave, shared per-wave mtime,
+    # strictly increasing across waves (wave 1 has ONE doc → padded to 3)
+    in_dir = f"{tmp_path}/multi/in"
+    names = sorted(os.listdir(in_dir))
+    assert names == [
+        f"{k:02d}-{i:02d}.parquet" for k in range(3) for i in range(3)
+    ]
+    mtimes = {
+        k: {os.path.getmtime(os.path.join(in_dir, f"{k:02d}-{i:02d}.parquet"))
+            for i in range(3)}
+        for k in range(3)
+    }
+    assert all(len(v) == 1 for v in mtimes.values())  # shared within wave
+    assert min(mtimes[1]) > min(mtimes[0]) and min(mtimes[2]) > min(mtimes[1])
+
+    single = _drain("single", 1)
+    assert multi == single and (40, 10, 1.0, 2) in multi
