@@ -23,80 +23,82 @@ _OPERATOR_MODULES = (
 # two rounds. Names not in the registry are ignored; names not listed
 # keep module order after these.
 _RECORD_FIRST = (
-    # ROUND-7 rotation. Must-record set = 56 names (2 r4-stale overflow
-    # + 4 round-7-changed/new + 50 r5-only) vs the driver's 50-name
-    # sample. Order: the r4-stale overflow pair leads (r6 verdict #1),
-    # then the operators whose plans/semantics changed THIS round, then
-    # the 44 of the 50 r5-only names that fit the sample (the r6 plan
-    # swaps events_asof_purchase / regional_revenue_sql first).
-    # dedup_canonical ALSO changed this round (tie-break → ASC NULLS
-    # LAST) but is NOT in the lead: it holds a fresh r6 record, the
-    # change is output-identical on the NULL-free driver corpora
-    # (strict-verified in-session at sf0.01 + sf0.1 + hostile), and a
-    # lead slot here would displace an r5-only name into exactly the
-    # two-round staleness this rotation exists to prevent. It leads r8.
-    "sim_ivf_topk",
-    "text_gopher_rules",
-    "docs_domain_cap",
-    "docs_curation_manifest",
-    "stream_dedup_incremental",
-    "sim_semdedup_k16",
-    # --- the 44 r5-only names inside the 50-name sample ---
-    "events_asof_purchase",
-    "regional_revenue_sql",
-    "spans_derive",
-    "spans_main_content",
-    "regional_supply",
-    "returnflag_rollup",
-    "lineitem_cube",
-    "event_type_pivot",
-    "events_window",
-    "events_sessionize",
-    "events_daily_ma",
-    "events_funnel",
-    "events_retention",
-    "events_minutely_gapfill",
-    "events_salted_agg",
-    "events_json_props",
-    "text_langid",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "text_top_terms",
-    "text_regex_stats",
-    "text_repetition",
-    "text_pii_scan",
-    "dedup_exact",
-    "dedup_bag",
-    "dedup_bag_nulls",
-    "dedup_minhash_sig",
-    "dedup_minhash_pairs",
-    "dedup_minhash_pairs_nulls",
-    "dedup_incremental",
-    "dedup_simhash",
-    "dedup_ngram_pairs",
-    "docs_decontaminate_incremental",
-    "sim_cosine_topk",
-    "sim_lsh_buckets",
-    "sim_cosine_dup_pairs",
-    "sim_ann_topk",
+    # ROUND-8 rotation. Must-record set = 58 names (10 round-8-changed/
+    # new + 6 r5-carried + 42 remaining r6-only) vs the driver's 50-name
+    # sample. Order: the operators whose semantics/plans/oracles changed
+    # THIS round lead — sim_ann_recall is new; the connected-components
+    # rewrite (alternating large-star/small-star) feeds dedup_canonical
+    # (which also carries the r7 ASC-NULLS-LAST tie-break with no
+    # post-change record — r7 verdict #1), dedup_clusters,
+    # docs_dedup_verdict, docs_dedup_rate_report, sim_dup_clusters and
+    # the three sim_semdedup* names; docs_curation_manifest's oracle
+    # moved to a semi-join gate (r7 advice #1). Then the 6 names carried
+    # on r5 records, then 34 of the 42 remaining r6-only names.
+    "sim_ann_recall",
+    "dedup_canonical",
+    "dedup_clusters",
+    "docs_dedup_verdict",
+    "docs_dedup_rate_report",
     "sim_dup_clusters",
-    "sim_ivf_recenter",
-    "sim_kmeans_fit",
     "sim_semdedup",
-    "media_decode_image",
-    "media_decode_audio",
-    # --- the 6 names that spill PAST the 50-name sample (carried on
-    # their r5 records one extra round): all stable single-shuffle
-    # relational/scan ops untouched since r2, each strict-verified
-    # in-session this round (see BENCH/BASELINE.md round-7 evidence).
-    # They lead the r8 rotation.
+    "sim_semdedup_sampled",
+    "sim_semdedup_k16",
+    "docs_curation_manifest",
+    # --- the 6 r5-carried names (strict-verified by the r7 judge) ---
     "corpus_filter",
     "custkeys_setops",
     "customers_without_orders",
     "markdown_export",
     "order_priority_distinct",
     "top_orders",
+    # --- 34 of the 42 remaining r6-only names ---
+    "extract_full",
+    "extract_agg_metrics",
+    "markdown_export_embedded",
+    "json_export",
+    "extract_images_detail",
+    "extract_tables_detail",
+    "extract_pages_detail",
+    "f3_format",
+    "f4_pages",
+    "f6_picture_seq",
+    "f7_captions",
+    "pricing_summary",
+    "returned_items_report",
+    "events_time_rollup",
+    "events_daily_anomaly",
+    "dedup_containment_pairs",
+    "dedup_containment_prefix",
+    "sim_ivf_assign",
+    "media_features",
+    "media_frames",
+    "media_decode_video",
+    "docs_mix_temperature",
+    "docs_shuffle_order",
+    "docs_mix_report",
+    "docs_pack_shards",
+    "docs_decontaminate",
+    "events_purchase_range_join",
+    "stream_extract",
+    "stream_decontaminate_incremental",
+    "stream_windowed_counts",
+    "stream_user_running_totals",
+    "stream_click_purchase_join",
+    "stream_dedup_exact",
+    "stream_sessionize",
+    # --- the 8 r6-only names that spill PAST the 50-name sample
+    # (carried on their r6 records one extra round): all unchanged since
+    # r6, deterministic-oracle sketch/sample/histogram ops, each
+    # strict-verified in-session this round (see BENCH/BASELINE.md
+    # round-8 evidence). They lead the r9 rotation.
+    "lineitem_price_histogram",
+    "events_transition_matrix",
+    "lineitem_quantiles",
+    "docs_sample",
+    "docs_sample_weighted",
+    "events_approx_overlap",
+    "events_approx_distinct",
+    "lineitem_approx_quantiles",
 )
 
 
