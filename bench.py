@@ -108,26 +108,28 @@ def main():
     # The headline gets 2 reps per pass (min-of-4 total): its first run
     # after any other work carries JVM/worker re-warm cost, so a
     # back-to-back pair inside each pass is what reaches steady state.
-    # SUB-1.5s queries run FOUR passes (min-of-4): the round-6 driver
-    # record showed shared-VM spread (±15-40%) larger than a real
-    # regression on these legs (pricing_summary +34% in the driver file,
-    # faster in the same-code closing bench), so the min needs more draws
-    # to be load-robust; the multi-second legs keep 2 passes (their
-    # relative noise is smaller and passes are expensive).
+    # EVERY query runs FOUR passes (min-of-4): the round-6 driver record
+    # showed shared-VM spread (±15-40%) larger than a real regression on
+    # the sub-second legs (pricing_summary +34% in the driver file,
+    # faster in the same-code closing bench), and the round-7 record put
+    # two MULTI-second legs (docs_decontaminate +7.2%, spans_main_content
+    # +8.3%, neither code-changed) outside their min-of-2 noise floor —
+    # so the multi-second legs were promoted to min-of-4 too (r7 verdict
+    # #2). Cost: ~+40 s of bench wall, bought back in drift diagnoses.
     measured = [
         # (name, fn, reps_per_pass, n_passes)
-        ("extract_e2e_bench50k", extract_e2e, 2, 2),
-        ("extract_e2e_skew5k", lambda: _leg(skew_path, "spans_skew"), 1, 2),
-        ("extract_e2e_uniform5k", lambda: _leg(uni_path, "spans_uniform"), 1, 2),
+        ("extract_e2e_bench50k", extract_e2e, 2, 4),
+        ("extract_e2e_skew5k", lambda: _leg(skew_path, "spans_skew"), 1, 4),
+        ("extract_e2e_uniform5k", lambda: _leg(uni_path, "spans_uniform"), 1, 4),
         ("extract_full_sf", lambda: q_extract_full(spark, sf_dir).count(), 1, 4),
         ("dedup_minhash_sig", lambda: q_dedup_minhash_sig(spark, sf_dir).count(), 1, 4),
         ("sim_cosine_topk", lambda: q_sim_cosine_topk(spark, sf_dir).collect(), 1, 4),
         ("pricing_summary", lambda: q_pricing_summary(spark, sf_dir).collect(), 1, 4),
         ("text_quality", lambda: q_text_quality(spark, sf_dir).count(), 1, 4),
         ("events_asof_purchase", lambda: q_events_asof_purchase(spark, sf_dir).count(), 1, 4),
-        ("dedup_ngram_pairs", lambda: q_dedup_ngram_pairs(spark, sf_dir).count(), 1, 2),
+        ("dedup_ngram_pairs", lambda: q_dedup_ngram_pairs(spark, sf_dir).count(), 1, 4),
         ("events_salted_agg", lambda: q_events_salted_agg(spark, sf_dir).collect(), 1, 4),
-        ("docs_decontaminate", lambda: q_docs_decontaminate(spark, sf_dir).count(), 1, 2),
+        ("docs_decontaminate", lambda: q_docs_decontaminate(spark, sf_dir).count(), 1, 4),
         (
             "docs_decontaminate_incremental",
             lambda: q_docs_decontaminate_incremental(spark, sf_dir).count(),
@@ -142,7 +144,7 @@ def main():
         # the composed query a training run actually executes (gate →
         # dedup-among-survivors → domain cap → shuffle rank): tracked
         # round-over-round like the headline (round-6 verdict #6)
-        ("docs_curation_manifest", lambda: q_docs_curation_manifest(spark, sf_dir).count(), 1, 2),
+        ("docs_curation_manifest", lambda: q_docs_curation_manifest(spark, sf_dir).count(), 1, 4),
     ]
     for _pass in range(4):
         for name, fn, reps, n_passes in measured:
@@ -212,8 +214,8 @@ def main():
         "value": queries["extract_e2e_bench50k"],
         "unit": "sec",
         "queries": queries,
-        "queries_note": "min of 4 interleaved passes for sub-1.5s queries, 2 for "
-        "multi-second legs (headline: 2 reps/pass, min-of-4); persisted caches "
+        "queries_note": "min of 4 interleaved passes for every query "
+        "(headline: 2 reps/pass, min-of-8); persisted caches "
         "cleared between queries",
         "sf": sf_dir,
         "bench_docs": n_docs,
