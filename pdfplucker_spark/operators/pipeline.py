@@ -915,9 +915,10 @@ def connected_components(
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from the n-gram pair graph: connected components
-    (min-label propagation, see ``connected_components``). Dup clusters have
-    tiny diameters (near-cliques), so convergence is 2-3 rounds. The oracle
-    is an independent formulation: DuckDB recursive-CTE transitive closure."""
+    (large-star/small-star contraction, see ``connected_components``). Dup
+    clusters have tiny diameters (near-cliques), so convergence is 2-3
+    rounds. The oracle is an independent formulation: DuckDB recursive-CTE
+    transitive closure."""
     from pdfplucker_spark.operators.dedup import q_dedup_ngram_pairs
 
     docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
