@@ -60,8 +60,6 @@ def main():
     from pdfplucker_spark.operators.textstats import q_text_quality
     from pdfplucker_spark.plans.partitioning import balance_docs
 
-    queries: dict[str, float] = {}
-
     spark = get_spark(
         app="bench",
         master=f"local[{cpus}]",
@@ -105,7 +103,7 @@ def main():
     # min per query: bursty neighbor load on the shared VM hits every pass
     # of every query instead of poisoning whichever single-shot measurement
     # it landed on — the same noise-robust estimator the scaling legs use.
-    # The headline gets 2 reps per pass (min-of-4 total): its first run
+    # The headline gets 2 reps per pass (min-of-8 total): its first run
     # after any other work carries JVM/worker re-warm cost, so a
     # back-to-back pair inside each pass is what reaches steady state.
     # EVERY query runs FOUR passes (min-of-4): the round-6 driver record
@@ -116,48 +114,73 @@ def main():
     # +8.3%, neither code-changed) outside their min-of-2 noise floor —
     # so the multi-second legs were promoted to min-of-4 too (r7 verdict
     # #2). Cost: ~+40 s of bench wall, bought back in drift diagnoses.
+    from pdfplucker_spark.operators.pipeline import q_dedup_clusters
+
     measured = [
-        # (name, fn, reps_per_pass, n_passes)
-        ("extract_e2e_bench50k", extract_e2e, 2, 4),
-        ("extract_e2e_skew5k", lambda: _leg(skew_path, "spans_skew"), 1, 4),
-        ("extract_e2e_uniform5k", lambda: _leg(uni_path, "spans_uniform"), 1, 4),
-        ("extract_full_sf", lambda: q_extract_full(spark, sf_dir).count(), 1, 4),
-        ("dedup_minhash_sig", lambda: q_dedup_minhash_sig(spark, sf_dir).count(), 1, 4),
-        ("sim_cosine_topk", lambda: q_sim_cosine_topk(spark, sf_dir).collect(), 1, 4),
-        ("pricing_summary", lambda: q_pricing_summary(spark, sf_dir).collect(), 1, 4),
-        ("text_quality", lambda: q_text_quality(spark, sf_dir).count(), 1, 4),
-        ("events_asof_purchase", lambda: q_events_asof_purchase(spark, sf_dir).count(), 1, 4),
-        ("dedup_ngram_pairs", lambda: q_dedup_ngram_pairs(spark, sf_dir).count(), 1, 4),
-        ("events_salted_agg", lambda: q_events_salted_agg(spark, sf_dir).collect(), 1, 4),
-        ("docs_decontaminate", lambda: q_docs_decontaminate(spark, sf_dir).count(), 1, 4),
+        # (name, fn, reps_per_pass)
+        ("extract_e2e_bench50k", extract_e2e, 2),
+        ("extract_e2e_skew5k", lambda: _leg(skew_path, "spans_skew"), 1),
+        ("extract_e2e_uniform5k", lambda: _leg(uni_path, "spans_uniform"), 1),
+        ("extract_full_sf", lambda: q_extract_full(spark, sf_dir).count(), 1),
+        ("dedup_minhash_sig", lambda: q_dedup_minhash_sig(spark, sf_dir).count(), 1),
+        ("sim_cosine_topk", lambda: q_sim_cosine_topk(spark, sf_dir).collect(), 1),
+        ("pricing_summary", lambda: q_pricing_summary(spark, sf_dir).collect(), 1),
+        ("text_quality", lambda: q_text_quality(spark, sf_dir).count(), 1),
+        ("events_asof_purchase", lambda: q_events_asof_purchase(spark, sf_dir).count(), 1),
+        ("dedup_ngram_pairs", lambda: q_dedup_ngram_pairs(spark, sf_dir).count(), 1),
+        ("events_salted_agg", lambda: q_events_salted_agg(spark, sf_dir).collect(), 1),
+        ("docs_decontaminate", lambda: q_docs_decontaminate(spark, sf_dir).count(), 1),
         (
             "docs_decontaminate_incremental",
             lambda: q_docs_decontaminate_incremental(spark, sf_dir).count(),
             1,
-            4,
         ),
         # since round 6 events_asof_purchase IS the bucketed plan (the
         # registry default); the plain single-window build is timed beside
         # it to keep the plain-vs-bucketed cost visible per round
-        ("events_asof_plain", lambda: q_events_asof_plain(spark, sf_dir).count(), 1, 4),
-        ("spans_main_content", lambda: q_spans_main_content(spark, sf_dir).count(), 1, 4),
+        ("events_asof_plain", lambda: q_events_asof_plain(spark, sf_dir).count(), 1),
+        ("spans_main_content", lambda: q_spans_main_content(spark, sf_dir).count(), 1),
         # the composed query a training run actually executes (gate →
         # dedup-among-survivors → domain cap → shuffle rank): tracked
         # round-over-round like the headline (round-6 verdict #6)
-        ("docs_curation_manifest", lambda: q_docs_curation_manifest(spark, sf_dir).count(), 1, 4),
+        ("docs_curation_manifest", lambda: q_docs_curation_manifest(spark, sf_dir).count(), 1),
+        # connected-components consumer (pair graph → large-star/small-star
+        # contraction → cluster sizes): the r8 CC rewrite is the largest
+        # algorithmic change since r5 — this leg gives its O(log n)-round
+        # claim a wall-clock record round-over-round (r8 verdict #4)
+        ("dedup_clusters", lambda: q_dedup_clusters(spark, sf_dir).count(), 1),
     ]
+
+    # Contention calibration (r8 verdict #2): a fixed pure-codegen reference
+    # leg (no IO, no shuffle) timed at the START of every pass. Each query's
+    # ratio to the SAME-pass calibration is host-load-normalized — when a
+    # leg's absolute min drifts round-over-round but its calibrated ratio
+    # holds, the drift is the host, not the code. Emitted per-query as
+    # queries_calibrated = min over passes of (t_pass / calib_pass).
+    def _calib():
+        spark.range(0, 400_000_000, 1, cpus).selectExpr(
+            "sum(id * 2654435761) AS s"
+        ).collect()
+
+    _calib()  # warm the codegen path once so pass 0 is not an outlier
+    per_pass: dict[str, list] = {name: [] for name, _, _ in measured}
+    calib_passes: list[float] = []
     for _pass in range(4):
-        for name, fn, reps, n_passes in measured:
-            if _pass >= n_passes:
-                continue
+        calib_passes.append(_timed(_calib))
+        for name, fn, reps in measured:
             t = min(_timed(fn) for _ in range(reps))
-            queries[name] = min(t, queries.get(name, float("inf")))
+            per_pass[name].append(t)
             # operators persist() intermediates; clear after EACH measured
             # operator (the CLAUDE.md sweep invariant, same policy as
             # check_driver_strict) so later queries are neither sped up by
             # a neighbor's cache nor skewed by eviction pressure from 14
             # accumulated persists
             spark.catalog.clearCache()
+    queries = {name: min(ts) for name, ts in per_pass.items()}
+    queries_calibrated = {
+        name: round(min(t / c for t, c in zip(ts, calib_passes)), 2)
+        for name, ts in per_pass.items()
+    }
     docs_per_sec = round(n_docs / queries["extract_e2e_bench50k"], 1)
     spark.stop()
 
@@ -217,6 +240,13 @@ def main():
         "queries_note": "min of 4 interleaved passes for every query "
         "(headline: 2 reps/pass, min-of-8); persisted caches "
         "cleared between queries",
+        "calib_sec": round(min(calib_passes), 3),
+        "calib_passes": [round(c, 3) for c in calib_passes],
+        "queries_calibrated": queries_calibrated,
+        "calib_note": "per-query min over passes of (t / same-pass calib); "
+        "calib = fixed pure-codegen leg timed at the start of each pass — "
+        "a leg whose absolute time drifts but whose calibrated ratio holds "
+        "moved with the host, not the code",
         "sf": sf_dir,
         "bench_docs": n_docs,
         "docs_per_sec": docs_per_sec,
