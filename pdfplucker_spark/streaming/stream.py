@@ -585,7 +585,10 @@ def stage_waves(docs_df, in_dir: str, waves=None, files_per_wave: int = 1):
     with schema-only slices, because a wave emitting fewer files would
     shift every later trigger boundary into the middle of a wave — the
     one way the multi-file contract can silently split a wave across
-    micro-batches. Slicing is deterministic (``pmod(doc_id, n)``).
+    micro-batches. Slicing is deterministic (``pmod(xxhash64(doc_id), n)``
+    — hash-first so the ONE staging helper honors its contract for
+    string-keyed corpora too; staging-side file placement only, never
+    oracle-compared, so the engine-internal hash is fine here).
 
     ``waves`` defaults to the distinct ``bno`` values present (an
     explicit range writes empty files for absent waves — the production
@@ -608,7 +611,9 @@ def stage_waves(docs_df, in_dir: str, waves=None, files_per_wave: int = 1):
             sl = (
                 wave
                 if files_per_wave == 1
-                else wave.where(F.pmod("doc_id", F.lit(files_per_wave)) == i)
+                else wave.where(
+                    F.pmod(F.xxhash64("doc_id"), F.lit(files_per_wave)) == i
+                )
             )
             sl.coalesce(1).write.mode("overwrite").parquet(tmp)
             parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
@@ -992,15 +997,25 @@ HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
 """
 
 
+STREAM_INC_FILES_PER_WAVE = 3  # production waves are multi-file (r8 #6)
+
+
 def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str):
     """DRIVER-GATED streaming: the documents corpus arrives as
     ``STREAM_INC_BATCHES`` waves (deterministic md5 gate, strictly
     increasing file mtimes so the file source drains them in wave order),
+    each wave staged as ``STREAM_INC_FILES_PER_WAVE`` files — the
+    production shape, where one arrival wave is many part files and
+    ``maxFilesPerTrigger`` keeps trigger boundaries wave-aligned — and
     screened incrementally against the growing standing index. The oracle
-    encodes the BATCH BOUNDARY in one SQL predicate: a pair is reported
-    iff the band keys match, the exact Jaccard clears the threshold, and
-    the screened doc's wave is STRICTLY LATER than the indexed doc's —
-    exactly what the per-wave index reads enforce."""
+    is UNCHANGED from the single-file registration: wave semantics are
+    defined by the in-data ``bno`` alone, so the file count per wave must
+    not change a single output row — the cross-engine record is exactly
+    the multi-file-contract check (r8 verdict #6). The oracle encodes the
+    BATCH BOUNDARY in one SQL predicate: a pair is reported iff the band
+    keys match, the exact Jaccard clears the threshold, and the screened
+    doc's wave is STRICTLY LATER than the indexed doc's — exactly what
+    the per-wave index reads enforce."""
     import os
 
     from pyspark.sql import functions as F
@@ -1016,9 +1031,20 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str):
                 % STREAM_INC_BATCHES
             ).cast("int"),
         )
-        stage_waves(d, in_dir, range(STREAM_INC_BATCHES))
+        stage_waves(
+            d,
+            in_dir,
+            range(STREAM_INC_BATCHES),
+            files_per_wave=STREAM_INC_FILES_PER_WAVE,
+        )
 
-    sink = _drain(spark, sf_dir, "inc", _stage, stream_dedup_incremental)
+    def _start(sp, in_dir, out_dir, ckpt_dir):
+        return stream_dedup_incremental(
+            sp, in_dir, out_dir, ckpt_dir,
+            files_per_wave=STREAM_INC_FILES_PER_WAVE,
+        )
+
+    sink = _drain(spark, sf_dir, "inc", _stage, _start)
     return spark.read.schema(
         "batch_doc_id long, index_doc_id long, jaccard double, bno int"
     ).parquet(sink)

@@ -751,3 +751,48 @@ def test_stage_waves_multi_file_contract_and_drain(spark, tmp_path):
 
     single = _drain("single", 1)
     assert multi == single and (40, 10, 1.0, 2) in multi
+
+
+def test_stage_waves_string_doc_ids_multi_file(spark, tmp_path):
+    """Round-9 (r8 verdict #7): the wave-slice key is hash-first
+    (pmod(xxhash64(doc_id), n)), so the ONE staging helper honors its
+    contract for STRING-keyed corpora too. Stage a string-keyed frame at
+    files_per_wave=3 and drain with a wave-counting foreachBatch: slicing
+    must be lossless (every row lands exactly once) and every trigger must
+    contain exactly one whole wave."""
+    from pdfplucker_spark.streaming.stream import stage_waves
+
+    rows = [(f"url://site-{i}/page", i % 3) for i in range(17)]
+    docs = spark.createDataFrame(rows, "doc_id string, bno int")
+    in_dir = f"{tmp_path}/in"
+    stage_waves(docs, in_dir, waves=range(3), files_per_wave=3)
+
+    names = sorted(os.listdir(in_dir))
+    assert names == [
+        f"{k:02d}-{i:02d}.parquet" for k in range(3) for i in range(3)
+    ]
+
+    batches: list[tuple[set, list]] = []
+
+    def _collect(batch_df, _bid):
+        got = batch_df.collect()
+        batches.append(
+            ({r["bno"] for r in got}, sorted(r["doc_id"] for r in got))
+        )
+
+    q = (
+        spark.readStream.schema("doc_id string, bno int")
+        .option("maxFilesPerTrigger", 3)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    # trigger boundary == wave boundary: one wave per micro-batch, in order
+    assert [b[0] for b in batches] == [{0}, {1}, {2}]
+    # lossless hash slicing: every input row lands exactly once
+    drained = sorted(d for _, ids in batches for d in ids)
+    assert drained == sorted(r[0] for r in rows)
