@@ -148,11 +148,13 @@ def _lsh_keys(emb):
 
 
 
-def _lsh_keys_sql() -> str:
-    """The same derivation, oracle side (one definition)."""
+def _lsh_keys_sql(n_tables: int = N_TABLES) -> str:
+    """The same derivation, oracle side (one definition). ``n_tables``
+    restricts to the first t tables — the query-time probe-breadth knob
+    the recall sweep turns (the index definition never changes)."""
     return " UNION ALL ".join(
         f"SELECT vec_id, {t} AS lsh_table, {_bucket_sql(t)} AS bucket FROM embeddings"
-        for t in range(N_TABLES)
+        for t in range(n_tables)
     )
 
 
@@ -261,21 +263,17 @@ SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM (
 """
 
 
-def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN query path: answer the same top-k cosine query as the brute-force
-    baseline, but score ONLY the candidates that share an LSH bucket with
-    the query vector in any table. At 10^9 vectors this prunes the scored
-    set from N to the query's bucket occupancy (~N/2^r per table) — the
-    broadcast of the tiny query-side key set replaces the full scan.
-
-    keys is persisted — it feeds both the query-side key lookup and the
-    corpus-side candidate filter (two consumers of the same 16-fold plane
-    derivation)."""
-    emb = load(spark, sf_dir, "embeddings")
-    keys = _lsh_keys(emb).persist()
-    qkeys = keys.where(F.col("vec_id") == QUERY_VEC_ID).select("lsh_table", "bucket")
+def _ann_topk_from_keys(emb, keys, n_tables: int = N_TABLES) -> DataFrame:
+    """LSH ANN top-k over a prebuilt (vec_id, lsh_table, bucket) keys frame,
+    probing only the FIRST ``n_tables`` tables — the query-time cost knob
+    (fewer tables probed = fewer candidates scored; the index itself never
+    changes). The caller owns persist() on ``keys``: the recall sweep
+    probes one shared keys frame at several breadths, so the 16-fold plane
+    derivation runs once for the whole sweep."""
+    k = keys if n_tables >= N_TABLES else keys.where(F.col("lsh_table") < n_tables)
+    qkeys = k.where(F.col("vec_id") == QUERY_VEC_ID).select("lsh_table", "bucket")
     cand = (
-        keys.where(F.col("vec_id") != QUERY_VEC_ID)
+        k.where(F.col("vec_id") != QUERY_VEC_ID)
         .join(F.broadcast(qkeys), ["lsh_table", "bucket"])
         .select("vec_id")
         .distinct()
@@ -298,9 +296,25 @@ def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SIM_ANN_TOPK = f"""
+def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN query path: answer the same top-k cosine query as the brute-force
+    baseline, but score ONLY the candidates that share an LSH bucket with
+    the query vector in any table. At 10^9 vectors this prunes the scored
+    set from N to the query's bucket occupancy (~N/2^r per table) — the
+    broadcast of the tiny query-side key set replaces the full scan.
+
+    keys is persisted — it feeds both the query-side key lookup and the
+    corpus-side candidate filter (two consumers of the same 16-fold plane
+    derivation)."""
+    emb = load(spark, sf_dir, "embeddings")
+    keys = _lsh_keys(emb).persist()
+    return _ann_topk_from_keys(emb, keys, N_TABLES)
+
+
+def _sql_ann_topk(n_tables: int = N_TABLES) -> str:
+    return f"""
 WITH k AS (
-  {_lsh_keys_sql()}
+  {_lsh_keys_sql(n_tables)}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id
@@ -318,6 +332,9 @@ SELECT vec_id, round(cos, 8) AS cosine FROM (
 ORDER BY cos DESC, vec_id ASC
 LIMIT {TOP_K}
 """
+
+
+SQL_SIM_ANN_TOPK = _sql_ann_topk(N_TABLES)
 
 
 # ---------------------------------------------------------------------------
@@ -416,10 +433,13 @@ FROM assigned GROUP BY cid
 """
 
 
-def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF query path: probe the {IVF_NPROBE} centroids nearest the query,
-    score only their inverted lists exactly, return the top-k."""
-    emb = load(spark, sf_dir, "embeddings")
+def _ivf_topk_from_assigned(emb, assigned, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF top-k over a prebuilt (vec_id, cid) assignment frame, probing the
+    ``nprobe`` centroids nearest the query — the query-time cost knob (more
+    lists probed = more vectors scored exactly; the inverted lists never
+    change). The caller owns persist() on ``assigned``: the recall sweep
+    probes one shared assignment at several breadths, so the map-only
+    broadcast-argmax runs once for the whole sweep."""
     qv = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").cast("array<double>").alias("qv")
     )
@@ -430,12 +450,11 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select("cid", F.expr(f"{cdot} / {cnrm}").alias("s"))
         .orderBy(F.desc("s"), F.asc("cid"))
-        .limit(IVF_NPROBE)
+        .limit(nprobe)
         .select("cid")
     )
     cand = (
-        _ivf_assigned(emb)
-        .join(F.broadcast(probe), "cid")
+        assigned.join(F.broadcast(probe), "cid")
         .where(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id")
     )
@@ -443,8 +462,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = "sqrt(aggregate(cast(embedding as array<double>), 0D, (a,x) -> a+x*x))"
     n2 = "sqrt(aggregate(qv, 0D, (a,x) -> a+x*x))"
     return (
-        load(spark, sf_dir, "embeddings")
-        .join(cand, "vec_id")
+        emb.join(cand, "vec_id")
         .crossJoin(F.broadcast(qv))
         .select("vec_id", F.expr(f"{dot} / ({n1} * {n2})").alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -453,7 +471,15 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SIM_IVF_TOPK = f"""
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF query path: probe the {IVF_NPROBE} centroids nearest the query,
+    score only their inverted lists exactly, return the top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    return _ivf_topk_from_assigned(emb, _ivf_assigned(emb), IVF_NPROBE)
+
+
+def _sql_ivf_topk(nprobe: int = IVF_NPROBE) -> str:
+    return f"""
 WITH {_SQL_IVF_ASSIGNED},
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 probe AS (
@@ -463,7 +489,7 @@ probe AS (
              ORDER BY list_dot_product(cv, (SELECT qv FROM q))
                         / sqrt(list_dot_product(cv, cv)) DESC, cid ASC) AS rn
     FROM c
-  ) WHERE rn <= {IVF_NPROBE}
+  ) WHERE rn <= {nprobe}
 ),
 cand AS (
   SELECT vec_id FROM assigned JOIN probe USING (cid)
@@ -481,18 +507,41 @@ LIMIT {TOP_K}
 """
 
 
+SQL_SIM_IVF_TOPK = _sql_ivf_topk(IVF_NPROBE)
+
+
+# The recall-vs-cost CURVE points (r8 verdict #5): the number a 100-TB
+# operator actually tunes by. Both sweeps turn the QUERY-TIME knob only —
+# the LSH table set and the IVF inverted lists never change, so the index
+# build cost is shared across the whole curve. The production points
+# (T=N_TABLES, nprobe=IVF_NPROBE) are members of their sweeps.
+LSH_TABLE_SWEEP = (1, 2, N_TABLES)
+IVF_NPROBE_SWEEP = (1, IVF_NPROBE, 4)
+
+
 def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k AUDIT of both approximate query paths against the exact
-    brute-force baseline — the number a 100-TB operator tunes nprobe /
-    band width by (r7 verdict #4). One row per ANN method: how many of
-    the exact top-k the approximate top-k recovered, as a recall in
-    [0, 1]. ``probe_param`` is the method's pruning knob (LSH: the OR
-    table count T; IVF: nprobe). All three top-k frames are k-row, so
-    every join here is broadcast-sized — the expensive part is the three
-    underlying scans, each already audited scale-safe on its own.
-    Oracle: the identical composition over the engines' shared top-k SQL
-    texts (each nests as a parenthesized WITH subquery)."""
-    exact = q_sim_cosine_topk(spark, sf_dir).select("vec_id")
+    brute-force baseline, swept along each method's query-time pruning
+    knob — the recall-vs-cost CURVE a 100-TB operator tunes by (r7
+    verdict #4, extended to the sweep by r8 verdict #5). One row per
+    (method, probe point): LSH probed at T ∈ {LSH_TABLE_SWEEP} of the
+    fixed {N_TABLES}-table index, IVF probed at nprobe ∈
+    {IVF_NPROBE_SWEEP} of the fixed {IVF_K} inverted lists. The shared
+    expensive inputs are built ONCE and persisted — the exact top-k
+    (k rows), the LSH keys frame (the 16-fold plane derivation), the IVF
+    assignment (map-only broadcast-argmax) — so the sweep's marginal
+    cost per point is one candidate filter + one k-row scoring pass.
+    All top-k frames are k-row, so every join here is broadcast-sized.
+    Recall is monotone in the probe param by construction (candidates
+    grow with the probe set; exact scoring on candidates means a true
+    top-k member is only ever displaced by another) — pytest-asserted.
+    Oracle: the identical composition over the engines' shared
+    parameterized top-k SQL texts (each nests as a parenthesized WITH
+    subquery)."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = q_sim_cosine_topk(spark, sf_dir).select("vec_id").persist()
+    keys = _lsh_keys(emb).persist()
+    assigned = _ivf_assigned(emb).persist()
 
     def _row(method: str, param: int, approx: DataFrame) -> DataFrame:
         hits = approx.select("vec_id").join(
@@ -506,30 +555,39 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits").cast("double") / TOP_K).alias("recall"),
         )
 
-    return _row("lsh", N_TABLES, q_sim_ann_topk(spark, sf_dir)).unionByName(
-        _row("ivf", IVF_NPROBE, q_sim_ivf_topk(spark, sf_dir))
+    rows = [
+        _row("lsh", t, _ann_topk_from_keys(emb, keys, t))
+        for t in LSH_TABLE_SWEEP
+    ] + [
+        _row("ivf", p, _ivf_topk_from_assigned(emb, assigned, p))
+        for p in IVF_NPROBE_SWEEP
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _sql_recall_row(method: str, param: int, topk_sql: str) -> str:
+    return f"""
+SELECT '{method}' AS method, {TOP_K} AS k, {param} AS probe_param,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / {TOP_K} AS recall
+FROM ({topk_sql}) WHERE vec_id IN (SELECT vec_id FROM exact_k)"""
+
+
+SQL_SIM_ANN_RECALL = (
+    f"WITH exact_k AS (SELECT vec_id FROM ({SQL_SIM_COSINE_TOPK}))"
+    + "\nUNION ALL\n".join(
+        [_sql_recall_row("lsh", t, _sql_ann_topk(t)) for t in LSH_TABLE_SWEEP]
+        + [_sql_recall_row("ivf", p, _sql_ivf_topk(p)) for p in IVF_NPROBE_SWEEP]
     )
-
-
-SQL_SIM_ANN_RECALL = f"""
-WITH exact_k AS (SELECT vec_id FROM ({SQL_SIM_COSINE_TOPK})),
-lsh_k AS (SELECT vec_id FROM ({SQL_SIM_ANN_TOPK})),
-ivf_k AS (SELECT vec_id FROM ({SQL_SIM_IVF_TOPK}))
-SELECT 'lsh' AS method, {TOP_K} AS k, {N_TABLES} AS probe_param,
-       CAST(COUNT(*) AS BIGINT) AS n_hits,
-       CAST(COUNT(*) AS DOUBLE) / {TOP_K} AS recall
-FROM lsh_k WHERE vec_id IN (SELECT vec_id FROM exact_k)
-UNION ALL
-SELECT 'ivf' AS method, {TOP_K} AS k, {IVF_NPROBE} AS probe_param,
-       CAST(COUNT(*) AS BIGINT) AS n_hits,
-       CAST(COUNT(*) AS DOUBLE) / {TOP_K} AS recall
-FROM ivf_k WHERE vec_id IN (SELECT vec_id FROM exact_k)
-"""
+)
 
 
 def q_sim_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate CLUSTERS: connected components over the
-    sign-LSH cosine pair graph — the same distributed min-label operator
+    sign-LSH cosine pair graph — the same distributed star-contraction operator
     the text pipeline uses (operators/pipeline.connected_components),
     composed over a different modality. Oracle: independent DuckDB
     recursive-CTE transitive closure over the same pair SQL."""
@@ -824,7 +882,7 @@ def q_sim_semdedup(
     alternative scale path to sign-LSH banding: candidates = same cluster,
     Σ_c sz(c)² work, K chosen so clusters stay bounded; at 10⁹+ vectors K
     scales ∝ N/target-cluster-size), verify candidates with the exact
-    cosine, connect near-dup components (min-label propagation), and keep
+    cosine, connect near-dup components (large-star/small-star contraction), and keep
     exactly one canonical vector per component (the min vec_id). Clusters
     above ``cluster_cap`` occupancy are dropped-and-logged — a degenerate
     corpus collapsing into one cluster cannot go quadratic. Output:
@@ -840,7 +898,7 @@ def _semdedup_tail(emb, cents, cluster_cap, log_label):
     """Everything after the centroid fit — shared by the full-corpus and
     sampled-fit SemDeDup variants: full-corpus broadcast-argmax assignment,
     occupancy-guarded cluster blocking, exact-cosine verify on candidates
-    only, min-label connected components, one canonical per component."""
+    only, star-contraction connected components, one canonical per component."""
     from pdfplucker_spark.operators.pipeline import connected_components
 
     # persist AFTER the fit (its closing unpersist would wipe an earlier

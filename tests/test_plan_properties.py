@@ -209,11 +209,20 @@ def test_curation_manifest_is_single_scan_join_free(spark):
     assert any("salt" in s for s in specs), specs
 
 
-def test_sim_ann_recall_consistent_with_component_topk(spark):
-    """The recall audit must equal the hand-computed intersection of its
-    component operators' outputs — and stay a well-formed recall (2 rows,
-    0 <= n_hits <= k, recall = n_hits/k)."""
+def test_sim_ann_recall_sweep_consistent_and_monotone(spark):
+    """The recall audit (now a sweep, r8 verdict #5) must (a) at the
+    PRODUCTION probe points equal the hand-computed intersection of its
+    component operators' outputs, (b) stay a well-formed recall at every
+    point (0 <= n_hits <= k, recall = n_hits/k), and (c) be MONOTONE
+    non-decreasing in the probe parameter per method — probing more
+    tables / more lists only grows the exactly-scored candidate set, and
+    a true top-k member can only be displaced by another true top-k
+    member, so recall cannot drop as the probe widens."""
     from pdfplucker_spark.operators.similarity import (
+        IVF_NPROBE,
+        IVF_NPROBE_SWEEP,
+        LSH_TABLE_SWEEP,
+        N_TABLES,
         TOP_K,
         q_sim_ann_recall,
         q_sim_ann_topk,
@@ -223,13 +232,25 @@ def test_sim_ann_recall_consistent_with_component_topk(spark):
 
     exact = {r.vec_id for r in q_sim_cosine_topk(spark, SF).collect()}
     expect = {
-        "lsh": len({r.vec_id for r in q_sim_ann_topk(spark, SF).collect()} & exact),
-        "ivf": len({r.vec_id for r in q_sim_ivf_topk(spark, SF).collect()} & exact),
+        ("lsh", N_TABLES): len(
+            {r.vec_id for r in q_sim_ann_topk(spark, SF).collect()} & exact
+        ),
+        ("ivf", IVF_NPROBE): len(
+            {r.vec_id for r in q_sim_ivf_topk(spark, SF).collect()} & exact
+        ),
     }
-    rows = {r.method: r for r in q_sim_ann_recall(spark, SF).collect()}
-    assert set(rows) == {"lsh", "ivf"}
-    for m, r in rows.items():
+    rows = {
+        (r.method, r.probe_param): r for r in q_sim_ann_recall(spark, SF).collect()
+    }
+    assert set(rows) == {("lsh", t) for t in LSH_TABLE_SWEEP} | {
+        ("ivf", p) for p in IVF_NPROBE_SWEEP
+    }
+    for key, r in rows.items():
         assert r.k == TOP_K
         assert 0 <= r.n_hits <= TOP_K
-        assert r.n_hits == expect[m], (m, r)
         assert r.recall == r.n_hits / TOP_K
+        if key in expect:
+            assert r.n_hits == expect[key], (key, r)
+    for method, sweep in (("lsh", LSH_TABLE_SWEEP), ("ivf", IVF_NPROBE_SWEEP)):
+        curve = [rows[(method, p)].recall for p in sorted(sweep)]
+        assert curve == sorted(curve), (method, curve)
