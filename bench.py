@@ -158,8 +158,10 @@ def main():
     # holds, the drift is the host, not the code. Emitted per-query as
     # queries_calibrated = min over passes of (t_pass / calib_pass).
     def _calib():
+        # each term < 1e9 so the 4e8-term BIGINT sum stays ~4e17, far from
+        # overflow — the session runs ANSI, where a long overflow THROWS
         spark.range(0, 400_000_000, 1, cpus).selectExpr(
-            "sum(id * 2654435761) AS s"
+            "sum((id * 2654435761) % 1000000007) AS s"
         ).collect()
 
     _calib()  # warm the codegen path once so pass 0 is not an outlier

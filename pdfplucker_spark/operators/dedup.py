@@ -408,6 +408,160 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# SimHash near-dup PAIRS — Hamming-distance join via Manku block banding.
+#
+# The 32-bit fingerprint above is the per-doc diagnostic; the PAIR operator
+# needs enough bits that block keys discriminate at corpus scale, so it
+# computes a 60-bit simhash (all bits of the portable md5-60bit token hash)
+# with the expensive parts hoisted: tokens are hashed ONCE per doc in their
+# own projection (multi-referenced + non-cheap, so CollapseProject keeps
+# the hoist — the 60 per-bit folds then run over prehashed longs, never
+# re-tokenizing or re-hashing; the CLAUDE.md hoist invariant).
+#
+# Banding is the Manku et al. (WWW'07) pigeonhole scheme, sized for
+# 10^9+ docs: split 60 bits into 6 blocks of 10; hamming(a,b) <= 3 means
+# at most 3 blocks differ, so >= 3 blocks agree, so a and b collide in at
+# least one of the C(6,3) = 20 tables keyed on a 30-bit block triple.
+# 30-bit keys put ~N/2^30 docs in a bucket (~1 at 10^9 docs) — the 4x8-bit
+# banding a 32-bit fingerprint would allow puts N/256 there (quadratic
+# blowup at any web scale). 20 cheap shift/mask projections of the ONE
+# persisted simhash frame, never 20 recomputations. Candidate generation
+# is COMPLETE (no false negatives <= the radius); false positives are
+# killed by the exact bit_count verify.
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 60
+SIMHASH_HAM_K = 3  # report pairs with hamming <= 3
+_SIMHASH_BLOCK_BITS = 10
+_SIMHASH_TABLES = tuple(
+    (j1, j2, j3) for j1 in range(6) for j2 in range(j1 + 1, 6) for j3 in range(j2 + 1, 6)
+)  # C(6,3) = 20 block triples
+
+
+_TOKEN_HASHES = f"transform(array_distinct(split(text, ' ')), t -> {sql_expr_md5_long('t')})"
+
+_SIMHASH60 = f"""
+  aggregate(
+    transform(sequence(0, {SIMHASH_BITS - 1}), b ->
+      CASE WHEN aggregate(
+             transform(__th, h -> IF((shiftright(h, b) & 1) = 1, 1, -1)),
+             0, (x, y) -> x + y) > 0
+           THEN shiftleft(1L, b) ELSE 0L END),
+    0L, (x, y) -> x + y)
+"""
+
+
+def _simhash_block_key(j1: int, j2: int, j3: int, col: str = "simhash") -> str:
+    """30-bit key = the (j1, j2, j3) block triple packed numerically."""
+    b = _SIMHASH_BLOCK_BITS
+    m = (1 << b) - 1
+    return (
+        f"(shiftright({col}, {b * j1}) & {m}) * {1 << (2 * b)}"
+        f" + (shiftright({col}, {b * j2}) & {m}) * {1 << b}"
+        f" + (shiftright({col}, {b * j3}) & {m})"
+    )
+
+
+def q_dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """All document pairs within SimHash Hamming distance {SIMHASH_HAM_K},
+    via the block-banded candidate join described above. Output:
+    (doc_a, doc_b, hamming). Over-capacity block keys are dropped-and-
+    logged before the self-join (plans/guards.py) — a boilerplate corpus
+    collapsing into one fingerprint cannot go quadratic; the oracle
+    encodes the same cap."""
+    d = load(spark, sf_dir, "documents")
+    # persist: the 60-bit fingerprint frame feeds all 20 band projections
+    sh = (
+        d.select("doc_id", F.expr(_TOKEN_HASHES).alias("__th"))
+        .select("doc_id", F.expr(_SIMHASH60).alias("simhash"))
+        .persist()
+    )
+    bands = None
+    for band, (j1, j2, j3) in enumerate(_SIMHASH_TABLES):
+        part = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(band).alias("band"),
+            F.expr(_simhash_block_key(j1, j2, j3)).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    bands = drop_oversized_buckets(
+        bands.persist(), ("band", "key"), bucket_cap, "dedup_simhash_pairs"
+    )
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a", "doc_b", F.expr("bit_count(sa ^ sb)").alias("hamming")
+        )
+        .where(F.col("hamming") <= SIMHASH_HAM_K)
+    )
+
+
+def _sql_simhash_pairs(cap: int = DEFAULT_BUCKET_CAP) -> str:
+    b = _SIMHASH_BLOCK_BITS
+    m = (1 << b) - 1
+    band_sql = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {band} AS band, "
+        f"((simhash >> {b * j1}) & {m}) * {1 << (2 * b)}"
+        f" + ((simhash >> {b * j2}) & {m}) * {1 << b}"
+        f" + ((simhash >> {b * j3}) & {m}) AS key FROM sh"
+        for band, (j1, j2, j3) in enumerate(_SIMHASH_TABLES)
+    )
+    return f"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        t -> {sql_md5_long('t')}) AS th
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_reduce(
+      [CAST(0 AS BIGINT)] ||
+      list_transform(range({SIMHASH_BITS}), b ->
+        CASE WHEN list_reduce([0] ||
+               list_transform(th, h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END),
+               (x, y) -> x + y) > 0
+             THEN CAST(1 AS BIGINT) << b ELSE 0 END),
+      (x, y) -> x + y) AS simhash
+  FROM th
+),
+bands AS (
+  {band_sql}
+),
+ok AS (SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= {cap}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa, b.doc_id AS doc_b, b.simhash AS sb
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.key = a.key
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAM_K}
+"""
+
+
+SQL_DEDUP_SIMHASH_PAIRS = _sql_simhash_pairs()
+
+
+# ---------------------------------------------------------------------------
 # n-gram shingle Jaccard
 # ---------------------------------------------------------------------------
 # tokenization HOISTED into its own projection: higher-order lambdas are
@@ -761,5 +915,6 @@ QUERIES = {
     "dedup_minhash_sig": (q_dedup_minhash_sig, SQL_DEDUP_MINHASH_SIG),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_ngram_pairs": (q_dedup_ngram_pairs, SQL_DEDUP_NGRAM_PAIRS),
 }

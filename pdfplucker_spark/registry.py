@@ -23,18 +23,19 @@ _OPERATOR_MODULES = (
 # two rounds. Names not in the registry are ignored; names not listed
 # keep module order after these.
 _RECORD_FIRST = (
-    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 104
+    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 105
     # live names means a two-round union covers at most 100, so priority
     # is: (1) the 8 names still riding r6 records — the stalest, each
-    # judge-strict-verified green in r8; (2) the 2 names whose EXECUTED
-    # PATH changed this round — sim_ann_recall grew from 2 rows to the
-    # 6-point recall-vs-cost sweep, stream_dedup_incremental now stages
-    # production-shaped multi-file waves (files_per_wave=3, same oracle);
-    # (3) 40 of the 45 remaining r7-record names. The 5 that spill to r10
-    # (text_quality, text_regex_stats, text_repetition, text_tokens,
-    # text_top_terms) are map-only textstats ops unchanged since r3,
-    # each pytest-covered, and text_quality additionally gets a bench leg
-    # every round.
+    # judge-strict-verified green in r8; (2) the 3 names new or with a
+    # changed EXECUTED PATH this round — dedup_simhash_pairs is new
+    # (Manku block-banded Hamming join), sim_ann_recall grew from 2 rows
+    # to the 6-point recall-vs-cost sweep, stream_dedup_incremental now
+    # stages production-shaped multi-file waves (files_per_wave=3, same
+    # oracle); (3) 39 of the 45 remaining r7-record names. The 6 that
+    # spill to r10 (text_fingerprint, text_quality, text_regex_stats,
+    # text_repetition, text_tokens, text_top_terms) are map-only
+    # textstats ops unchanged since round 3, each pytest-covered, and
+    # text_quality additionally gets a bench leg every round.
     "lineitem_price_histogram",
     "events_transition_matrix",
     "lineitem_quantiles",
@@ -43,10 +44,11 @@ _RECORD_FIRST = (
     "events_approx_overlap",
     "events_approx_distinct",
     "lineitem_approx_quantiles",
-    # --- round-9 changed paths ---
+    # --- round-9 new / changed paths ---
+    "dedup_simhash_pairs",
     "sim_ann_recall",
     "stream_dedup_incremental",
-    # --- 40 of the 45 remaining r7-record names ---
+    # --- 39 of the 45 remaining r7-record names ---
     "dedup_bag",
     "dedup_bag_nulls",
     "dedup_exact",
@@ -83,7 +85,6 @@ _RECORD_FIRST = (
     "sim_lsh_buckets",
     "spans_derive",
     "spans_main_content",
-    "text_fingerprint",
     "text_gopher_rules",
     "text_langid",
     "text_pii_scan",

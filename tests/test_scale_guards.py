@@ -348,3 +348,68 @@ def test_stream_dedup_incremental_cap_silent_on_driver_corpus(spark, tmp_path, c
     assert _committed_waves(f"{tmp_path}/out_index") == list(
         range(STREAM_INC_BATCHES)
     )
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark):
+    """The Manku block banding must be COMPLETE at the radius: every pair
+    within Hamming distance SIMHASH_HAM_K of the 60-bit fingerprints —
+    computed brute-force over all C(500,2) pairs here — must appear in
+    the operator output with the exact distance, and nothing else may."""
+    from pdfplucker_spark.operators.dedup import (
+        _SIMHASH60,
+        _TOKEN_HASHES,
+        SIMHASH_HAM_K,
+        q_dedup_simhash_pairs,
+    )
+    from pdfplucker_spark.sources.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in load(spark, sf, "documents")
+        .select("doc_id", F.expr(_TOKEN_HASHES).alias("__th"))
+        .select("doc_id", F.expr(_SIMHASH60).alias("simhash"))
+        .collect()
+    }
+    ids = sorted(sh)
+    expect = {
+        (a, b): (sh[a] ^ sh[b]).bit_count()
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (sh[a] ^ sh[b]).bit_count() <= SIMHASH_HAM_K
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in q_dedup_simhash_pairs(spark, sf).collect()
+    }
+    assert got == expect
+
+
+def test_simhash_bucket_guard_bounds_degenerate_corpus(spark, tmp_path, caplog):
+    """400 identical boilerplate docs share ONE fingerprint: all 20 block
+    tables collapse to a single bucket of occupancy 400 — unguarded, the
+    self-join is ~400²/2 × 20 tables of candidates. With the cap, the
+    non-discriminative buckets are dropped (logged) and the operator
+    returns no pairs instead of going quadratic."""
+    from pdfplucker_spark.operators.dedup import q_dedup_simhash_pairs
+
+    _write_degenerate_docs(spark, str(tmp_path))
+    with caplog.at_level(logging.WARNING, logger="pdfplucker_spark.plans.guards"):
+        out = q_dedup_simhash_pairs(spark, str(tmp_path), bucket_cap=100)
+        assert out.count() == 0
+    assert any(
+        "dedup_simhash_pairs" in r.message and "dropped" in r.message
+        for r in caplog.records
+    )
+
+
+def test_simhash_bucket_guard_silent_on_honest_corpus(spark):
+    """The default cap must never fire on the driver corpus: guarded and
+    unguarded results are identical at sf0.001."""
+    from pdfplucker_spark.operators.dedup import q_dedup_simhash_pairs
+
+    sf = "/root/testdata/sf0.001"
+    guarded = q_dedup_simhash_pairs(spark, sf)
+    unguarded = q_dedup_simhash_pairs(spark, sf, bucket_cap=None)
+    assert guarded.exceptAll(unguarded).count() == 0
+    assert unguarded.exceptAll(guarded).count() == 0
