@@ -413,10 +413,16 @@ FROM documents
 # The 32-bit fingerprint above is the per-doc diagnostic; the PAIR operator
 # needs enough bits that block keys discriminate at corpus scale, so it
 # computes a 60-bit simhash (all bits of the portable md5-60bit token hash)
-# with the expensive parts hoisted: tokens are hashed ONCE per doc in their
-# own projection (multi-referenced + non-cheap, so CollapseProject keeps
-# the hoist — the 60 per-bit folds then run over prehashed longs, never
-# re-tokenizing or re-hashing; the CLAUDE.md hoist invariant).
+# in a SINGLE pass over the tokens: one aggregate folds every token's hash
+# into a 60-element ±1 counts array (per-token zip_with), then one cheap
+# zip_with packs the sign bits. The per-bit-fold alternative (the 32-bit
+# diagnostic's shape) references the token-hash array once TEXTUALLY but
+# inside the bit lambda, so CollapseProject inlines the hoisted projection
+# (single textual reference = collapsible) and the md5 tokenization
+# re-executes once PER BIT — 60x the corpus hash cost, invisible at test
+# scale (caught by the plan pin below). The single-pass form is immune:
+# however Catalyst inlines it, the token array is consumed by exactly one
+# fold, so each token hashes once per doc.
 #
 # Banding is the Manku et al. (WWW'07) pigeonhole scheme, sized for
 # 10^9+ docs: split 60 bits into 6 blocks of 10; hamming(a,b) <= 3 means
@@ -437,15 +443,24 @@ _SIMHASH_TABLES = tuple(
 )  # C(6,3) = 20 block triples
 
 
-_TOKEN_HASHES = f"transform(array_distinct(split(text, ' ')), t -> {sql_expr_md5_long('t')})"
+# null text -> empty array, so a null-text doc fingerprints to 0 exactly
+# like the oracle's CASE (NULL > 0 is not true -> bit 0) — never to NULL,
+# whose band keys would silently drop out of the equi-join
+_TOKEN_HASHES = (
+    f"coalesce(transform(array_distinct(split(text, ' ')), "
+    f"t -> {sql_expr_md5_long('t')}), array())"
+)
 
 _SIMHASH60 = f"""
   aggregate(
-    transform(sequence(0, {SIMHASH_BITS - 1}), b ->
-      CASE WHEN aggregate(
-             transform(__th, h -> IF((shiftright(h, b) & 1) = 1, 1, -1)),
-             0, (x, y) -> x + y) > 0
-           THEN shiftleft(1L, b) ELSE 0L END),
+    zip_with(
+      aggregate(
+        __th,
+        transform(sequence(0, {SIMHASH_BITS - 1}), b -> 0),
+        (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
+                             (c, b) -> c + IF((shiftright(h, b) & 1) = 1, 1, -1))),
+      sequence(0, {SIMHASH_BITS - 1}),
+      (c, b) -> IF(c > 0, shiftleft(1L, b), 0L)),
     0L, (x, y) -> x + y)
 """
 

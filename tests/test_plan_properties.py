@@ -254,3 +254,49 @@ def test_sim_ann_recall_sweep_consistent_and_monotone(spark):
     for method, sweep in (("lsh", LSH_TABLE_SWEEP), ("ivf", IVF_NPROBE_SWEEP)):
         curve = [rows[(method, p)].recall for p in sorted(sweep)]
         assert curve == sorted(curve), (method, curve)
+
+
+def test_simhash_pairs_plan_cached_fingerprints_no_nested_loop(spark):
+    """The 60-bit fingerprint frame feeds all 20 Manku block tables and
+    both sides of the (band, key) self-join — it must come from cache,
+    never be recomputed per branch; and the candidate join must be a hash
+    join on the band key, never a nested-loop/cartesian."""
+    from pdfplucker_spark.operators.dedup import q_dedup_simhash_pairs
+
+    spark.catalog.clearCache()  # earlier tests' caches must not substitute
+    plan = _plan(q_dedup_simhash_pairs(spark, SF))
+    assert "InMemoryTableScan" in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_simhash_fingerprint_hashes_tokens_once(spark):
+    """The fingerprint must be the SINGLE-PASS counts-array fold: the
+    per-bit-fold alternative references the token-hash array once
+    textually inside the bit lambda, so CollapseProject inlines the
+    hoisted projection and the md5 tokenization re-executes once PER BIT
+    (60x the corpus hash cost — invisible at test scale). Pin the shape:
+    exactly one md5 in the optimized projection, and it must NOT appear
+    nested inside the constant bit-sequence transform's lambda (the
+    collapsed-per-bit signature)."""
+    import re
+
+    from pdfplucker_spark.operators.dedup import _SIMHASH60, _TOKEN_HASHES
+    from pdfplucker_spark.sources.tables import load
+
+    fp = (
+        load(spark, SF, "documents")
+        .select("doc_id", F.expr(_TOKEN_HASHES).alias("__th"))
+        .select("doc_id", F.expr(_SIMHASH60).alias("simhash"))
+    )
+    plan = fp._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5(") == 1, plan[:3000]
+    # single-pass signature: the md5 token-hash transform is the counts
+    # fold's INPUT argument (aggregate(coalesce(transform(array_distinct(
+    # split(...md5...) — evaluated once per row. The collapsed-per-bit
+    # shape instead buries it inside the bit-sequence transform's lambda
+    # (aggregate(transform(<bits>, ...aggregate(...md5...)...)), where it
+    # evaluates once per bit.
+    assert re.search(
+        r"aggregate\(coalesce\(transform\(array_distinct\(split\(", plan
+    ), plan[:3000]
