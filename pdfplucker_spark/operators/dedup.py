@@ -443,12 +443,14 @@ _SIMHASH_TABLES = tuple(
 )  # C(6,3) = 20 block triples
 
 
-# null text -> empty array, so a null-text doc fingerprints to 0 exactly
-# like the oracle's CASE (NULL > 0 is not true -> bit 0) — never to NULL,
-# whose band keys would silently drop out of the equi-join
+# null text -> NULL token array -> NULL fingerprint -> NULL band keys,
+# which never equi-join: null-text docs produce NO candidate pairs — the
+# same null POLICY as the minhash family (null-propagating band concat),
+# asserted cross-engine by the _nulls variant (the oracle explicitly
+# propagates NULL past its fold, whose CASE would otherwise yield 0 and
+# pair every null doc at distance 0)
 _TOKEN_HASHES = (
-    f"coalesce(transform(array_distinct(split(text, ' ')), "
-    f"t -> {sql_expr_md5_long('t')}), array())"
+    f"transform(array_distinct(split(text, ' ')), t -> {sql_expr_md5_long('t')})"
 )
 
 _SIMHASH60 = f"""
@@ -485,7 +487,23 @@ def q_dedup_simhash_pairs(
     logged before the self-join (plans/guards.py) — a boilerplate corpus
     collapsing into one fingerprint cannot go quadratic; the oracle
     encodes the same cap."""
-    d = load(spark, sf_dir, "documents")
+    return _simhash_pairs(load(spark, sf_dir, "documents"), bucket_cap)
+
+
+def q_dedup_simhash_pairs_nulls(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """The Hamming pair pipeline over the null-bearing corpus: null-text
+    docs get NULL fingerprints, so their band keys never equi-join —
+    engine and oracle must agree that null-text docs produce no pairs
+    (the dedup-family null policy; without the oracle-side NULL
+    propagation every null doc would pair at distance 0)."""
+    return _simhash_pairs(
+        docs_with_nulls(load(spark, sf_dir, "documents")), bucket_cap
+    )
+
+
+def _simhash_pairs(d: DataFrame, bucket_cap: int | None) -> DataFrame:
     # persist: the 60-bit fingerprint frame feeds all 20 band projections
     sh = (
         d.select("doc_id", F.expr(_TOKEN_HASHES).alias("__th"))
@@ -529,7 +547,9 @@ def q_dedup_simhash_pairs(
     )
 
 
-def _sql_simhash_pairs(cap: int = DEFAULT_BUCKET_CAP) -> str:
+def _sql_simhash_pairs(
+    cap: int = DEFAULT_BUCKET_CAP, table: str = "documents", prelude: str = ""
+) -> str:
     b = _SIMHASH_BLOCK_BITS
     m = (1 << b) - 1
     band_sql = " UNION ALL ".join(
@@ -540,14 +560,15 @@ def _sql_simhash_pairs(cap: int = DEFAULT_BUCKET_CAP) -> str:
         for band, (j1, j2, j3) in enumerate(_SIMHASH_TABLES)
     )
     return f"""
-WITH th AS (
+WITH {prelude}th AS (
   SELECT doc_id,
          list_transform(list_distinct(string_split(text, ' ')),
                         t -> {sql_md5_long('t')}) AS th
-  FROM documents
+  FROM {table}
 ),
 sh AS (
   SELECT doc_id,
+    CASE WHEN th IS NULL THEN NULL ELSE
     list_reduce(
       [CAST(0 AS BIGINT)] ||
       list_transform(range({SIMHASH_BITS}), b ->
@@ -555,7 +576,8 @@ sh AS (
                list_transform(th, h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END),
                (x, y) -> x + y) > 0
              THEN CAST(1 AS BIGINT) << b ELSE 0 END),
-      (x, y) -> x + y) AS simhash
+      (x, y) -> x + y)
+    END AS simhash
   FROM th
 ),
 bands AS (
@@ -574,6 +596,10 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAM_K}
 
 
 SQL_DEDUP_SIMHASH_PAIRS = _sql_simhash_pairs()
+
+SQL_DEDUP_SIMHASH_PAIRS_NULLS = _sql_simhash_pairs(
+    table="documents_nulls", prelude=f"{SQL_DOCS_WITH_NULLS_CTE},\n"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -931,5 +957,9 @@ QUERIES = {
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
+    "dedup_simhash_pairs_nulls": (
+        q_dedup_simhash_pairs_nulls,
+        SQL_DEDUP_SIMHASH_PAIRS_NULLS,
+    ),
     "dedup_ngram_pairs": (q_dedup_ngram_pairs, SQL_DEDUP_NGRAM_PAIRS),
 }

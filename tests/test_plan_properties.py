@@ -292,11 +292,11 @@ def test_simhash_fingerprint_hashes_tokens_once(spark):
     plan = fp._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("md5(") == 1, plan[:3000]
     # single-pass signature: the md5 token-hash transform is the counts
-    # fold's INPUT argument (aggregate(coalesce(transform(array_distinct(
-    # split(...md5...) — evaluated once per row. The collapsed-per-bit
-    # shape instead buries it inside the bit-sequence transform's lambda
+    # fold's INPUT argument (aggregate(transform(array_distinct(split(
+    # ...md5...) — evaluated once per row. The collapsed-per-bit shape
+    # instead buries it inside the bit-sequence transform's lambda
     # (aggregate(transform(<bits>, ...aggregate(...md5...)...)), where it
     # evaluates once per bit.
     assert re.search(
-        r"aggregate\(coalesce\(transform\(array_distinct\(split\(", plan
+        r"aggregate\(transform\(array_distinct\(split\(", plan
     ), plan[:3000]

@@ -413,3 +413,25 @@ def test_simhash_bucket_guard_silent_on_honest_corpus(spark):
     unguarded = q_dedup_simhash_pairs(spark, sf, bucket_cap=None)
     assert guarded.exceptAll(unguarded).count() == 0
     assert unguarded.exceptAll(guarded).count() == 0
+
+
+def test_simhash_pairs_null_docs_produce_no_pairs(spark):
+    """The dedup-family null policy: null-text docs get NULL fingerprints
+    whose band keys never equi-join — they appear in NO pair, and the
+    real-doc pairs are exactly the plain operator's output."""
+    from pdfplucker_spark.operators.dedup import (
+        q_dedup_simhash_pairs,
+        q_dedup_simhash_pairs_nulls,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    plain = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in q_dedup_simhash_pairs(spark, sf).collect()
+    }
+    with_nulls = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in q_dedup_simhash_pairs_nulls(spark, sf).collect()
+    }
+    assert with_nulls == plain
+    assert not any(a >= 10_000_000 or b >= 10_000_000 for a, b, _ in with_nulls)
