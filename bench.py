@@ -51,6 +51,7 @@ def main():
     from pdfplucker_spark.operators.dedup import (
         q_dedup_minhash_sig,
         q_dedup_ngram_pairs,
+        q_dedup_simhash_pairs,
     )
     from pdfplucker_spark.operators.extract import extract_spans
     from pdfplucker_spark.operators.pipeline import q_events_asof_purchase
@@ -149,6 +150,10 @@ def main():
         # algorithmic change since r5 — this leg gives its O(log n)-round
         # claim a wall-clock record round-over-round (r8 verdict #4)
         ("dedup_clusters", lambda: q_dedup_clusters(spark, sf_dir).count(), 1),
+        # the r9 Hamming-radius pair join (Manku block banding + exact
+        # bit_count verify): tracked from birth so the single-pass
+        # fingerprint fold has a wall-clock record round-over-round
+        ("dedup_simhash_pairs", lambda: q_dedup_simhash_pairs(spark, sf_dir).count(), 1),
     ]
 
     # Contention calibration (r8 verdict #2): a fixed pure-codegen reference
