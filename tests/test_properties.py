@@ -136,3 +136,54 @@ def test_asof_join_matches_python_reference_on_adversarial_ts(spark, tmp_path):
         else:
             exp = (None, None)
         assert got[e] == exp, (e, got[e], exp)
+
+
+def test_simhash_block_tables_pigeonhole_complete():
+    """Property (pure math, no Spark): for ANY two 60-bit fingerprints
+    within Hamming distance SIMHASH_HAM_K, at least one of the C(6,3)
+    block-triple tables produces equal keys — the completeness guarantee
+    the candidate join rests on. Checked over random pairs at every
+    distance 0..K (must collide) and over random far pairs spread across
+    > K blocks (must be allowed to miss — documents the one-sided
+    contract). Protects the table constants from a bad edit: dropping a
+    triple or mis-sizing a block silently loses recall."""
+    import random
+
+    from pdfplucker_spark.operators.dedup import (
+        _SIMHASH_BLOCK_BITS,
+        _SIMHASH_TABLES,
+        SIMHASH_BITS,
+        SIMHASH_HAM_K,
+    )
+
+    assert len(_SIMHASH_TABLES) == 20 and len(set(_SIMHASH_TABLES)) == 20
+    b, m = _SIMHASH_BLOCK_BITS, (1 << _SIMHASH_BLOCK_BITS) - 1
+
+    def keys(x):
+        return [
+            (
+                ((x >> (b * j1)) & m) * (1 << (2 * b))
+                + ((x >> (b * j2)) & m) * (1 << b)
+                + ((x >> (b * j3)) & m)
+            )
+            for (j1, j2, j3) in _SIMHASH_TABLES
+        ]
+
+    rng = random.Random(42)
+    for _ in range(500):
+        x = rng.getrandbits(SIMHASH_BITS)
+        d = rng.randint(0, SIMHASH_HAM_K)
+        y = x
+        for bit in rng.sample(range(SIMHASH_BITS), d):
+            y ^= 1 << bit
+        collides = any(ka == kb for ka, kb in zip(keys(x), keys(y)))
+        assert collides, (hex(x), hex(y), d)
+    # far pair spread across 4 distinct blocks: every triple hits a
+    # flipped block, so NO table may collide (the filter actually prunes)
+    for _ in range(100):
+        x = rng.getrandbits(SIMHASH_BITS)
+        blocks = rng.sample(range(6), 4)
+        y = x
+        for j in blocks:
+            y ^= 1 << (b * j + rng.randrange(b))
+        assert not any(ka == kb for ka, kb in zip(keys(x), keys(y)))
