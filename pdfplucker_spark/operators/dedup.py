@@ -936,6 +936,97 @@ WHERE CAST(n_shared AS DOUBLE) / sz_a >= {CONTAINMENT_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# Line-level dedup (RefinedWeb/CCNet boilerplate-segment removal).
+#
+# The intra-corpus counterpart of decontamination: segments repeated across
+# many DOCUMENTS are navigation/boilerplate, and the pipeline removes the
+# SEGMENT (keeping the doc) rather than dropping whole docs. The synthetic
+# corpus has no newline structure, so the segmenter is fixed
+# ``LINE_SEG_WORDS``-word windows — production swaps split-on-newline into
+# the same plumbing (segment → cross-doc frequency → drop → ordered
+# reassembly) without touching anything else.
+#
+# Scale shape: segments explode to ~N·L/w rows; the document-frequency
+# aggregation is (seg, doc_id)-distinct → per-seg count (both uniform
+# hash-agg keys with map-side partials); the boiler set joins back on the
+# segment key (small build side — only over-threshold segments). There is
+# NO self-join anywhere, so no occupancy guard is needed: a hot segment
+# costs one counter and one anti-join probe, never a quadratic bucket.
+# Reassembly is a per-DOC sort of that doc's own segments (doc-grain,
+# bounded by the doc length — never a hot-key array merge).
+# ---------------------------------------------------------------------------
+LINE_SEG_WORDS = 8
+LINE_DF_THRESHOLD = 3  # a segment in >= 3 distinct docs is boilerplate
+
+
+def q_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: segment count, boilerplate-segment count, and the cleaned
+    text with boilerplate segments removed (order-preserving reassembly).
+    Output: (doc_id, n_segs, n_boiler_segs, clean_text)."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    w = LINE_SEG_WORDS
+    # persist: the exploded segment frame feeds the df aggregation AND the
+    # flag join + reassembly
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(t) / {w}.0) AS INT) - 1), "
+                f"i -> concat_ws(' ', slice(t, i * {w} + 1, {w})))"
+            )
+        ).alias("seg_idx", "seg"),
+    ).persist()
+    boiler = (
+        segs.select("seg", "doc_id")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= LINE_DF_THRESHOLD)
+        .select("seg", F.lit(1).alias("b"))
+    )
+    flagged = segs.join(boiler, "seg", "left").select(
+        "doc_id", "seg_idx", "seg", F.coalesce("b", F.lit(0)).alias("b")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum("b").alias("n_boiler_segs"),
+        F.expr(
+            "concat_ws(' ', transform(filter(array_sort(collect_list("
+            "struct(seg_idx, seg, b))), x -> x.b = 0), x -> x.seg))"
+        ).alias("clean_text"),
+    )
+
+
+SQL_DOCS_LINE_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
+),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(t[(i * {LINE_SEG_WORDS} + 1):((i + 1) * {LINE_SEG_WORDS})], ' ') AS seg
+  FROM toks, UNNEST(range(CAST(ceil(len(t) / {LINE_SEG_WORDS}.0) AS BIGINT))) AS u(i)
+),
+boiler AS (
+  SELECT seg FROM (
+    SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+  ) WHERE df >= {LINE_DF_THRESHOLD}
+),
+flagged AS (
+  SELECT s.doc_id, s.seg_idx, s.seg,
+         CASE WHEN b.seg IS NULL THEN 0 ELSE 1 END AS b
+  FROM segs s LEFT JOIN boiler b USING (seg)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(b) AS BIGINT) AS n_boiler_segs,
+       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE b = 0), '') AS clean_text
+FROM flagged
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_containment_pairs": (
         q_dedup_containment_pairs,
@@ -962,4 +1053,5 @@ QUERIES = {
         SQL_DEDUP_SIMHASH_PAIRS_NULLS,
     ),
     "dedup_ngram_pairs": (q_dedup_ngram_pairs, SQL_DEDUP_NGRAM_PAIRS),
+    "docs_line_dedup": (q_docs_line_dedup, SQL_DOCS_LINE_DEDUP),
 }

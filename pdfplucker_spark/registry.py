@@ -23,17 +23,18 @@ _OPERATOR_MODULES = (
 # two rounds. Names not in the registry are ignored; names not listed
 # keep module order after these.
 _RECORD_FIRST = (
-    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 106
+    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 107
     # live names means a two-round union covers at most 100, so priority
     # is: (1) the 8 names still riding r6 records — the stalest, each
-    # judge-strict-verified green in r8; (2) the 4 names new or with a
-    # changed EXECUTED PATH this round — dedup_simhash_pairs and its
-    # _nulls variant are new (Manku block-banded Hamming join),
-    # sim_ann_recall grew from 2 rows to the 6-point recall-vs-cost
-    # sweep, stream_dedup_incremental now stages production-shaped
-    # multi-file waves (files_per_wave=3, same oracle); (3) 38 of the 45
-    # remaining r7-record names. The 7 that spill to r10
-    # (text_fingerprint, text_pii_scan, text_quality, text_regex_stats,
+    # judge-strict-verified green in r8; (2) the 5 names new or with a
+    # changed EXECUTED PATH this round — dedup_simhash_pairs + its
+    # _nulls variant (Manku block-banded Hamming join) and
+    # docs_line_dedup (repeated-segment removal) are new, sim_ann_recall
+    # grew from 2 rows to the 6-point recall-vs-cost sweep,
+    # stream_dedup_incremental now stages production-shaped multi-file
+    # waves (files_per_wave=3, same oracle); (3) 37 of the 45 remaining
+    # r7-record names. The 8 that spill to r10 (text_fingerprint,
+    # text_langid, text_pii_scan, text_quality, text_regex_stats,
     # text_repetition, text_tokens, text_top_terms) are map-only
     # textstats ops unchanged since round 3, each pytest-covered, and
     # text_quality additionally gets a bench leg every round.
@@ -48,9 +49,10 @@ _RECORD_FIRST = (
     # --- round-9 new / changed paths ---
     "dedup_simhash_pairs",
     "dedup_simhash_pairs_nulls",
+    "docs_line_dedup",
     "sim_ann_recall",
     "stream_dedup_incremental",
-    # --- 38 of the 45 remaining r7-record names ---
+    # --- 37 of the 45 remaining r7-record names ---
     "dedup_bag",
     "dedup_bag_nulls",
     "dedup_exact",
@@ -88,7 +90,6 @@ _RECORD_FIRST = (
     "spans_derive",
     "spans_main_content",
     "text_gopher_rules",
-    "text_langid",
 )
 
 

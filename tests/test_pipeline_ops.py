@@ -545,3 +545,44 @@ def test_curation_manifest_sequential_not_intersect(spark, tmp_path):
     assert got == exp
     kept = {r[0] for r in got}
     assert 1 in kept and 2 not in kept and 3 in kept
+
+
+def test_line_dedup_removes_shared_segment_and_reassembles(spark, tmp_path):
+    """Crafted corpus: an 8-word boilerplate segment planted at segment-
+    aligned positions in 3 docs must be removed from each (threshold 3),
+    a 2-doc segment must survive, and a doc with no boilerplate must
+    reassemble to EXACTLY its original text (the segmenter + ordered
+    concat round-trips)."""
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.dedup import (
+        LINE_DF_THRESHOLD,
+        LINE_SEG_WORDS,
+        q_docs_line_dedup,
+    )
+
+    assert LINE_DF_THRESHOLD == 3
+    boiler = " ".join(f"nav{i}" for i in range(LINE_SEG_WORDS))
+    pair = " ".join(f"two{i}" for i in range(LINE_SEG_WORDS))
+    mk = lambda *seg: " ".join(seg)
+    u = [" ".join(f"u{d}w{i}" for i in range(LINE_SEG_WORDS)) for d in range(9)]
+    rows = [
+        Row(doc_id=1, text=mk(boiler, u[0]), lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text=mk(u[1], boiler), lang="en", source="s", n_chars=1),
+        Row(doc_id=3, text=mk(u[2], boiler, u[3]), lang="en", source="s", n_chars=1),
+        Row(doc_id=4, text=mk(pair, u[4]), lang="en", source="s", n_chars=1),
+        Row(doc_id=5, text=mk(pair, u[5]), lang="en", source="s", n_chars=1),
+        Row(doc_id=6, text=mk(u[6], u[7], u[8]) + " tail words", lang="en", source="s", n_chars=1),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: r for r in q_docs_line_dedup(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    for d, n, nb in ((1, 2, 1), (2, 2, 1), (3, 3, 1)):
+        assert (got[d]["n_segs"], got[d]["n_boiler_segs"]) == (n, nb), got[d]
+        assert boiler not in got[d]["clean_text"]
+    assert got[1]["clean_text"] == u[0]
+    assert got[3]["clean_text"] == mk(u[2], u[3])
+    # below threshold: the 2-doc segment survives intact
+    assert got[4]["n_boiler_segs"] == 0 and got[4]["clean_text"] == rows[3].text
+    # no boilerplate: exact round-trip through segment + ordered reassembly
+    assert got[6]["n_boiler_segs"] == 0 and got[6]["clean_text"] == rows[5].text
