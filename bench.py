@@ -52,6 +52,7 @@ def main():
         q_dedup_minhash_sig,
         q_dedup_ngram_pairs,
         q_dedup_simhash_pairs,
+        q_docs_line_dedup,
     )
     from pdfplucker_spark.operators.extract import extract_spans
     from pdfplucker_spark.operators.pipeline import q_events_asof_purchase
@@ -154,6 +155,10 @@ def main():
         # bit_count verify): tracked from birth so the single-pass
         # fingerprint fold has a wall-clock record round-over-round
         ("dedup_simhash_pairs", lambda: q_dedup_simhash_pairs(spark, sf_dir).count(), 1),
+        # the r9 repeated-segment removal (explode → df agg → anti-join →
+        # per-doc reassembly): the only corpus-rewrite leg — tracked from
+        # birth (~2 s at sf0.1)
+        ("docs_line_dedup", lambda: q_docs_line_dedup(spark, sf_dir).count(), 1),
     ]
 
     # Contention calibration (r8 verdict #2): a fixed pure-codegen reference
