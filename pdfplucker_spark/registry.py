@@ -23,21 +23,23 @@ _OPERATOR_MODULES = (
 # two rounds. Names not in the registry are ignored; names not listed
 # keep module order after these.
 _RECORD_FIRST = (
-    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 107
+    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 108
     # live names means a two-round union covers at most 100, so priority
     # is: (1) the 8 names still riding r6 records — the stalest, each
-    # judge-strict-verified green in r8; (2) the 5 names new or with a
+    # judge-strict-verified green in r8; (2) the 6 names new or with a
     # changed EXECUTED PATH this round — dedup_simhash_pairs + its
-    # _nulls variant (Manku block-banded Hamming join) and
-    # docs_line_dedup (repeated-segment removal) are new, sim_ann_recall
-    # grew from 2 rows to the 6-point recall-vs-cost sweep,
+    # _nulls variant (Manku block-banded Hamming join), docs_line_dedup
+    # (repeated-segment removal) and stream_line_dedup_incremental (its
+    # wave-cumulative counts-index cadence) are new, sim_ann_recall grew
+    # from 2 rows to the 6-point recall-vs-cost sweep,
     # stream_dedup_incremental now stages production-shaped multi-file
-    # waves (files_per_wave=3, same oracle); (3) 37 of the 45 remaining
-    # r7-record names. The 8 that spill to r10 (text_fingerprint,
-    # text_langid, text_pii_scan, text_quality, text_regex_stats,
-    # text_repetition, text_tokens, text_top_terms) are map-only
-    # textstats ops unchanged since round 3, each pytest-covered, and
-    # text_quality additionally gets a bench leg every round.
+    # waves (files_per_wave=3, same oracle); (3) 36 of the 45 remaining
+    # r7-record names. The 9 that spill to r10 (regional_revenue_sql +
+    # the 8 map-only textstats names: text_fingerprint, text_langid,
+    # text_pii_scan, text_quality, text_regex_stats, text_repetition,
+    # text_tokens, text_top_terms) are unchanged since round 3-4, each
+    # pytest-covered; text_quality additionally gets a bench leg every
+    # round.
     "lineitem_price_histogram",
     "events_transition_matrix",
     "lineitem_quantiles",
@@ -50,9 +52,10 @@ _RECORD_FIRST = (
     "dedup_simhash_pairs",
     "dedup_simhash_pairs_nulls",
     "docs_line_dedup",
+    "stream_line_dedup_incremental",
     "sim_ann_recall",
     "stream_dedup_incremental",
-    # --- 37 of the 45 remaining r7-record names ---
+    # --- 36 of the 45 remaining r7-record names ---
     "dedup_bag",
     "dedup_bag_nulls",
     "dedup_exact",
@@ -77,7 +80,6 @@ _RECORD_FIRST = (
     "lineitem_cube",
     "media_decode_audio",
     "media_decode_image",
-    "regional_revenue_sql",
     "regional_supply",
     "returnflag_rollup",
     "sim_ann_topk",

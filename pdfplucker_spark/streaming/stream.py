@@ -1000,6 +1000,215 @@ HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
 STREAM_INC_FILES_PER_WAVE = 3  # production waves are multi-file (r8 #6)
 
 
+def stream_line_dedup_incremental(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    files_per_wave: int = 1,
+):
+    """foreachBatch incremental LINE dedup — the live-pipeline cadence of
+    ``docs_line_dedup`` (operators/dedup.py): docs arrive as waves, and a
+    segment is boilerplate for wave w iff its cumulative document
+    frequency over ALL waves ≤ w (the standing counts so far PLUS the
+    current wave's own docs) reaches the threshold. A segment crosses
+    the threshold in exactly one wave; earlier emissions are not
+    retro-cleaned — how a live pipeline behaves.
+
+    This is the THIRD standing-index state pattern beside the two
+    membership indexes (dedup: band keys + token sets; decontaminate:
+    static eval shingles): a sum-MERGEABLE aggregate. Each wave appends
+    one small (seg, n_docs) table; the current frequency is the sum over
+    committed waves — associative, so a production deployment compacts
+    prior waves into one rollup at any time without changing a single
+    result (the read below sums per-wave tables; with daily waves you'd
+    compact weekly). Per-wave join cost tracks the wave's segment set ×
+    the matched index rows; there is NO self-join, so no occupancy guard
+    is needed (a hot segment is one counter cell). Index visibility is
+    the commit-marker protocol; write order result → index → marker with
+    the same retry-skip + result-presence pin as the dedup stream."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.operators.dedup import (
+        LINE_DF_THRESHOLD,
+        LINE_SEG_WORDS,
+    )
+
+    index_dir = output_dir + "_index"
+    w = LINE_SEG_WORDS
+
+    src = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, bno int"
+        )
+        .option("maxFilesPerTrigger", files_per_wave)
+        .parquet(input_dir)
+    )
+
+    def _screen(batch_df, _batch_id):
+        sp = batch_df.sparkSession
+        bnos = sorted(r.bno for r in batch_df.select("bno").distinct().collect())
+        for bno in bnos:
+            committed = _committed_waves(index_dir)
+            if bno in committed:
+                if not os.path.isdir(os.path.join(output_dir, f"bno={bno}")):
+                    raise RuntimeError(
+                        f"stream_line_dedup_incremental: wave {bno} is "
+                        f"marker-committed but its result dir is absent — "
+                        "the result-before-marker write ordering was "
+                        "violated; skipping would drop this wave's output"
+                    )
+                continue
+            cur = batch_df.where(
+                (F.col("bno") == bno) & F.col("text").isNotNull()
+            )
+            # persist: the exploded segment frame feeds the wave-count agg
+            # AND the flag join + reassembly
+            segs = cur.select(
+                "doc_id",
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {w}.0) AS INT) - 1), "
+                        f"i -> concat_ws(' ', slice(split(text, ' '), i * {w} + 1, {w})))"
+                    )
+                ).alias("seg_idx", "seg"),
+            ).persist()
+            # this wave's per-segment distinct-doc counts: persisted — they
+            # feed the cumulative sum AND the index append
+            wc = (
+                segs.select("seg", "doc_id")
+                .distinct()
+                .groupBy("seg")
+                .agg(F.count("*").alias("n"))
+                .persist()
+            )
+            prior = [k for k in committed if k < bno]
+            total = wc
+            if prior:
+                total = wc.unionByName(
+                    sp.read.parquet(
+                        *[os.path.join(index_dir, f"bno={k}") for k in prior]
+                    )
+                )
+            boiler = (
+                total.groupBy("seg")
+                .agg(F.sum("n").alias("df"))
+                .where(F.col("df") >= LINE_DF_THRESHOLD)
+                .select("seg", F.lit(1).alias("b"))
+            )
+            flagged = segs.join(boiler, "seg", "left").select(
+                "doc_id", "seg_idx", "seg", F.coalesce("b", F.lit(0)).alias("b")
+            )
+            res = flagged.groupBy("doc_id").agg(
+                F.count("*").alias("n_segs"),
+                F.sum("b").alias("n_boiler_segs"),
+                F.expr(
+                    "concat_ws(' ', transform(filter(array_sort(collect_list("
+                    "struct(seg_idx, seg, b))), x -> x.b = 0), x -> x.seg))"
+                ).alias("clean_text"),
+            ).select(
+                "doc_id",
+                F.lit(bno).cast("int").alias("bno"),
+                "n_segs",
+                "n_boiler_segs",
+                "clean_text",
+            )
+            res.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"bno={bno}")
+            )
+            wc.write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"bno={bno}")
+            )
+            from pdfplucker_spark.job import _mark_committed
+
+            _mark_committed(index_dir, _index_marker(bno))
+            segs.unpersist()
+            wc.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def q_stream_line_dedup_incremental(spark: SparkSession, sf_dir: str):
+    """DRIVER-GATED streaming: the documents corpus arrives as
+    ``STREAM_INC_BATCHES`` waves and each wave's docs are cleaned
+    against the cumulative segment frequency up to and including their
+    own wave (threshold-crossing semantics). The oracle states the same
+    boundary with one window: per-(seg, wave) distinct-doc counts,
+    cumulative-summed over waves, joined back on the segment's own
+    (seg, bno) — a doc's segment is boilerplate iff the running df at
+    its OWN wave has crossed the threshold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.functions.hashing import md5_long
+
+    def _stage(sp, in_dir):
+        d = sp.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        d = d.withColumn(
+            "bno",
+            (
+                md5_long(F.concat(F.lit("lb:"), F.col("doc_id").cast("string")))
+                % STREAM_INC_BATCHES
+            ).cast("int"),
+        )
+        stage_waves(d, in_dir, range(STREAM_INC_BATCHES))
+
+    sink = _drain(
+        spark, sf_dir, "lineinc", _stage, stream_line_dedup_incremental
+    )
+    return spark.read.schema(
+        "doc_id long, bno int, n_segs long, n_boiler_segs long, "
+        "clean_text string"
+    ).parquet(sink)
+
+
+def _sql_stream_line_dedup_incremental() -> str:
+    from pdfplucker_spark.functions.hashing import sql_md5_long
+    from pdfplucker_spark.operators.dedup import (
+        LINE_DF_THRESHOLD,
+        LINE_SEG_WORDS,
+    )
+
+    gate = sql_md5_long("'lb:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST({gate} % {STREAM_INC_BATCHES} AS INTEGER) AS bno,
+         string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+segs AS (
+  SELECT doc_id, bno, i AS seg_idx,
+         array_to_string(t[(i * {LINE_SEG_WORDS} + 1):((i + 1) * {LINE_SEG_WORDS})], ' ') AS seg
+  FROM toks, UNNEST(range(CAST(ceil(len(t) / {LINE_SEG_WORDS}.0) AS BIGINT))) AS u(i)
+),
+wavedf AS (SELECT seg, bno, COUNT(DISTINCT doc_id) AS n FROM segs GROUP BY seg, bno),
+cum AS (
+  SELECT seg, bno, SUM(n) OVER (PARTITION BY seg ORDER BY bno) AS cdf FROM wavedf
+),
+flagged AS (
+  SELECT s.doc_id, s.bno, s.seg_idx, s.seg,
+         CASE WHEN c.cdf >= {LINE_DF_THRESHOLD} THEN 1 ELSE 0 END AS b
+  FROM segs s JOIN cum c ON c.seg = s.seg AND c.bno = s.bno
+)
+SELECT doc_id, bno,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(b) AS BIGINT) AS n_boiler_segs,
+       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE b = 0), '') AS clean_text
+FROM flagged
+GROUP BY doc_id, bno
+"""
+
+
 def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str):
     """DRIVER-GATED streaming: the documents corpus arrives as
     ``STREAM_INC_BATCHES`` waves (deterministic md5 gate, strictly
@@ -1097,6 +1306,10 @@ QUERIES = {
     "stream_decontaminate_incremental": (
         q_stream_decontaminate_incremental,
         _sql_stream_decontaminate_incremental(),
+    ),
+    "stream_line_dedup_incremental": (
+        q_stream_line_dedup_incremental,
+        _sql_stream_line_dedup_incremental(),
     ),
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
     "stream_user_running_totals": (

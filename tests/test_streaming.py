@@ -796,3 +796,56 @@ def test_stage_waves_string_doc_ids_multi_file(spark, tmp_path):
     # lossless hash slicing: every input row lands exactly once
     drained = sorted(d for _, ids in batches for d in ids)
     assert drained == sorted(r[0] for r in rows)
+
+
+def test_stream_line_dedup_threshold_crossing_semantics(spark, tmp_path):
+    """The counts-index contract: a segment present in ONE doc per wave
+    crosses LINE_DF_THRESHOLD=3 exactly at wave 2 (cumulative 1, 2, 3) —
+    so waves 0-1 emit it UNCLEANED and wave 2 (and any later wave)
+    removes it. Unique filler segments are never removed anywhere."""
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.operators.dedup import (
+        LINE_DF_THRESHOLD,
+        LINE_SEG_WORDS,
+    )
+    from pdfplucker_spark.streaming.stream import (
+        stage_waves,
+        stream_line_dedup_incremental,
+    )
+
+    assert LINE_DF_THRESHOLD == 3
+    boiler = " ".join(f"nav{i}" for i in range(LINE_SEG_WORDS))
+    rows = []
+    for wave in range(4):
+        filler = " ".join(f"w{wave}u{i}" for i in range(LINE_SEG_WORDS))
+        rows.append((100 + wave, boiler + " " + filler, wave))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, bno int"
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").cast("long").alias("n_chars"), "bno",
+    )
+    in_dir, out_dir, ckpt = (
+        f"{tmp_path}/in", f"{tmp_path}/out", f"{tmp_path}/ckpt"
+    )
+    stage_waves(docs, in_dir, range(4))
+
+    q = stream_line_dedup_incremental(spark, in_dir, out_dir, ckpt)
+    assert q.awaitTermination(300)
+
+    got = {
+        r["doc_id"]: r
+        for r in spark.read.schema(
+            "doc_id long, bno int, n_segs long, n_boiler_segs long, "
+            "clean_text string"
+        ).parquet(out_dir).collect()
+    }
+    assert set(got) == {100, 101, 102, 103}
+    # waves 0-1: cumulative df 1 then 2 — below threshold, emitted intact
+    for d in (100, 101):
+        assert got[d]["n_boiler_segs"] == 0 and boiler in got[d]["clean_text"]
+    # wave 2 crosses (df 3) and wave 3 stays boiler (df 4)
+    for d in (102, 103):
+        assert got[d]["n_boiler_segs"] == 1 and boiler not in got[d]["clean_text"]
+        assert got[d]["clean_text"].startswith(f"w{d - 100}u0")
