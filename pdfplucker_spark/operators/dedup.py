@@ -959,25 +959,39 @@ WHERE CAST(n_shared AS DOUBLE) / sz_a >= {CONTAINMENT_THRESHOLD}
 LINE_SEG_WORDS = 8
 LINE_DF_THRESHOLD = 3  # a segment in >= 3 distinct docs is boilerplate
 
+# THE segmenter, over a hoisted token-array column ``t`` — shared by the
+# batch operator and the streaming wave loop (one definition, like
+# _SHINGLE_OVER_TOKENS). ``t`` is referenced twice textually (size + the
+# per-element slice), so CollapseProject keeps the hoist and tokenization
+# runs once per doc — inlining split() here would re-tokenize once per
+# SEGMENT (O(L²/w)/row, the CLAUDE.md anti-pattern).
+_SEGMENTS_OVER_T = (
+    f"transform(sequence(0, CAST(ceil(size(t) / {LINE_SEG_WORDS}.0) AS INT) - 1), "
+    f"i -> concat_ws(' ', slice(t, i * {LINE_SEG_WORDS} + 1, {LINE_SEG_WORDS})))"
+)
+
+
+def line_segment_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, seg_idx, seg) — the exploded segment rows for non-null-text
+    docs; the ONE segmenter both line-dedup cadences build on."""
+    return (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(_SEGMENTS_OVER_T)).alias("seg_idx", "seg"),
+        )
+    )
+
 
 def q_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per doc: segment count, boilerplate-segment count, and the cleaned
     text with boilerplate segments removed (order-preserving reassembly).
     Output: (doc_id, n_segs, n_boiler_segs, clean_text)."""
-    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    w = LINE_SEG_WORDS
+    d = load(spark, sf_dir, "documents")
     # persist: the exploded segment frame feeds the df aggregation AND the
     # flag join + reassembly
-    segs = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, CAST(ceil(size(t) / {w}.0) AS INT) - 1), "
-                f"i -> concat_ws(' ', slice(t, i * {w} + 1, {w})))"
-            )
-        ).alias("seg_idx", "seg"),
-    ).persist()
+    segs = line_segment_rows(d).persist()
     boiler = (
         segs.select("seg", "doc_id")
         .distinct()

@@ -25,21 +25,32 @@ _OPERATOR_MODULES = (
 _RECORD_FIRST = (
     # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 108
     # live names means a two-round union covers at most 100, so priority
-    # is: (1) the 8 names still riding r6 records — the stalest, each
-    # judge-strict-verified green in r8; (2) the 6 names new or with a
-    # changed EXECUTED PATH this round — dedup_simhash_pairs + its
+    # is: (1) the 6 names new or with a changed EXECUTED PATH this
+    # round (new/changed lead, per CLAUDE.md); (2) the 8 names still
+    # riding r6 records — the stalest, each judge-strict-verified green
+    # in r8. The round-9 changed set: dedup_simhash_pairs + its
     # _nulls variant (Manku block-banded Hamming join), docs_line_dedup
     # (repeated-segment removal) and stream_line_dedup_incremental (its
-    # wave-cumulative counts-index cadence) are new, sim_ann_recall grew
-    # from 2 rows to the 6-point recall-vs-cost sweep,
+    # wave-cumulative counts-index cadence) are new; sim_ann_recall grew
+    # from 2 rows to the 6-point recall-vs-cost sweep;
     # stream_dedup_incremental now stages production-shaped multi-file
-    # waves (files_per_wave=3, same oracle); (3) 36 of the 45 remaining
+    # waves (files_per_wave=3, same oracle). Then (3) 36 of the 45
     # r7-record names. The 9 that spill to r10 (regional_revenue_sql +
     # the 8 map-only textstats names: text_fingerprint, text_langid,
     # text_pii_scan, text_quality, text_regex_stats, text_repetition,
     # text_tokens, text_top_terms) are unchanged since round 3-4, each
     # pytest-covered; text_quality additionally gets a bench leg every
     # round.
+    # --- round-9 new / changed paths (new/changed lead, per the header
+    # comment + CLAUDE.md; membership is what the 50-name sample sees,
+    # but a narrower sample must record these first) ---
+    "dedup_simhash_pairs",
+    "dedup_simhash_pairs_nulls",
+    "docs_line_dedup",
+    "stream_line_dedup_incremental",
+    "sim_ann_recall",
+    "stream_dedup_incremental",
+    # --- the 8 names still riding r6 records (the stalest) ---
     "lineitem_price_histogram",
     "events_transition_matrix",
     "lineitem_quantiles",
@@ -48,13 +59,6 @@ _RECORD_FIRST = (
     "events_approx_overlap",
     "events_approx_distinct",
     "lineitem_approx_quantiles",
-    # --- round-9 new / changed paths ---
-    "dedup_simhash_pairs",
-    "dedup_simhash_pairs_nulls",
-    "docs_line_dedup",
-    "stream_line_dedup_incremental",
-    "sim_ann_recall",
-    "stream_dedup_incremental",
     # --- 36 of the 45 remaining r7-record names ---
     "dedup_bag",
     "dedup_bag_nulls",

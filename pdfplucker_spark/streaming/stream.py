@@ -1033,11 +1033,10 @@ def stream_line_dedup_incremental(
 
     from pdfplucker_spark.operators.dedup import (
         LINE_DF_THRESHOLD,
-        LINE_SEG_WORDS,
+        line_segment_rows,
     )
 
     index_dir = output_dir + "_index"
-    w = LINE_SEG_WORDS
 
     src = (
         spark.readStream.schema(
@@ -1062,20 +1061,12 @@ def stream_line_dedup_incremental(
                         "violated; skipping would drop this wave's output"
                     )
                 continue
-            cur = batch_df.where(
-                (F.col("bno") == bno) & F.col("text").isNotNull()
-            )
+            cur = batch_df.where(F.col("bno") == bno)
             # persist: the exploded segment frame feeds the wave-count agg
-            # AND the flag join + reassembly
-            segs = cur.select(
-                "doc_id",
-                F.posexplode(
-                    F.expr(
-                        f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {w}.0) AS INT) - 1), "
-                        f"i -> concat_ws(' ', slice(split(text, ' '), i * {w} + 1, {w})))"
-                    )
-                ).alias("seg_idx", "seg"),
-            ).persist()
+            # AND the flag join + reassembly. line_segment_rows is THE
+            # shared segmenter (tokenize hoisted — never re-split per
+            # segment; it also drops null-text docs, matching the oracle).
+            segs = line_segment_rows(cur).persist()
             # this wave's per-segment distinct-doc counts: persisted — they
             # feed the cumulative sum AND the index append
             wc = (

@@ -300,3 +300,22 @@ def test_simhash_fingerprint_hashes_tokens_once(spark):
     assert re.search(
         r"aggregate\(transform\(array_distinct\(split\(", plan
     ), plan[:3000]
+
+
+def test_line_segmenter_tokenizes_once(spark):
+    """The shared line-dedup segmenter must keep split() hoisted in its
+    own projection (referenced twice textually — size + the per-element
+    slice — so CollapseProject keeps it): exactly one split in the
+    optimized plan. An inlined split would re-tokenize the doc once per
+    SEGMENT (O(L²/w) per row) — the shape both line-dedup cadences must
+    never regress to."""
+    from pdfplucker_spark.operators.dedup import line_segment_rows
+    from pdfplucker_spark.sources.tables import load
+
+    plan = (
+        line_segment_rows(load(spark, SF, "documents"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, plan[:2000]
