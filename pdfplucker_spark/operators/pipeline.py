@@ -296,6 +296,131 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# unigram LM fit + per-doc log-perplexity (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+# top-V unigram vocabulary. The synthetic corpus has 31 distinct tokens,
+# so V=16 exercises BOTH scoring paths (in-vocab and OOV) at every sf.
+LOGPPL_VOCAB = 16
+# per-token log-prob quantum: log-probs are snapped to this integer grid
+LOGPPL_MICRO = 1_000_000
+
+
+def q_docs_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-filter signal: fit a top-V unigram LM on the
+    corpus itself, then score every document with its unigram
+    log-perplexity and OOV count (in-vocab p(t) = cnt/total; OOV tokens
+    score p = 1/(2*total)).
+
+    Cross-engine exactness: ``ln`` is NOT bit-identical between the JVM
+    and libm (measured: ~3% of values differ by 1 ulp), so per-token
+    log-probs are quantized to an integer micro-unit grid
+    (``round(ln(p)*1e6) AS BIGINT``) BEFORE the per-doc sum — the group
+    sum is then exact order-independent integer math on both engines, and
+    a 1-ulp ln() difference only matters if ln(p)*1e6 sits within ~1e-9 of
+    a rounding boundary, across just |vocab|+1 distinct ratios per corpus.
+
+    Scale shape (100 TB): explode is map-only; the token-count agg is one
+    corpus-scale shuffle whose map-side partial aggregation absorbs the
+    skewed common tokens; top-V is TakeOrdered over the vocab-cardinality
+    counts table (never a full sort); vocab + total broadcast back onto
+    the exploded stream (map-side joins, no shuffle); the per-doc integer
+    sum is the second and last shuffle, keyed on the uniform doc_id.
+    ``counts`` is persisted (two consumers — the total and the top-V — and
+    it is vocab-sized). The exploded frame is deliberately NOT cached: it
+    is corpus×tokens scale, and its second consumer costs only a rescan +
+    map, the cheaper side at scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(LOGPPL_VOCAB)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.expr(
+                f"CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * {LOGPPL_MICRO}) AS BIGINT)"
+            ).alias("logp_micro"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("logp_micro"),
+                F.expr(
+                    f"CAST(round(ln(1.0D / (2 * tot)) * {LOGPPL_MICRO}) AS BIGINT)"
+                ),
+            ).alias("lp"),
+            F.col("logp_micro").isNull().cast("int").alias("is_oov"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("is_oov").alias("oov_tokens"),
+        F.sum("lp").alias("slog"),
+    )
+    # The reported mean stays ON the integer micro grid ((-slog) div n —
+    # exact integer math, both operands positive so Spark's truncating
+    # `div` == DuckDB's flooring `//`), then ONE IEEE division by 1e6.
+    # A round(sum/(n*1e6), 6) here would be a cross-engine trap: the
+    # quotient of two integers lands EXACTLY on .xxxxxx5 decimals for many
+    # (slog, n), where Spark (HALF_UP on the shortest decimal repr) and
+    # DuckDB (round on the raw binary double) disagree — observed at sf0.1.
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "oov_tokens",
+        (
+            F.expr("(-slog) div n_tokens").cast("double")
+            / F.lit(float(LOGPPL_MICRO))
+        ).alias("logppl"),
+    )
+
+
+SQL_DOCS_UNIGRAM_LOGPPL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+  FROM documents
+),
+counts AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM counts
+),
+vocab AS MATERIALIZED (
+  SELECT tok,
+         CAST(round(ln(CAST(cnt AS DOUBLE) / tot.tot) * {LOGPPL_MICRO}) AS BIGINT)
+           AS logp_micro
+  FROM counts, tot
+  ORDER BY cnt DESC, tok ASC LIMIT {LOGPPL_VOCAB}
+),
+scored AS (
+  SELECT t.doc_id,
+         coalesce(v.logp_micro,
+                  CAST(round(ln(1.0 / (2 * tot.tot)) * {LOGPPL_MICRO}) AS BIGINT))
+           AS lp,
+         CASE WHEN v.logp_micro IS NULL THEN 1 ELSE 0 END AS is_oov
+  FROM toks t LEFT JOIN vocab v USING (tok), tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(is_oov) AS BIGINT) AS oov_tokens,
+       CAST((-CAST(SUM(lp) AS BIGINT)) // COUNT(*) AS DOUBLE)
+         / {float(LOGPPL_MICRO)} AS logppl
+FROM scored GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact grouped quantiles
 # ---------------------------------------------------------------------------
 def q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1493,6 +1618,7 @@ QUERIES = {
     "events_asof_purchase": (q_events_asof_bucketed, SQL_EVENTS_ASOF_PURCHASE),
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
+    "docs_unigram_logppl": (q_docs_unigram_logppl, SQL_DOCS_UNIGRAM_LOGPPL),
     "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),
     "docs_sample": (q_docs_sample, SQL_DOCS_SAMPLE),
     "docs_sample_weighted": (q_docs_sample_weighted, SQL_DOCS_SAMPLE_WEIGHTED),

@@ -44,6 +44,7 @@ _RECORD_FIRST = (
     # --- round-9 new / changed paths (new/changed lead, per the header
     # comment + CLAUDE.md; membership is what the 50-name sample sees,
     # but a narrower sample must record these first) ---
+    "docs_unigram_logppl",
     "dedup_simhash_pairs",
     "dedup_simhash_pairs_nulls",
     "docs_line_dedup",

@@ -586,3 +586,67 @@ def test_line_dedup_removes_shared_segment_and_reassembles(spark, tmp_path):
     assert got[4]["n_boiler_segs"] == 0 and got[4]["clean_text"] == rows[3].text
     # no boilerplate: exact round-trip through segment + ordered reassembly
     assert got[6]["n_boiler_segs"] == 0 and got[6]["clean_text"] == rows[5].text
+
+
+def test_unigram_logppl_matches_hand_computed_lm(spark, tmp_path):
+    """Crafted 20-token-vocabulary corpus (16 common tokens that fill the
+    top-V vocab exactly, 4 singleton rares that fall OOV): per-doc OOV
+    counts and micro-grid log-perplexities must equal a hand-rolled
+    Python replica of the LM, and an all-OOV doc must score strictly more
+    surprising than an all-common doc."""
+    import math
+
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.pipeline import (
+        LOGPPL_MICRO,
+        LOGPPL_VOCAB,
+        q_docs_unigram_logppl,
+    )
+
+    assert LOGPPL_VOCAB == 16
+    common = [f"c{i:02d}" for i in range(16)]
+    texts = {
+        1: "c00 c01 c02",
+        2: "r0 r1 r2",
+        3: "c00 r3",
+        4: " ".join(common),
+        5: " ".join(common),
+    }
+    rows = [
+        Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t))
+        for d, t in texts.items()
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+
+    # hand-rolled replica of the operator's LM definition
+    cnt: dict[str, int] = {}
+    for t in texts.values():
+        for tok in t.split(" "):
+            cnt[tok] = cnt.get(tok, 0) + 1
+    tot = sum(cnt.values())
+    vocab = dict(
+        sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:LOGPPL_VOCAB]
+    )
+    assert set(vocab) == set(common)  # rares are OOV by construction
+
+    def micro(p: float) -> int:  # HALF_UP away from zero, like both engines
+        x = math.log(p) * LOGPPL_MICRO
+        return -int(math.floor(-x + 0.5)) if x < 0 else int(math.floor(x + 0.5))
+
+    def expected(text: str) -> tuple[int, int, float]:
+        toks = text.split(" ")
+        lps = [
+            micro(vocab[t] / tot) if t in vocab else micro(1.0 / (2 * tot))
+            for t in toks
+        ]
+        oov = sum(1 for t in toks if t not in vocab)
+        return len(toks), oov, (-sum(lps) // len(lps)) / float(LOGPPL_MICRO)
+
+    got = {r.doc_id: r for r in q_docs_unigram_logppl(spark, str(tmp_path)).collect()}
+    assert set(got) == set(texts)
+    for d, t in texts.items():
+        n, oov, lp = expected(t)
+        assert (got[d].n_tokens, got[d].oov_tokens, got[d].logppl) == (n, oov, lp), d
+    # the all-OOV doc is strictly more surprising than the all-common doc
+    assert got[2].logppl > got[1].logppl

@@ -319,3 +319,23 @@ def test_line_segmenter_tokenizes_once(spark):
         .toString()
     )
     assert plan.count("split(") == 1, plan[:2000]
+
+
+def test_logppl_vocab_take_ordered_and_broadcast_only(spark):
+    """The unigram-LM scorer's 100-TB shape: the top-V vocabulary comes out
+    of a TakeOrderedAndProject over the vocab-cardinality counts table
+    (never a global sort of the corpus), the vocab and the 1-row total
+    reach the exploded token stream only via broadcast, and the only
+    corpus-scale shuffles are the two hash aggregations (token counts,
+    per-doc sums) — no SortMergeJoin and no range partitioning anywhere."""
+    from pdfplucker_spark.operators.pipeline import (
+        LOGPPL_VOCAB,
+        q_docs_unigram_logppl,
+    )
+
+    spark.catalog.clearCache()  # counts.persist() — don't inherit caches
+    plan = _plan(q_docs_unigram_logppl(spark, SF))
+    assert f"TakeOrderedAndProject(limit={LOGPPL_VOCAB}" in plan, plan[:2500]
+    assert "SortMergeJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan  # vocab → exploded stream, map-side
