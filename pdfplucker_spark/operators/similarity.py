@@ -872,6 +872,146 @@ SQL_SIM_KMEANS_FIT = _sql_kmeans_fit_query()
 
 
 # ---------------------------------------------------------------------------
+# greedy k-center coreset sampling (Gonzalez) — diverse-sample curation
+# ---------------------------------------------------------------------------
+KCENTER_K = 8
+
+
+def _d2_cols(v, c):
+    """Squared L2 between two double arrays as the sequential left fold
+    both engines reproduce bit-identically (sub/mul/add are exact IEEE
+    ops; no sqrt, so no libm rounding dependency anywhere)."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def kcenter_sample(emb, k: int = KCENTER_K):
+    """Greedy k-center (Gonzalez 1985) over the embedding corpus: seed
+    with the smallest vec_id, then k-1 rounds of "add the point farthest
+    from the chosen set" — the classic 2-approximation coreset / diverse
+    sampler a curation pipeline uses to pick maximally-spread exemplars.
+
+    Scale shape: the running state is ONE (vec_id, v, best_d2) frame;
+    each round does a single map (``least(best_d2, d2(v, new_center))``
+    against the new center baked as an exact double-literal array) and a
+    TakeOrdered(1) argmax (per-partition top-1, driver merges partition
+    winners) — no shuffle at any N, k rows of driver traffic total. The
+    state frame is ``localCheckpoint``-ed per round so each argmax costs
+    exactly one pass and plan depth stays O(1) in k. Ties break on
+    vec_id ASC; already-chosen ids are excluded explicitly (an all-
+    duplicates corpus would otherwise re-pick at best_d2 = 0).
+
+    Returns (sel_seq, vec_id, coverage_d2): coverage_d2 is the point's
+    min squared distance to the previously chosen set at selection time —
+    the nonincreasing coverage-radius sequence (NULL for the seed) that
+    monitors coreset quality.
+    """
+    spark = emb.sparkSession
+    pts = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    out: list[tuple] = []
+    seed_rows = pts.orderBy(F.asc("vec_id")).limit(1).collect()
+    if seed_rows:
+        seed = seed_rows[0]
+        out.append((1, int(seed.vec_id), None))
+        chosen_ids = [int(seed.vec_id)]
+        cvec = F.array(*[F.lit(float(x)) for x in seed.v])
+        cur = pts.select(
+            "vec_id", "v", _d2_cols(F.col("v"), cvec).alias("best_d2")
+        ).localCheckpoint()
+        for i in range(2, k + 1):
+            cand = (
+                cur.where(~F.col("vec_id").isin(chosen_ids))
+                .orderBy(F.desc("best_d2"), F.asc("vec_id"))
+                .limit(1)
+                .collect()
+            )
+            if not cand:  # corpus smaller than k
+                break
+            far = cand[0]
+            out.append((i, int(far.vec_id), float(far.best_d2)))
+            chosen_ids.append(int(far.vec_id))
+            if i < k:
+                cvec = F.array(*[F.lit(float(x)) for x in far.v])
+                cur = cur.select(
+                    "vec_id",
+                    "v",
+                    F.least(
+                        "best_d2", _d2_cols(F.col("v"), cvec)
+                    ).alias("best_d2"),
+                ).localCheckpoint()
+    return spark.createDataFrame(
+        out, "sel_seq int, vec_id long, coverage_d2 double"
+    )
+
+
+def q_sim_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The greedy k-center coreset of the embedding corpus. The oracle
+    replays the identical greedy recurrence as a fixed k-deep CTE chain
+    (``_sql_kcenter``): selection compares raw doubles, so the arithmetic
+    must be — and is — bit-identical (exact IEEE sub/mul/add folds in the
+    same order; `list_dot_product(diff, diff)` == the zip_with fold,
+    the same cross-engine contract the k-means oracle relies on)."""
+    emb = load(spark, sf_dir, "embeddings")
+    sel = kcenter_sample(emb, k=KCENTER_K)
+    return sel.select(
+        "sel_seq", "vec_id", F.round("coverage_d2", 8).alias("coverage_d2")
+    )
+
+
+def _sql_kcenter(k: int = KCENTER_K) -> str:
+    """DuckDB replay of ``kcenter_sample``: the greedy loop unrolled to
+    exactly k selections. c{i} = the argmax row of d{i-1} (best_d2 DESC,
+    vec_id ASC, previously chosen excluded); d{i} folds the new center in
+    with least(). MATERIALIZED everywhere — each d/c is referenced twice."""
+    sq = (
+        "list_dot_product("
+        "list_transform(range(1, len(e.v)+1), i -> e.v[i] - c.v[i]), "
+        "list_transform(range(1, len(e.v)+1), i -> e.v[i] - c.v[i]))"
+    )
+    parts = [
+        """c1 AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  ORDER BY vec_id ASC LIMIT 1
+)""",
+        f"""d1 AS MATERIALIZED (
+  SELECT e.vec_id, e.v, {sq} AS best_d2
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+  CROSS JOIN c1 c
+)""",
+    ]
+    chosen = ["SELECT vec_id FROM c1"]
+    for i in range(2, k + 1):
+        parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT vec_id, v, best_d2 FROM d{i - 1}
+  WHERE vec_id NOT IN ({" UNION ALL ".join(chosen)})
+  ORDER BY best_d2 DESC, vec_id ASC LIMIT 1
+)""")
+        chosen.append(f"SELECT vec_id FROM c{i}")
+        if i < k:
+            parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT e.vec_id, e.v, least(e.best_d2, {sq}) AS best_d2
+  FROM d{i - 1} e CROSS JOIN c{i} c
+)""")
+    sel = ["SELECT 1 AS sel_seq, vec_id, CAST(NULL AS DOUBLE) AS coverage_d2 FROM c1"]
+    sel += [
+        f"SELECT {i} AS sel_seq, vec_id, round(best_d2, 8) AS coverage_d2 FROM c{i}"
+        for i in range(2, k + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\nSELECT CAST(sel_seq AS INT) AS sel_seq, "
+        "vec_id, coverage_d2 FROM (" + " UNION ALL ".join(sel) + ")"
+    )
+
+
+SQL_SIM_KCENTER_SAMPLE = _sql_kcenter()
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: embedding near-dup removal with k-means CLUSTER blocking
 # ---------------------------------------------------------------------------
 def q_sim_semdedup(
@@ -1051,6 +1191,7 @@ SQL_SIM_SEMDEDUP_K16 = _sql_semdedup_sampled(k=16)
 
 
 QUERIES = {
+    "sim_kcenter_sample": (q_sim_kcenter_sample, SQL_SIM_KCENTER_SAMPLE),
     "sim_kmeans_fit": (q_sim_kmeans_fit, SQL_SIM_KMEANS_FIT),
     "sim_semdedup": (q_sim_semdedup, SQL_SIM_SEMDEDUP),
     "sim_semdedup_sampled": (q_sim_semdedup_sampled, SQL_SIM_SEMDEDUP_SAMPLED),

@@ -45,6 +45,7 @@ _RECORD_FIRST = (
     # comment + CLAUDE.md; membership is what the 50-name sample sees,
     # but a narrower sample must record these first) ---
     "docs_unigram_logppl",
+    "sim_kcenter_sample",
     "dedup_simhash_pairs",
     "dedup_simhash_pairs_nulls",
     "docs_line_dedup",

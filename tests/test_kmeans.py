@@ -165,3 +165,43 @@ def test_semdedup_sampled_k_is_a_real_parameter(spark):
         # every vector exactly once
         assert len(sp) == sp.vec_id.nunique()
         spark.catalog.clearCache()
+
+
+def test_kcenter_greedy_matches_hand_worked_geometry(spark):
+    """Colinear 64-d corpus (only dim 0 varies: x = 0, 10, 4, 7, 1):
+    greedy k-center from the min-id seed must pick 0 → 10 → 4 → 7 → 1
+    with coverage radii NULL, 100, 16, 9, 1 — and with only 5 points it
+    must stop at 5 selections even though k=8."""
+    from pdfplucker_spark.operators.similarity import kcenter_sample
+
+    xs = {1: 0.0, 2: 10.0, 3: 4.0, 4: 7.0, 5: 1.0}
+    emb = spark.createDataFrame(
+        [(i, [x] + [0.0] * 63) for i, x in xs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    rows = kcenter_sample(emb, k=8).orderBy("sel_seq").collect()
+    assert [(r.sel_seq, r.vec_id, r.coverage_d2) for r in rows] == [
+        (1, 1, None),
+        (2, 2, 100.0),
+        (3, 3, 16.0),
+        (4, 4, 9.0),
+        (5, 5, 1.0),
+    ]
+
+
+def test_kcenter_coverage_radii_nonincreasing_and_deterministic(spark):
+    """On the real corpus: the greedy coverage-radius sequence is
+    nonincreasing (each selection covers at least as well as the last —
+    the 2-approximation's invariant), all selections are distinct, and a
+    second evaluation reproduces the selection bit-for-bit."""
+    from pdfplucker_spark.operators.similarity import q_sim_kcenter_sample
+
+    rows = q_sim_kcenter_sample(spark, SF).orderBy("sel_seq").collect()
+    assert len(rows) == 8
+    assert len({r.vec_id for r in rows}) == 8
+    radii = [r.coverage_d2 for r in rows[1:]]
+    assert rows[0].coverage_d2 is None
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    assert all(r > 0 for r in radii)
+    again = q_sim_kcenter_sample(spark, SF).orderBy("sel_seq").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
