@@ -46,6 +46,7 @@ _RECORD_FIRST = (
     # but a narrower sample must record these first) ---
     "docs_unigram_logppl",
     "sim_kcenter_sample",
+    "stream_topk_terms",
     "dedup_simhash_pairs",
     "dedup_simhash_pairs_nulls",
     "docs_line_dedup",

@@ -1200,6 +1200,179 @@ GROUP BY doc_id, bno
 """
 
 
+TOPK_TERMS_K = 5
+
+
+def stream_topk_terms(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    files_per_wave: int = 1,
+):
+    """foreachBatch TRENDING top-k: docs arrive as waves, and after each
+    wave the query emits the K most frequent terms by CUMULATIVE count
+    over everything seen so far — the "trending terms" board a live
+    corpus-intake pipeline keeps.
+
+    Same sum-mergeable counts-index state pattern as the line-dedup
+    stream (a per-wave (term, n) table; cumulative = sum over committed
+    waves, compactable at any time without changing results), but a
+    different READ side: instead of gating the wave's own rows against
+    the running aggregate, each wave RANKS the running aggregate —
+    top-k via TakeOrdered over the term-cardinality totals (never a
+    global sort), then a row_number over the K survivors only. All rank
+    keys are integers + the term string (count DESC, term ASC), so
+    cross-engine order is exact — no float-ordering hazards anywhere.
+    Commit-marker visibility; write order result → index → marker with
+    the same retry-skip + result-presence pin as the other streams."""
+    import os
+
+    from pyspark.sql import Window, functions as F
+
+    index_dir = output_dir + "_index"
+
+    src = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, bno int"
+        )
+        .option("maxFilesPerTrigger", files_per_wave)
+        .parquet(input_dir)
+    )
+
+    def _screen(batch_df, _batch_id):
+        sp = batch_df.sparkSession
+        bnos = sorted(r.bno for r in batch_df.select("bno").distinct().collect())
+        for bno in bnos:
+            committed = _committed_waves(index_dir)
+            if bno in committed:
+                if not os.path.isdir(os.path.join(output_dir, f"bno={bno}")):
+                    raise RuntimeError(
+                        f"stream_topk_terms: wave {bno} is marker-committed "
+                        "but its result dir is absent — the result-before-"
+                        "marker write ordering was violated; skipping would "
+                        "drop this wave's output"
+                    )
+                continue
+            cur = batch_df.where(
+                (F.col("bno") == bno) & F.col("text").isNotNull()
+            )
+            # persisted: this wave's term counts feed the cumulative sum
+            # AND the index append
+            wc = (
+                cur.select(F.explode(F.split("text", " ")).alias("term"))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .persist()
+            )
+            prior = [k for k in _committed_waves(index_dir) if k < bno]
+            total = wc
+            if prior:
+                total = wc.unionByName(
+                    sp.read.parquet(
+                        *[os.path.join(index_dir, f"bno={k}") for k in prior]
+                    )
+                )
+            topk = (
+                total.groupBy("term")
+                .agg(F.sum("n").alias("cum_cnt"))
+                .orderBy(F.desc("cum_cnt"), F.asc("term"))
+                .limit(TOPK_TERMS_K)
+            )
+            res = topk.select(
+                F.lit(bno).cast("int").alias("bno"),
+                F.row_number()
+                .over(Window.orderBy(F.desc("cum_cnt"), F.asc("term")))
+                .alias("rank"),
+                "term",
+                "cum_cnt",
+            )
+            res.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"bno={bno}")
+            )
+            wc.write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"bno={bno}")
+            )
+            from pdfplucker_spark.job import _mark_committed
+
+            _mark_committed(index_dir, _index_marker(bno))
+            wc.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def q_stream_topk_terms(spark: SparkSession, sf_dir: str):
+    """DRIVER-GATED streaming: the documents corpus arrives as
+    ``STREAM_INC_BATCHES`` waves; after each, the top-``TOPK_TERMS_K``
+    terms by cumulative count. The oracle replays the board with one
+    window over the full (term × wave) grid: per-(term, wave) counts,
+    cumulative-summed over waves, ranked per wave."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.functions.hashing import md5_long
+
+    def _stage(sp, in_dir):
+        d = sp.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        d = d.withColumn(
+            "bno",
+            (
+                md5_long(F.concat(F.lit("tt:"), F.col("doc_id").cast("string")))
+                % STREAM_INC_BATCHES
+            ).cast("int"),
+        )
+        stage_waves(d, in_dir, range(STREAM_INC_BATCHES))
+
+    sink = _drain(spark, sf_dir, "topkterms", _stage, stream_topk_terms)
+    return spark.read.schema(
+        "bno int, rank int, term string, cum_cnt long"
+    ).parquet(sink)
+
+
+def _sql_stream_topk_terms() -> str:
+    from pdfplucker_spark.functions.hashing import sql_md5_long
+
+    gate = sql_md5_long("'tt:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text, CAST({gate} % {STREAM_INC_BATCHES} AS INTEGER) AS bno
+  FROM documents
+),
+waves AS (SELECT DISTINCT bno FROM gated),
+toks AS (
+  SELECT bno, unnest(string_split(text, ' ')) AS term
+  FROM gated WHERE text IS NOT NULL
+),
+wavedf AS (SELECT term, bno, COUNT(*) AS n FROM toks GROUP BY term, bno),
+grid AS (
+  SELECT t.term, w.bno
+  FROM (SELECT DISTINCT term FROM wavedf) t CROSS JOIN waves w
+),
+cum AS (
+  SELECT g.term, g.bno,
+         SUM(COALESCE(wd.n, 0)) OVER (PARTITION BY g.term ORDER BY g.bno)
+           AS cum_cnt
+  FROM grid g LEFT JOIN wavedf wd ON wd.term = g.term AND wd.bno = g.bno
+),
+ranked AS (
+  SELECT bno, term, cum_cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY bno
+                                 ORDER BY cum_cnt DESC, term ASC) AS INT)
+           AS rank
+  FROM cum WHERE cum_cnt >= 1
+)
+SELECT bno, rank, term, CAST(cum_cnt AS BIGINT) AS cum_cnt
+FROM ranked WHERE rank <= {TOPK_TERMS_K}
+"""
+
+
 def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str):
     """DRIVER-GATED streaming: the documents corpus arrives as
     ``STREAM_INC_BATCHES`` waves (deterministic md5 gate, strictly
@@ -1302,6 +1475,7 @@ QUERIES = {
         q_stream_line_dedup_incremental,
         _sql_stream_line_dedup_incremental(),
     ),
+    "stream_topk_terms": (q_stream_topk_terms, _sql_stream_topk_terms()),
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
     "stream_user_running_totals": (
         q_stream_user_running_totals,

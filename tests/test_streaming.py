@@ -849,3 +849,45 @@ def test_stream_line_dedup_threshold_crossing_semantics(spark, tmp_path):
     for d in (102, 103):
         assert got[d]["n_boiler_segs"] == 1 and boiler not in got[d]["clean_text"]
         assert got[d]["clean_text"].startswith(f"w{d - 100}u0")
+
+
+def test_stream_topk_terms_cumulative_board_per_wave(spark, tmp_path):
+    """The trending board re-ranks the CUMULATIVE counts each wave: 'hot'
+    (3×/wave) leads every board; 'riser' appears only from wave 1 and
+    overtakes 'steady' (1×/wave) on cumulative count at wave 2 (4 > 3);
+    board rows carry the cumulative count at their own wave."""
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.streaming.stream import (
+        stage_waves,
+        stream_topk_terms,
+    )
+
+    waves = {
+        0: "hot hot hot steady",
+        1: "hot hot hot steady riser riser",
+        2: "hot hot hot steady riser riser",
+    }
+    docs = spark.createDataFrame(
+        [(w, t, w) for w, t in waves.items()], "doc_id long, text string, bno int"
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").cast("long").alias("n_chars"), "bno",
+    )
+    in_dir, out_dir, ckpt = f"{tmp_path}/in", f"{tmp_path}/out", f"{tmp_path}/ckpt"
+    stage_waves(docs, in_dir, range(3))
+
+    q = stream_topk_terms(spark, in_dir, out_dir, ckpt)
+    assert q.awaitTermination(300)
+
+    rows = spark.read.schema(
+        "bno int, rank int, term string, cum_cnt long"
+    ).parquet(out_dir).collect()
+    board = {w: {} for w in waves}
+    for r in rows:
+        board[r.bno][r.term] = (r.rank, r.cum_cnt)
+    assert board[0] == {"hot": (1, 3), "steady": (2, 1)}
+    # riser enters at wave 1; ties (riser 2 vs steady 2) break term-asc
+    assert board[1] == {"hot": (1, 6), "riser": (2, 2), "steady": (3, 2)}
+    # wave 2: riser (4) strictly overtakes steady (3)
+    assert board[2] == {"hot": (1, 9), "riser": (2, 4), "steady": (3, 3)}
