@@ -1012,6 +1012,189 @@ SQL_SIM_KCENTER_SAMPLE = _sql_kcenter()
 
 
 # ---------------------------------------------------------------------------
+# product quantization: per-subspace codes + asymmetric-distance top-k —
+# the IVF-PQ compression/search path at 10⁹+ vectors
+# ---------------------------------------------------------------------------
+PQ_M = 8  # subspaces (64-d → 8 sub-vectors of 8 dims)
+PQ_SUB = DIM // PQ_M
+PQ_K = 8  # codes per subspace; codebook m,c = subvector m of seed vec 1+c
+
+# per-(m) argmin over the broadcast codebook: subspace slices of v and of
+# each seed centroid, exact IEEE (x-y)² fold, first-min keeps the smallest
+# cid on ties (cents sorted by cid; the oracle orders d2 ASC, cid ASC)
+_PQ_SUB_D2 = (
+    "aggregate(zip_with(slice(v, m * {S} + 1, {S}), slice(x.cv, m * {S} + 1, {S}),"
+    " (a,b) -> (a-b)*(a-b)), 0D, (s,t) -> s+t)"
+).format(S=PQ_SUB)
+_PQ_CODE = (
+    f"aggregate(transform(cents, x -> named_struct('s', {_PQ_SUB_D2}, 'c', x.cid)), "
+    "named_struct('s', CAST('Infinity' AS DOUBLE), 'c', -1), "
+    "(acc, x) -> IF(x.s < acc.s, x, acc)).c"
+)
+_PQ_CODES_ARR = (
+    f"transform(sequence(0, {PQ_M - 1}), m -> {_PQ_CODE})"
+)
+
+
+def _pq_codebook(emb):
+    """(cid, cv) seed codebook rows — the same fixed-id seeding convention
+    as the IVF index (vec_ids 1..PQ_K; production swaps in a k-means fit
+    per subspace through the identical plumbing)."""
+    return emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_K)).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+
+
+def _pq_codes(emb):
+    """(vec_id, codes array<int>) — map-only: the PQ_K codebook rows
+    aggregate into ONE broadcast array row; every vector computes all
+    PQ_M codes in a single expression. No shuffle of the N-row side."""
+    crow = _pq_codebook(emb).agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+    )
+    return (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .crossJoin(F.broadcast(crow))
+        .select("vec_id", F.expr(_PQ_CODES_ARR).alias("codes"))
+    )
+
+
+def q_sim_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment: each vector compressed to
+    PQ_M sub-space codes (64 doubles → 8 small ints — the ~64× memory
+    step that makes 10⁹-vector ANN fit an executor fleet). Map-only
+    broadcast-argmin, emitted exploded as (vec_id, m, code) for the
+    cross-engine gate; ``_pq_codes`` keeps the packed array form the ADC
+    search consumes."""
+    emb = load(spark, sf_dir, "embeddings")
+    return _pq_codes(emb).select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    )
+
+
+SQL_SIM_PQ_ASSIGN = f"""
+WITH cents AS (
+  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id BETWEEN 1 AND {PQ_K}
+),
+sub AS (
+  SELECT e.vec_id, CAST(m AS INT) AS m, c.cid,
+         list_dot_product(
+           list_transform(range(1, {PQ_SUB} + 1),
+             i -> CAST(e.embedding AS DOUBLE[])[m * {PQ_SUB} + i] - c.cv[m * {PQ_SUB} + i]),
+           list_transform(range(1, {PQ_SUB} + 1),
+             i -> CAST(e.embedding AS DOUBLE[])[m * {PQ_SUB} + i] - c.cv[m * {PQ_SUB} + i])
+         ) AS d2
+  FROM embeddings e
+  CROSS JOIN UNNEST(range({PQ_M})) AS t(m)
+  CROSS JOIN cents c
+)
+SELECT vec_id, m, code FROM (
+  SELECT vec_id, m, cid AS code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS rn
+  FROM sub
+) WHERE rn = 1
+"""
+
+
+def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k through the PQ codes: the query
+    vector precomputes one (m, cid) → d2 lookup table (PQ_M·PQ_K = 64
+    cells), every candidate's approximate distance is the sum of its
+    codes' LUT cells, smallest k win. LUT cells are snapped to the
+    integer micro grid before summing (the per-vec sum must be exact and
+    order-independent cross-engine; the d2 doubles themselves ARE
+    bit-identical, so the snap is deterministic).
+
+    Scale shape: ZERO shuffles end-to-end — codebook and LUT are
+    broadcast, scoring is one map over the packed codes, the top-k is a
+    TakeOrdered. This is the plan that searches 10⁹ compressed vectors
+    without moving any of them."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    # LUT rows: (m*PQ_K + cid) -> round(d2(q_sub, c_sub)*1e6), folded into
+    # ONE broadcast map row
+    lut_rows = (
+        _pq_codebook(emb)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+            "cid",
+            "cv",
+            "v",
+        )
+        .select(
+            (F.col("m") * PQ_K + F.col("cid")).alias("k"),
+            F.expr(
+                "CAST(round(aggregate(zip_with("
+                f"slice(v, m * {PQ_SUB} + 1, {PQ_SUB}), "
+                f"slice(cv, m * {PQ_SUB} + 1, {PQ_SUB}), "
+                "(a,b) -> (a-b)*(a-b)), 0D, (s,t) -> s+t) * 1000000) AS BIGINT)"
+            ).alias("d2u"),
+        )
+    )
+    lut = lut_rows.agg(
+        F.map_from_entries(F.collect_list(F.struct("k", "d2u"))).alias("lut")
+    )
+    scored = (
+        _pq_codes(emb.where(F.col("vec_id") != QUERY_VEC_ID))
+        .crossJoin(F.broadcast(lut))
+        .select(
+            "vec_id",
+            F.expr(
+                f"aggregate(sequence(0, {PQ_M - 1}), 0L, "
+                f"(s, m) -> s + lut[m * {PQ_K} + codes[m]])"  # [] is 0-based
+            ).alias("adc_d2_micro"),
+        )
+    )
+    w = scored.orderBy(F.asc("adc_d2_micro"), F.asc("vec_id")).limit(TOP_K)
+    return w.select("vec_id", "adc_d2_micro")
+
+
+SQL_SIM_PQ_ADC_TOPK = f"""
+WITH cents AS (
+  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id BETWEEN 1 AND {PQ_K}
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id = {QUERY_VEC_ID}),
+lut AS (
+  SELECT CAST(m AS INT) AS m, c.cid,
+         CAST(round(list_dot_product(
+           list_transform(range(1, {PQ_SUB} + 1),
+             i -> q.v[m * {PQ_SUB} + i] - c.cv[m * {PQ_SUB} + i]),
+           list_transform(range(1, {PQ_SUB} + 1),
+             i -> q.v[m * {PQ_SUB} + i] - c.cv[m * {PQ_SUB} + i])
+         ) * 1000000) AS BIGINT) AS d2u
+  FROM cents c CROSS JOIN UNNEST(range({PQ_M})) AS t(m) CROSS JOIN q
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, CAST(m AS INT) AS m, c.cid AS code,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, m ORDER BY
+             list_dot_product(
+               list_transform(range(1, {PQ_SUB} + 1),
+                 i -> CAST(e.embedding AS DOUBLE[])[m * {PQ_SUB} + i] - c.cv[m * {PQ_SUB} + i]),
+               list_transform(range(1, {PQ_SUB} + 1),
+                 i -> CAST(e.embedding AS DOUBLE[])[m * {PQ_SUB} + i] - c.cv[m * {PQ_SUB} + i])
+             ) ASC, c.cid ASC) AS rn
+    FROM embeddings e
+    CROSS JOIN UNNEST(range({PQ_M})) AS t(m)
+    CROSS JOIN cents c
+    WHERE e.vec_id != {QUERY_VEC_ID}
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(SUM(l.d2u) AS BIGINT) AS adc_d2_micro
+FROM codes cd JOIN lut l ON l.m = cd.m AND l.cid = cd.code
+GROUP BY vec_id
+ORDER BY adc_d2_micro ASC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: embedding near-dup removal with k-means CLUSTER blocking
 # ---------------------------------------------------------------------------
 def q_sim_semdedup(
@@ -1192,6 +1375,8 @@ SQL_SIM_SEMDEDUP_K16 = _sql_semdedup_sampled(k=16)
 
 QUERIES = {
     "sim_kcenter_sample": (q_sim_kcenter_sample, SQL_SIM_KCENTER_SAMPLE),
+    "sim_pq_assign": (q_sim_pq_assign, SQL_SIM_PQ_ASSIGN),
+    "sim_pq_adc_topk": (q_sim_pq_adc_topk, SQL_SIM_PQ_ADC_TOPK),
     "sim_kmeans_fit": (q_sim_kmeans_fit, SQL_SIM_KMEANS_FIT),
     "sim_semdedup": (q_sim_semdedup, SQL_SIM_SEMDEDUP),
     "sim_semdedup_sampled": (q_sim_semdedup_sampled, SQL_SIM_SEMDEDUP_SAMPLED),

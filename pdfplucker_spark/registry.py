@@ -47,6 +47,8 @@ _RECORD_FIRST = (
     "docs_unigram_logppl",
     "sim_kcenter_sample",
     "stream_topk_terms",
+    "sim_pq_assign",
+    "sim_pq_adc_topk",
     "dedup_simhash_pairs",
     "dedup_simhash_pairs_nulls",
     "docs_line_dedup",

@@ -205,3 +205,48 @@ def test_kcenter_coverage_radii_nonincreasing_and_deterministic(spark):
     assert all(r > 0 for r in radii)
     again = q_sim_kcenter_sample(spark, SF).orderBy("sel_seq").collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_pq_codes_and_adc_identify_exact_codebook_copies(spark):
+    """Crafted corpus: vec 0 (the ADC query) is an exact copy of codebook
+    seed 5, and vec 100 is too — so vec 100's PQ codes are 5 in every
+    subspace, its ADC distance to the query is exactly 0, and it ranks
+    first. A vector stitched from seed 2's first half and seed 7's second
+    half gets codes [2,2,2,2,7,7,7,7] — subspaces quantize independently."""
+    from pdfplucker_spark.operators.similarity import (
+        PQ_M,
+        _pq_codes,
+        q_sim_pq_adc_topk,
+    )
+
+    import hashlib
+
+    def vec(seed: int) -> list[float]:
+        return [
+            (int(hashlib.md5(f"pq{seed}:{i}".encode()).hexdigest()[:8], 16) % 997)
+            / 31.0
+            for i in range(64)
+        ]
+
+    rows = [(i, vec(i)) for i in range(1, 9)]          # the codebook seeds
+    rows.append((0, vec(5)))                           # query == seed 5
+    rows.append((100, vec(5)))                         # exact copy
+    rows.append((101, vec(2)[:32] + vec(7)[32:]))      # stitched halves
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    codes = {r.vec_id: r.codes for r in _pq_codes(emb).collect()}
+    assert codes[100] == [5] * PQ_M
+    assert codes[101] == [2] * (PQ_M // 2) + [7] * (PQ_M // 2)
+    for s in range(1, 9):  # every seed quantizes to itself
+        assert codes[s] == [s] * PQ_M
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        emb.write.parquet(os.path.join(td, "embeddings.parquet"))
+        top = q_sim_pq_adc_topk(spark, td).collect()
+    # both zero-distance rows lead; the tie breaks vec_id ASC (5 first)
+    assert (top[0].vec_id, top[0].adc_d2_micro) == (5, 0)
+    assert (top[1].vec_id, top[1].adc_d2_micro) == (100, 0)
+    assert all(r.adc_d2_micro > 0 for r in top[2:])

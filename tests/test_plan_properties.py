@@ -339,3 +339,18 @@ def test_logppl_vocab_take_ordered_and_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan  # vocab → exploded stream, map-side
+
+
+def test_pq_adc_search_is_shuffle_free(spark):
+    """The ADC search plan at 10⁹ vectors: codebook and LUT broadcast,
+    scoring one map over the packed codes, top-k a TakeOrdered — ZERO
+    data-moving exchanges of the N-row side (no hash/range partitioning
+    anywhere in the plan) and no join by shuffle."""
+    from pdfplucker_spark.operators.similarity import q_sim_pq_adc_topk
+
+    spark.catalog.clearCache()
+    plan = _plan(q_sim_pq_adc_topk(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan[:2500]
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
