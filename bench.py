@@ -96,6 +96,7 @@ def main():
         q_docs_curation_manifest,
         q_docs_decontaminate,
         q_docs_decontaminate_incremental,
+        q_docs_unigram_logppl,
         q_events_asof_plain,
     )
     from pdfplucker_spark.operators.relational import q_events_salted_agg
@@ -159,6 +160,10 @@ def main():
         # per-doc reassembly): the only corpus-rewrite leg — tracked from
         # birth (~2 s at sf0.1)
         ("docs_line_dedup", lambda: q_docs_line_dedup(spark, sf_dir).count(), 1),
+        # the r9 unigram-LM perplexity scorer (two corpus shuffles: token
+        # counts + per-doc integer sums; vocab via TakeOrdered): tracked
+        # from birth — the corpus-fit-then-score shape has no other leg
+        ("docs_unigram_logppl", lambda: q_docs_unigram_logppl(spark, sf_dir).count(), 1),
     ]
 
     # Contention calibration (r8 verdict #2): a fixed pure-codegen reference
