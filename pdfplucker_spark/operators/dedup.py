@@ -1041,6 +1041,137 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr variant).
+#
+# Stride-1 w-token windows; a window whose FULL TEXT occurs >= 2 times
+# anywhere in the corpus marks its token interval [pos, pos+w) as
+# duplicated; per doc, overlapping-or-touching marked intervals merge into
+# maximal removal spans (gaps-and-islands). This reports ALL occurrences of
+# duplicated runs — the keep-one-copy policy is a downstream choice the
+# span table supports either way.
+#
+# Scale shape: the published method builds a suffix array; the Spark-first
+# equivalent keys windows on their md5 (group-by + join on a uniform
+# 128-bit key — no suffix-array construction, no self-join, no occupancy
+# guard needed: each window row matches at most one dup-set row). Windows
+# explode to ~N·L rows but carry a 32-char hash, never the w-token string,
+# past the first projection. The frequency count is one corpus shuffle with
+# map-side partials; the dup set joins back on the same uniform key; the
+# interval merge is a per-DOC window function (doc-grain, bounded by doc
+# length — the accepted reassembly pattern, never a hot key). Reported
+# columns are all integers, so cross-engine order and hashes are exact.
+# ---------------------------------------------------------------------------
+SUBSTR_W = 8  # window width in tokens
+
+# stride-1 window hashes over a hoisted token-array column ``t`` (referenced
+# multiple times textually — the hoist survives CollapseProject). The IF
+# guard matters: Spark's sequence(0, n) with n < 0 yields a DESCENDING
+# sequence, not an empty one.
+_WINHASH_OVER_T = (
+    f"IF(size(t) >= {SUBSTR_W}, "
+    f"transform(sequence(0, size(t) - {SUBSTR_W}), "
+    f"i -> md5(concat_ws(' ', slice(t, i + 1, {SUBSTR_W})))), "
+    "array())"
+)
+
+
+def q_docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans per document:
+    (doc_id, span_seq, tok_start, tok_end, n_windows) — tok_end exclusive,
+    spans ordered by tok_start, n_windows = marked stride-1 windows merged
+    into the span."""
+    d = load(spark, sf_dir, "documents")
+    # persist: the window-hash frame feeds the frequency count AND the
+    # mark join
+    wins = (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.posexplode(F.expr(_WINHASH_OVER_T)).alias("pos", "wh"))
+        .persist()
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("wh")
+    )
+    marked = wins.join(dup, "wh").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy(F.asc("pos"))
+    isl = marked.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(w_ord).isNull()
+            | (F.col("pos") > F.lag("pos").over(w_ord) + SUBSTR_W),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("tok_start"),
+        (F.max("pos") + SUBSTR_W).alias("tok_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+    return spans.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy(F.asc("tok_start")))
+        .alias("span_seq"),
+        "tok_start",
+        "tok_end",
+        "n_windows",
+    )
+
+
+SQL_DOCS_SUBSTRING_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
+),
+wins AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         md5(array_to_string(t[(CAST(i AS INTEGER) + 1):(CAST(i AS INTEGER) + {SUBSTR_W})], ' ')) AS wh
+  FROM toks, UNNEST(range(len(t) - {SUBSTR_W} + 1)) AS u(i)
+),
+dup AS (
+  SELECT wh FROM (SELECT wh, COUNT(*) AS c FROM wins GROUP BY wh) WHERE c >= 2
+),
+marked AS (
+  SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wh)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos > lag(pos) OVER w + {SUBSTR_W}
+              THEN 1 ELSE 0 END AS brk
+  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS tok_start,
+         MAX(pos) + {SUBSTR_W} AS tok_end, COUNT(*) AS n_windows
+  FROM grp GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tok_start) AS INT)
+         AS span_seq,
+       CAST(tok_start AS INTEGER) AS tok_start,
+       CAST(tok_end AS INTEGER) AS tok_end,
+       CAST(n_windows AS BIGINT) AS n_windows
+FROM spans
+"""
+
+
 QUERIES = {
     "dedup_containment_pairs": (
         q_dedup_containment_pairs,
@@ -1068,4 +1199,5 @@ QUERIES = {
     ),
     "dedup_ngram_pairs": (q_dedup_ngram_pairs, SQL_DEDUP_NGRAM_PAIRS),
     "docs_line_dedup": (q_docs_line_dedup, SQL_DOCS_LINE_DEDUP),
+    "docs_substring_dedup": (q_docs_substring_dedup, SQL_DOCS_SUBSTRING_DEDUP),
 }

@@ -423,6 +423,139 @@ FROM scored GROUP BY doc_id
 # ---------------------------------------------------------------------------
 # exact grouped quantiles
 # ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): hashed-n-gram bag features, a target
+# vs raw bucket model, per-doc log importance weight.
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 64  # production uses ~10k; 64 keeps every bucket occupied at sf0.001
+DSIR_TARGET_MOD = 5  # deterministic stand-in "target domain": 20% id-hash slice
+
+
+# unigram + bigram features over a hoisted token-array column ``t`` (``t``
+# is referenced several times textually so the hoist survives
+# CollapseProject). The IF guard matters: Spark's sequence(0, n) with n < 0
+# yields a DESCENDING sequence, not an empty one.
+_DSIR_FEATS_OVER_T = (
+    "concat(t, IF(size(t) >= 2, "
+    "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', slice(t, i + 1, 2))), "
+    "array()))"
+)
+
+
+def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR log importance weight: fit two bag-of-hashed-n-gram
+    bucket models — the target domain (a deterministic 1/DSIR_TARGET_MOD
+    id-hash slice standing in for the curated target corpus; production
+    swaps real target docs into the same plumbing) and the raw pool (the
+    whole corpus) — with add-1 smoothing over DSIR_BUCKETS buckets, then
+    score every doc with sum over its feature occurrences of
+    ln p_target(bucket) − ln p_raw(bucket).
+
+    Cross-engine exactness: per-bucket log-ratios snap to the integer
+    micro grid before the per-doc sum (the `docs_unigram_logppl`
+    contract — JVM vs libm ln differs by 1 ulp in ~3% of values; integer
+    sums are exact and order-independent). `logw_micro` is the raw
+    integer-grid sum, exact in both engines.
+
+    Scale shape (100 TB): features explode map-only (~2 rows per token);
+    BOTH models come from ONE bucket-cardinality hash agg over the
+    exploded stream (count + filtered count — map-side partials absorb
+    the Zipf head); the 64-row model broadcasts back onto a RESCAN of the
+    exploded stream (map-side join, no shuffle; the exploded frame is
+    corpus×features scale and deliberately NOT cached — a rescan+map
+    beats materializing it); the per-doc integer sum is the single
+    corpus-scale shuffle, keyed on the uniform doc_id. ``counts`` is
+    persisted (two consumers: totals + the model projection)."""
+    d = load(spark, sf_dir, "documents")
+    is_t = (
+        md5_long(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")))
+        % DSIR_TARGET_MOD
+        == 0
+    ).cast("int")
+    feats = (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(_DSIR_FEATS_OVER_T)).alias("feat"),
+        )
+        .select(
+            "doc_id",
+            F.pmod(md5_long(F.col("feat")), F.lit(DSIR_BUCKETS)).alias("bucket"),
+        )
+        .withColumn("is_t", is_t)
+    )
+    counts = (
+        feats.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.sum("is_t").alias("c_t"),
+        )
+        .persist()
+    )
+    tot = counts.agg(
+        F.sum("c_r").alias("tr"), F.sum("c_t").alias("tt")
+    )
+    model = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"CAST(round((ln((c_t + 1.0D) / (tt + {DSIR_BUCKETS})) - "
+            f"ln((c_r + 1.0D) / (tr + {DSIR_BUCKETS}))) * 1000000) AS BIGINT)"
+        ).alias("lam"),
+    )
+    return (
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.max("is_t").alias("is_target"),
+            F.sum("lam").alias("logw_micro"),
+        )
+    )
+
+
+SQL_DOCS_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
+),
+feats AS (
+  SELECT doc_id,
+         CAST({sql_md5_long("feat")} % {DSIR_BUCKETS} AS BIGINT) AS bucket,
+         CASE WHEN {sql_md5_long("'dsir:' || CAST(doc_id AS VARCHAR)")}
+                   % {DSIR_TARGET_MOD} = 0
+              THEN 1 ELSE 0 END AS is_t
+  FROM (
+    SELECT doc_id,
+           unnest(list_concat(
+             t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+           )) AS feat
+    FROM toks
+  )
+),
+counts AS MATERIALIZED (
+  SELECT bucket, COUNT(*) AS c_r, SUM(is_t) AS c_t FROM feats GROUP BY bucket
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(c_r) AS BIGINT) AS tr, CAST(SUM(c_t) AS BIGINT) AS tt
+  FROM counts
+),
+model AS MATERIALIZED (
+  SELECT bucket,
+         CAST(round((ln((c_t + 1.0) / (tt + {DSIR_BUCKETS})) -
+                     ln((c_r + 1.0) / (tr + {DSIR_BUCKETS}))) * 1000000)
+              AS BIGINT) AS lam
+  FROM counts, tot
+)
+SELECT f.doc_id,
+       COUNT(*) AS n_feats,
+       CAST(MAX(f.is_t) AS INT) AS is_target,
+       CAST(SUM(m.lam) AS BIGINT) AS logw_micro
+FROM feats f JOIN model m USING (bucket)
+GROUP BY f.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 def q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles of l_extendedprice per
     returnflag (Spark `percentile` == DuckDB `quantile_cont` semantics)."""
@@ -1618,6 +1751,7 @@ QUERIES = {
     "events_asof_purchase": (q_events_asof_bucketed, SQL_EVENTS_ASOF_PURCHASE),
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
+    "docs_dsir_weights": (q_docs_dsir_weights, SQL_DOCS_DSIR_WEIGHTS),
     "docs_unigram_logppl": (q_docs_unigram_logppl, SQL_DOCS_UNIGRAM_LOGPPL),
     "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),
     "docs_sample": (q_docs_sample, SQL_DOCS_SAMPLE),

@@ -650,3 +650,157 @@ def test_unigram_logppl_matches_hand_computed_lm(spark, tmp_path):
         assert (got[d].n_tokens, got[d].oov_tokens, got[d].logppl) == (n, oov, lp), d
     # the all-OOV doc is strictly more surprising than the all-common doc
     assert got[2].logppl > got[1].logppl
+
+
+def test_substring_dedup_marks_merges_and_isolates_spans(spark, tmp_path):
+    """Crafted corpus for the ExactSubstr span reporter: a 12-token run
+    shared by two docs merges its 5 stride-1 windows into ONE span per
+    doc; two separated shared runs give two spans; a within-doc repeat
+    marks both occurrences; unique docs and sub-window docs emit nothing.
+    The DuckDB oracle must agree row-for-row on the same corpus."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.dedup import SUBSTR_W, q_docs_substring_dedup
+    from pdfplucker_spark.registry import all_queries
+
+    assert SUBSTR_W == 8
+    dup12 = " ".join(f"d{i}" for i in range(12))
+    runa = " ".join(f"a{i}" for i in range(10))
+    runb = " ".join(f"b{i}" for i in range(10))
+    runc = " ".join(f"c{i}" for i in range(SUBSTR_W))
+    mk = lambda *parts: " ".join(parts)
+    u = [" ".join(f"u{d}x{i}" for i in range(12)) for d in range(8)]
+    rows = [
+        # shared 12-token run: doc 1 leads with it, doc 2 trails with it
+        Row(doc_id=1, text=mk(dup12, u[0]), lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text=mk(u[1], dup12), lang="en", source="s", n_chars=1),
+        # unique >= W tokens: no spans
+        Row(doc_id=3, text=u[2], lang="en", source="s", n_chars=1),
+        # two shared runs separated by > W unique tokens: two spans each
+        Row(doc_id=4, text=mk(runa, u[3], runb), lang="en", source="s", n_chars=1),
+        Row(doc_id=5, text=mk(runa, u[4], runb), lang="en", source="s", n_chars=1),
+        # within-doc repeat of an exactly-W-token run: both occurrences
+        Row(doc_id=6, text=mk(runc, " ".join(f"g{i}" for i in range(9)), runc), lang="en", source="s", n_chars=1),
+        # shorter than one window: no rows
+        Row(doc_id=7, text="a b c", lang="en", source="s", n_chars=1),
+    ]
+    p = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(rows).write.parquet(p)
+
+    res = q_docs_substring_dedup(spark, str(tmp_path))
+    got = sorted(map(tuple, res.collect()))
+    spans = {}
+    for doc_id, seq, s, e, nw in got:
+        spans.setdefault(doc_id, []).append((seq, s, e, nw))
+    assert set(spans) == {1, 2, 4, 5, 6}
+    # doc 1: run at tokens [0, 12) -> windows 0..4 merge into one span
+    assert spans[1] == [(1, 0, 12, 5)]
+    # doc 2: same run after 12 lead tokens -> [12, 24)
+    assert spans[2] == [(1, 12, 24, 5)]
+    # docs 4/5: two 10-token runs, 12-token gap -> [0,10) and [22,32)
+    assert spans[4] == [(1, 0, 10, 3), (2, 22, 32, 3)]
+    assert spans[5] == [(1, 0, 10, 3), (2, 22, 32, 3)]
+    # doc 6: the exact-W run occurs at pos 0 and pos 17 (both marked)
+    assert spans[6] == [(1, 0, 8, 1), (2, 17, 25, 1)]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    exp = sorted(map(tuple, con.execute(
+        all_queries()["docs_substring_dedup"][1]
+    ).fetchall()))
+    assert got == exp
+    # the executed plan never degenerates into a cartesian pair join
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    spark.catalog.clearCache()
+
+
+def test_dsir_weights_match_python_replica_and_rank_target_like_docs(spark, tmp_path):
+    """The DSIR weight of every doc must equal a hand-rolled Python replica
+    of the hashed-bigram bucket model (same md5-60bit buckets, same add-1
+    smoothing, same integer micro grid), and a raw-pool doc written in the
+    target domain's vocabulary must outscore a raw-pool doc written in the
+    raw-only vocabulary. The model join must broadcast."""
+    import hashlib
+    import math
+
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.pipeline import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_MOD,
+        q_docs_dsir_weights,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def is_target(doc_id: int) -> int:
+        return 1 if h60(f"dsir:{doc_id}") % DSIR_TARGET_MOD == 0 else 0
+
+    # find target ids by the SAME deterministic gate the operator uses
+    ids = list(range(1, 40))
+    tgt = [d for d in ids if is_target(d)][:3]
+    raw = [d for d in ids if not is_target(d)]
+    assert len(tgt) == 3 and len(raw) >= 4
+    tgt_text = "solar panels convert sunlight into clean electricity today"
+    raw_text = "random forum chatter rambles about nothing in particular here"
+    texts = {tgt[0]: tgt_text, tgt[1]: tgt_text, tgt[2]: tgt_text}
+    texts[raw[0]] = tgt_text          # raw-pool doc in target vocabulary
+    texts[raw[1]] = raw_text          # raw-pool doc in raw vocabulary
+    texts[raw[2]] = raw_text
+    texts[raw[3]] = raw_text
+    rows = [
+        Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t))
+        for d, t in texts.items()
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+
+    def feats(text: str) -> list[str]:
+        t = text.split(" ")
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    c_r: dict[int, int] = {}
+    c_t: dict[int, int] = {}
+    for d, t in texts.items():
+        for f_ in feats(t):
+            b = h60(f_) % DSIR_BUCKETS
+            c_r[b] = c_r.get(b, 0) + 1
+            if is_target(d):
+                c_t[b] = c_t.get(b, 0) + 1
+    tr, tt = sum(c_r.values()), sum(c_t.values())
+
+    def half_up(x: float) -> int:
+        return -int(math.floor(-x + 0.5)) if x < 0 else int(math.floor(x + 0.5))
+
+    lam = {
+        b: half_up(
+            (
+                math.log((c_t.get(b, 0) + 1.0) / (tt + DSIR_BUCKETS))
+                - math.log((c_r[b] + 1.0) / (tr + DSIR_BUCKETS))
+            )
+            * 1_000_000
+        )
+        for b in c_r
+    }
+
+    res = q_docs_dsir_weights(spark, str(tmp_path))
+    got = {r.doc_id: r for r in res.collect()}
+    assert set(got) == set(texts)
+    for d, t in texts.items():
+        fs = feats(t)
+        exp_w = sum(lam[h60(f_) % DSIR_BUCKETS] for f_ in fs)
+        r = got[d]
+        assert (r.n_feats, r.is_target, r.logw_micro) == (
+            len(fs), is_target(d), exp_w,
+        ), d
+    # the target-vocabulary raw doc outscores every raw-vocabulary raw doc
+    assert got[raw[0]].logw_micro > got[raw[1]].logw_micro
+    # the 64-row model joins by broadcast; nothing degenerates to cartesian
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    spark.catalog.clearCache()
