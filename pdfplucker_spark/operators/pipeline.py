@@ -630,6 +630,183 @@ WHERE CAST({sql_md5_long("'ws:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBL
 """
 
 
+# ---------------------------------------------------------------------------
+# balanced (water-filling) stratified sample: an exact total budget B,
+# spread as evenly across source strata as their sizes allow — small
+# strata contribute everything they have, the freed budget redistributes
+# among the rest (the "balance sources" rebalancing op; Bernoulli gates
+# cannot hit exact quotas).
+# ---------------------------------------------------------------------------
+BALANCED_BUDGET_DEN = 4  # B = N div 4 — scales with the corpus
+BALANCED_BUCKET_BITS = 8  # two-level rank fan-out (see _stratified_rank)
+
+
+def q_docs_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly B = N div {BALANCED_BUDGET_DEN} docs, allocated across
+    source strata by integer water-filling: sort strata by size; stratum
+    i (sizes ascending, cum = sizes 1..i, K strata) is taken IN FULL iff
+    n_i·(K−i+1) ≤ B − cum_{i−1} (even giving every remaining stratum n_i
+    still fits — the flags are a prefix of the sorted order); the
+    remaining budget R spreads over the K−i* non-full strata as
+    level = R div (K−i*) each, with the R mod (K−i*) leftovers going to
+    the first strata in source-name order. All allocation math is
+    integer, so quotas are exact and cross-engine identical. Within a
+    stratum, the kept docs are the quota-first in the content-free
+    deterministic hash order (md5('bs:'||source||':'||doc_id), doc_id) —
+    reproducible across engines, runs, and partitionings.
+
+    Scale shape: the allocation runs on the |sources|-row counts frame
+    (window functions over K rows — driver-trivial); the per-stratum
+    rank is the TWO-LEVEL bucketed ranking (`_stratified_rank` — the
+    `_shuffle_rank` pattern partitioned by stratum), so no partition
+    ever holds more than ~n_s/2^bits rows and a 10¹²-doc stratum never
+    meets a single-reducer sort; quotas broadcast-join onto the ranked
+    frame (K rows)."""
+    d = load(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id").isNotNull()).select("doc_id", "source")
+    counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_s")).persist()
+    tot = counts.agg(
+        F.expr(f"sum(n_s) div {BALANCED_BUDGET_DEN}").alias("b"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    w_srt = Window.orderBy(F.asc("n_s"), F.asc("source"))
+    srt = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        "b",
+        "k",
+        F.row_number().over(w_srt).alias("i"),
+        F.sum("n_s").over(w_srt.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    flg = srt.withColumn(
+        "full",
+        (F.col("n_s") * (F.col("k") - F.col("i") + 1) <= F.col("b") - (F.col("cum") - F.col("n_s"))).cast("int"),
+    ).persist()
+    cfg = flg.agg(
+        F.max("b").alias("b"),
+        F.max("k").alias("k"),
+        F.sum("full").alias("istar"),
+        F.coalesce(F.sum(F.when(F.col("full") == 1, F.col("n_s"))), F.lit(0)).alias(
+            "cumstar"
+        ),
+    ).select(
+        "istar",
+        F.when(F.col("istar") == F.col("k"), F.lit(0))
+        .otherwise(F.expr("(b - cumstar) div (k - istar)"))
+        .alias("level"),
+        F.when(F.col("istar") == F.col("k"), F.lit(0))
+        .otherwise(F.expr("(b - cumstar) % (k - istar)"))
+        .alias("extras"),
+    )
+    w_extra = Window.partitionBy("full").orderBy(F.asc("source"))
+    quota = (
+        flg.crossJoin(F.broadcast(cfg))
+        .select(
+            "source",
+            F.when(F.col("full") == 1, F.col("n_s"))
+            .otherwise(
+                F.col("level")
+                + (F.row_number().over(w_extra) <= F.col("extras")).cast("int")
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    ranked = _stratified_rank(base, "source", BALANCED_BUCKET_BITS)
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("strat_rank") <= F.col("quota"))
+        .select("doc_id", "source", "strat_rank")
+    )
+
+
+def _stratified_rank(base: DataFrame, strata_col: str, bucket_bits: int) -> DataFrame:
+    """Per-stratum deterministic hash rank (1-based), two-level like
+    `_shuffle_rank`: bucket on the hash's top bits, rank within
+    (stratum, bucket), add per-stratum broadcast bucket offsets — the
+    (stratum × 2^bits)-row offsets frame is the only non-local state, so
+    a giant stratum never meets a single-reducer sort. Persists its
+    hashed frame itself (offsets agg + rank join both consume it)."""
+    h = md5_long(
+        F.concat(
+            F.lit("bs:"), F.col(strata_col), F.lit(":"), F.col("doc_id").cast("string")
+        )
+    )
+    hashed = (
+        base.withColumn("h", h)
+        .withColumn("bkt", F.shiftright("h", 60 - bucket_bits))
+        .persist()
+    )
+    bcounts = hashed.groupBy(strata_col, "bkt").agg(F.count(F.lit(1)).alias("n_b"))
+    woff = Window.partitionBy(strata_col).orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bcounts.select(
+        strata_col, "bkt", F.coalesce(F.sum("n_b").over(woff), F.lit(0)).alias("off")
+    )
+    wrk = Window.partitionBy(strata_col, "bkt").orderBy("h", "doc_id")
+    return hashed.join(F.broadcast(offsets), [strata_col, "bkt"]).select(
+        "doc_id",
+        strata_col,
+        (F.col("off") + F.row_number().over(wrk)).alias("strat_rank"),
+    )
+
+
+SQL_DOCS_BALANCED_SAMPLE = f"""
+WITH base AS (
+  SELECT doc_id, source FROM documents WHERE doc_id IS NOT NULL
+),
+counts AS MATERIALIZED (
+  SELECT source, COUNT(*) AS n_s FROM base GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_s) // {BALANCED_BUDGET_DEN} AS BIGINT) AS b,
+         COUNT(*) AS k
+  FROM counts
+),
+flg AS MATERIALIZED (
+  SELECT source, n_s, b, k,
+         CASE WHEN n_s * (k - i + 1) <= b - (cum - n_s) THEN 1 ELSE 0 END AS is_full
+  FROM (
+    SELECT source, n_s, b, k,
+           ROW_NUMBER() OVER (ORDER BY n_s ASC, source ASC) AS i,
+           SUM(n_s) OVER (ORDER BY n_s ASC, source ASC) AS cum
+    FROM counts CROSS JOIN tot
+  )
+),
+cfg AS MATERIALIZED (
+  SELECT istar,
+         CASE WHEN istar = k THEN 0 ELSE (b - cumstar) // (k - istar) END AS level,
+         CASE WHEN istar = k THEN 0 ELSE (b - cumstar) % (k - istar) END AS extras
+  FROM (
+    SELECT MAX(b) AS b, MAX(k) AS k, SUM(is_full) AS istar,
+           COALESCE(SUM(CASE WHEN is_full = 1 THEN n_s END), 0) AS cumstar
+    FROM flg
+  )
+),
+quota AS (
+  SELECT f.source,
+         CAST(CASE WHEN f.is_full = 1 THEN f.n_s
+              ELSE c.level + CASE WHEN ROW_NUMBER() OVER (
+                       PARTITION BY f.is_full ORDER BY f.source ASC) <= c.extras
+                   THEN 1 ELSE 0 END
+         END AS BIGINT) AS quota
+  FROM flg f CROSS JOIN cfg c
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {sql_md5_long("'bs:' || source || ':' || CAST(doc_id AS VARCHAR)")},
+                    doc_id) AS strat_rank
+  FROM base
+)
+SELECT r.doc_id, r.source, r.strat_rank
+FROM ranked r JOIN quota q USING (source)
+WHERE r.strat_rank <= q.quota
+"""
+
+
 # temperature-flattened source mixing (the multilingual-LM alpha-sampling
 # scheme): target mix share of source s ∝ share_s^alpha — alpha < 1
 # upweights low-resource sources relative to their natural share
@@ -1450,6 +1627,83 @@ HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
 """
 
 
+def q_docs_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-side audit that complements ``docs_decontaminate``: per
+    HELD-OUT doc, how much of it already leaks into the train corpus —
+    distinct-shingle count, how many of those shingles occur in ≥1 train
+    doc, and the contamination fraction on the integer micro grid
+    ((n_cont·10⁶) div n_shingles — exact integer math, no cross-engine
+    rounding hazard). This is what decides whether a BENCHMARK is still
+    usable, where the pair operator decides which TRAIN docs to drop.
+
+    Scale shape: one exploded shingle frame (persisted — the train and
+    eval filters both consume it); the train side collapses to a DISTINCT
+    shingle set (one corpus-scale hash distinct on the uniform shingle
+    key — map-side partials); the eval⋈train-set join has per-key fan-out
+    ≤ 1 BY CONSTRUCTION (the right side is distinct), so unlike the pair
+    operator it needs no df-occupancy guard — a boilerplate shingle costs
+    one probe hit per eval occurrence, never df_train × df_eval rows. The
+    final agg is eval-sized. Eval docs with zero shingles (short/empty
+    text) have no well-defined fraction and are absent in both engines."""
+    from pdfplucker_spark.operators.dedup import _SHINGLE_OVER_TOKENS
+
+    d = load(spark, sf_dir, "documents")
+    gate = md5_long(F.concat("source", F.lit(":"), F.col("doc_id").cast("string")))
+    ex = (
+        d.select(
+            "doc_id",
+            (gate % SAMPLE_MOD == 0).alias("is_eval"),
+            F.split("text", " ").alias("__tk"),
+        )
+        .select(
+            "doc_id",
+            "is_eval",
+            F.explode(F.expr(_SHINGLE_OVER_TOKENS)).alias("g"),
+        )
+        .persist()
+    )
+    train_set = ex.where(~F.col("is_eval")).select("g").distinct()
+    eval_side = ex.where(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    hits = (
+        eval_side.join(train_set.select("g", F.lit(1).alias("hit")), "g", "left")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
+        )
+    )
+    return hits.select(
+        "eval_doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.expr("(n_contaminated * 1000000) div n_shingles").alias("contam_micro"),
+    )
+
+
+SQL_DOCS_CONTAMINATION_REPORT = f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id,
+         {sql_md5_long("source || ':' || CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} AS gate,
+         UNNEST({_SQL_SHINGLES}) AS g
+  FROM documents
+),
+train_set AS (
+  SELECT DISTINCT g FROM sh WHERE gate <> 0
+)
+SELECT e.doc_id AS eval_doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(COALESCE(SUM(CASE WHEN t.g IS NOT NULL THEN 1 END), 0) AS BIGINT)
+         AS n_contaminated,
+       CAST((COALESCE(SUM(CASE WHEN t.g IS NOT NULL THEN 1 END), 0) * 1000000)
+            // COUNT(*) AS BIGINT) AS contam_micro
+FROM (SELECT doc_id, g FROM sh WHERE gate = 0) e
+LEFT JOIN train_set t USING (g)
+GROUP BY e.doc_id
+"""
+
+
 DECONTAM_BATCH_MOD = 20  # the arriving crawl batch: 1/20 of train docs
 
 
@@ -1756,6 +2010,7 @@ QUERIES = {
     "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),
     "docs_sample": (q_docs_sample, SQL_DOCS_SAMPLE),
     "docs_sample_weighted": (q_docs_sample_weighted, SQL_DOCS_SAMPLE_WEIGHTED),
+    "docs_balanced_sample": (q_docs_balanced_sample, SQL_DOCS_BALANCED_SAMPLE),
     "docs_mix_temperature": (q_docs_mix_temperature, SQL_DOCS_MIX_TEMPERATURE),
     "docs_shuffle_order": (q_docs_shuffle_order, SQL_DOCS_SHUFFLE_ORDER),
     "docs_domain_cap": (q_docs_domain_cap, SQL_DOCS_DOMAIN_CAP),
@@ -1773,6 +2028,10 @@ QUERIES = {
     "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
     "docs_pack_shards": (_q_docs_pack_shards_pinned, SQL_DOCS_PACK_SHARDS),
     "docs_decontaminate": (q_docs_decontaminate, SQL_DOCS_DECONTAMINATE),
+    "docs_contamination_report": (
+        q_docs_contamination_report,
+        SQL_DOCS_CONTAMINATION_REPORT,
+    ),
     "docs_decontaminate_incremental": (
         q_docs_decontaminate_incremental,
         SQL_DOCS_DECONTAMINATE_INCREMENTAL,

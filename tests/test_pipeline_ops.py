@@ -804,3 +804,116 @@ def test_dsir_weights_match_python_replica_and_rank_target_like_docs(spark, tmp_
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
     spark.catalog.clearCache()
+
+
+def test_balanced_sample_water_filling_exact_quotas(spark, tmp_path):
+    """Skewed strata exercise the redistribution branch the uniform driver
+    corpora never do: tiny strata are taken whole, the freed budget
+    water-fills the big strata, leftovers go by source-name order, and the
+    total hits the budget EXACTLY. DuckDB must agree row-for-row."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.pipeline import (
+        BALANCED_BUDGET_DEN,
+        q_docs_balanced_sample,
+    )
+    from pdfplucker_spark.registry import all_queries
+
+    assert BALANCED_BUDGET_DEN == 4
+    sizes = {"sa": 2, "sb": 4, "sc": 40, "sd": 40}  # N=86 -> B=21
+    rows, did = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            did += 1
+            rows.append(
+                Row(doc_id=did, text=f"tok{did} only", lang="en", source=src,
+                    n_chars=10)
+            )
+    p = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(rows).write.parquet(p)
+
+    res = q_docs_balanced_sample(spark, str(tmp_path))
+    got = sorted(map(tuple, res.collect()))
+    per_src = {}
+    for _d, s, r in got:
+        per_src[s] = per_src.get(s, 0) + 1
+        assert 1 <= r <= sizes[s]
+    # hand-worked water-filling: full sa(2), sb(4); R=15 over 2 strata ->
+    # level 7, 1 extra to the first non-full source by name (sc)
+    assert per_src == {"sa": 2, "sb": 4, "sc": 8, "sd": 7}
+    assert len(got) == 86 // 4
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    exp = sorted(map(tuple, con.execute(
+        all_queries()["docs_balanced_sample"][1]
+    ).fetchall()))
+    assert got == exp
+    # corpus-scale joins (bucket offsets, quotas) must be broadcast hash
+    # joins; the allocation-side crossJoins are 1-row/K-row broadcasts
+    # (the house-accepted totals fan-out shape) and MAY render as
+    # nested-loop — only equi-join shapes are asserted here
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    spark.catalog.clearCache()
+
+
+def test_contamination_report_exact_fractions(spark, tmp_path):
+    """Planted eval docs (membership via the SAME deterministic gate the
+    operator uses): one fully leaked into a train doc (contam = 10⁶ micro),
+    one half-leaked (5·10⁵), one clean (0). DuckDB must agree."""
+    import duckdb
+    import hashlib
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.pipeline import (
+        SAMPLE_MOD,
+        q_docs_contamination_report,
+    )
+    from pdfplucker_spark.registry import all_queries
+
+    def is_eval(doc_id: int, source: str = "s") -> bool:
+        h = int(hashlib.md5(f"{source}:{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % SAMPLE_MOD == 0
+
+    ids = list(range(1, 300))
+    ev = [d for d in ids if is_eval(d)][:3]
+    tr = [d for d in ids if not is_eval(d)][:4]
+    texts = {
+        ev[0]: "a b c d e f",            # shingles abc bcd cde def
+        ev[1]: "p q r s t u",            # shingles pqr qrs rst stu
+        ev[2]: "m n o v w x",            # all clean
+        tr[0]: "a b c d e f gx1 gx2",    # carries ALL of ev[0]'s shingles
+        tr[1]: "p q r s z9 z8",          # carries pqr + qrs only
+        tr[2]: "h1 h2 h3 h4 h5",
+        tr[3]: "k1 k2 k3 k4 k5",
+    }
+    rows = [
+        Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t))
+        for d, t in texts.items()
+    ]
+    p = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(rows).write.parquet(p)
+
+    res = q_docs_contamination_report(spark, str(tmp_path))
+    got = {r.eval_doc_id: r for r in res.collect()}
+    assert set(got) == set(ev)
+    assert (got[ev[0]].n_shingles, got[ev[0]].n_contaminated,
+            got[ev[0]].contam_micro) == (4, 4, 1_000_000)
+    assert (got[ev[1]].n_shingles, got[ev[1]].n_contaminated,
+            got[ev[1]].contam_micro) == (4, 2, 500_000)
+    assert (got[ev[2]].n_shingles, got[ev[2]].n_contaminated,
+            got[ev[2]].contam_micro) == (4, 0, 0)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    exp = sorted(map(tuple, con.execute(
+        all_queries()["docs_contamination_report"][1]
+    ).fetchall()))
+    assert sorted(map(tuple, res.collect())) == exp
+    spark.catalog.clearCache()
