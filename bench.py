@@ -53,6 +53,7 @@ def main():
         q_dedup_ngram_pairs,
         q_dedup_simhash_pairs,
         q_docs_line_dedup,
+        q_docs_substring_dedup,
     )
     from pdfplucker_spark.operators.extract import extract_spans
     from pdfplucker_spark.operators.pipeline import q_events_asof_purchase
@@ -164,6 +165,10 @@ def main():
         # counts + per-doc integer sums; vocab via TakeOrdered): tracked
         # from birth — the corpus-fit-then-score shape has no other leg
         ("docs_unigram_logppl", lambda: q_docs_unigram_logppl(spark, sf_dir).count(), 1),
+        # the r9 ExactSubstr span reporter (stride-1 window hashes — the
+        # densest explode in the registry — + dup join + per-doc interval
+        # merge): tracked from birth
+        ("docs_substring_dedup", lambda: q_docs_substring_dedup(spark, sf_dir).count(), 1),
     ]
 
     # Contention calibration (r8 verdict #2): a fixed pure-codegen reference
