@@ -647,15 +647,25 @@ def _index_marker(bno: int) -> str:
     return f"bno-{int(bno)}"
 
 
-def _committed_waves(index_dir: str) -> list[int]:
-    """Wave numbers whose index tables landed DURABLY — membership comes
-    from the repo's commit-marker protocol (job.committed_run_ids over
-    ``{index_dir}/_commits``), NOT from listing ``bno=`` directories: a
-    torn wave dir (crash between the bands and toks writes, or mid-write)
-    has no marker and is invisible to every later wave's screen, and the
-    one-file-per-wave marker listing is an atomic committed-set view at
-    any wave count, where a recursive data-directory scan is neither
-    atomic nor cheap."""
+def _index_seg_marker(lo: int, hi: int) -> str:
+    """Commit-marker run_id for a COMPACTED wave segment [lo, hi] of a
+    standing index (written by ``compact_standing_index`` with a
+    ``supersedes:`` line retiring the per-wave markers — one marker file
+    flips the whole old→new switch atomically)."""
+    return f"bnoc-{int(lo)}-{int(hi)}"
+
+
+def _index_entries(index_dir: str) -> list[tuple[str, int, int, str]]:
+    """The committed entries of a standing index, sorted by wave range:
+    (marker_run_id, lo_wave, hi_wave, data_dir) — plain per-wave markers
+    have lo == hi; compacted segments cover the contiguous [lo, hi].
+    Membership comes from the repo's commit-marker protocol
+    (job.committed_run_ids over ``{index_dir}/_commits``), NOT from
+    listing data directories: a torn dir (crash mid-write, or between a
+    compaction's data write and its marker) has no live marker and is
+    invisible, and a superseded per-wave marker stops counting the
+    instant the segment marker lands."""
+    import os
     import re as _re
 
     from pdfplucker_spark.job import committed_run_ids
@@ -664,8 +674,109 @@ def _committed_waves(index_dir: str) -> list[int]:
     for rid in committed_run_ids(index_dir):
         m = _re.fullmatch(r"bno-(\d+)", rid)
         if m:
-            out.append(int(m.group(1)))
+            k = int(m.group(1))
+            out.append((rid, k, k, os.path.join(index_dir, f"bno={k}")))
+            continue
+        m = _re.fullmatch(r"bnoc-(\d+)-(\d+)", rid)
+        if m:
+            lo, hi = int(m.group(1)), int(m.group(2))
+            out.append((rid, lo, hi, os.path.join(index_dir, f"bnoc={lo}-{hi}")))
+    return sorted(out, key=lambda e: (e[1], e[2]))
+
+
+def _committed_waves(index_dir: str) -> list[int]:
+    """Wave numbers whose index tables landed DURABLY (see
+    ``_index_entries``): per-wave markers contribute their wave, compacted
+    segments their whole contiguous range (compaction refuses gapped
+    committed sets, so a segment's range is exactly the waves it merged)."""
+    out: list[int] = []
+    for _rid, lo, hi, _d in _index_entries(index_dir):
+        out.extend(range(lo, hi + 1))
     return sorted(out)
+
+
+def _index_wave_paths(index_dir: str, before_bno: int, subdir: str = "") -> list[str]:
+    """Data directories covering every committed wave < ``before_bno`` —
+    THE read side all standing-index consumers share. A compacted segment
+    is included iff it lies entirely below the cut; a segment STRADDLING
+    the cut is a watermark-contract violation (someone compacted waves at
+    or ahead of a wave still being processed) and raises rather than
+    silently over- or under-reading."""
+    import os
+
+    paths = []
+    for _rid, lo, hi, d in _index_entries(index_dir):
+        if hi < before_bno:
+            paths.append(os.path.join(d, subdir) if subdir else d)
+        elif lo < before_bno:
+            raise RuntimeError(
+                f"standing index {index_dir}: compacted segment [{lo},{hi}] "
+                f"straddles the wave cut {before_bno} — compaction ran at or "
+                "ahead of a wave still being processed (watermark contract)"
+            )
+    return paths
+
+
+def compact_standing_index(
+    spark: SparkSession,
+    index_dir: str,
+    subdirs: tuple[str, ...] = ("",),
+    sum_over: tuple[tuple[str, ...], str] | None = None,
+) -> tuple[int, int] | None:
+    """Merge ALL committed entries of a standing index into one compacted
+    segment — the state-maintenance step a long-lived stream needs (a year
+    of waves is 10⁴ directories; every wave's read lists and unions all of
+    them). Results are invariant BY CONSTRUCTION for both index families:
+    counts indexes (``sum_over=(keys, count_col)``) are sum-mergeable, so
+    group-sum over the union equals the union of per-wave counts under the
+    readers' own aggregate; membership indexes (``sum_over=None``) are
+    row-unions, preserved verbatim. ``subdirs`` names per-wave child
+    tables (the dedup index's ``bands``/``toks``); ``("",)`` is a single
+    flat table.
+
+    Watermark contract: every wave ≤ the compacted high bound must be
+    FINAL — the drain order stage_waves enforces guarantees this between
+    runs. Refuses a gapped committed set (a missing wave number could
+    still arrive; a segment spanning the gap would silently swallow it as
+    already-committed). Crash-consistent via the marker protocol: segment
+    data lands first (an unmarked ``bnoc=`` dir is invisible), then ONE
+    marker with a ``supersedes:`` line retires all merged markers
+    atomically. Old data dirs are left for vacuum, exactly like
+    ``maintenance.compact``. Returns (lo, hi), or None if there is
+    nothing to merge (fewer than two committed entries)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.job import _mark_committed
+
+    entries = _index_entries(index_dir)
+    if len(entries) < 2:
+        return None
+    waves = _committed_waves(index_dir)
+    lo, hi = waves[0], waves[-1]
+    if waves != list(range(lo, hi + 1)):
+        raise ValueError(
+            f"standing index {index_dir}: committed waves {waves} are not "
+            "contiguous — a gap wave could still arrive, and a segment "
+            "spanning the gap would skip it as already-committed"
+        )
+    seg_dir = os.path.join(index_dir, f"bnoc={lo}-{hi}")
+    for sub in subdirs:
+        paths = [os.path.join(d, sub) if sub else d for _r, _l, _h, d in entries]
+        df = spark.read.parquet(*paths)
+        if sum_over is not None:
+            keys, cnt = sum_over
+            df = df.groupBy(*keys).agg(F.sum(cnt).alias(cnt))
+        df.write.mode("overwrite").parquet(
+            os.path.join(seg_dir, sub) if sub else seg_dir
+        )
+    _mark_committed(
+        index_dir,
+        _index_seg_marker(lo, hi),
+        supersedes=[rid for rid, _l, _h, _d in entries],
+    )
+    return (lo, hi)
 
 
 def stream_dedup_incremental(
@@ -770,14 +881,10 @@ def stream_dedup_incremental(
             toks = cur.select(
                 "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
             ).persist()
-            prior = [k for k in committed if k < bno]
-            if prior:
-                ib = sp.read.parquet(
-                    *[os.path.join(index_dir, f"bno={k}", "bands") for k in prior]
-                )
-                it = sp.read.parquet(
-                    *[os.path.join(index_dir, f"bno={k}", "toks") for k in prior]
-                )
+            band_paths = _index_wave_paths(index_dir, bno, "bands")
+            if band_paths:
+                ib = sp.read.parquet(*band_paths)
+                it = sp.read.parquet(*_index_wave_paths(index_dir, bno, "toks"))
                 # the standing guard invariant (CLAUDE.md): every LSH
                 # candidate join crosses drop_oversized_buckets. Capping
                 # the INDEX side bounds the per-wave join at
@@ -1076,14 +1183,10 @@ def stream_line_dedup_incremental(
                 .agg(F.count("*").alias("n"))
                 .persist()
             )
-            prior = [k for k in committed if k < bno]
+            prior_paths = _index_wave_paths(index_dir, bno)
             total = wc
-            if prior:
-                total = wc.unionByName(
-                    sp.read.parquet(
-                        *[os.path.join(index_dir, f"bno={k}") for k in prior]
-                    )
-                )
+            if prior_paths:
+                total = wc.unionByName(sp.read.parquet(*prior_paths))
             boiler = (
                 total.groupBy("seg")
                 .agg(F.sum("n").alias("df"))
@@ -1266,14 +1369,10 @@ def stream_topk_terms(
                 .agg(F.count(F.lit(1)).alias("n"))
                 .persist()
             )
-            prior = [k for k in _committed_waves(index_dir) if k < bno]
+            prior_paths = _index_wave_paths(index_dir, bno)
             total = wc
-            if prior:
-                total = wc.unionByName(
-                    sp.read.parquet(
-                        *[os.path.join(index_dir, f"bno={k}") for k in prior]
-                    )
-                )
+            if prior_paths:
+                total = wc.unionByName(sp.read.parquet(*prior_paths))
             topk = (
                 total.groupBy("term")
                 .agg(F.sum("n").alias("cum_cnt"))

@@ -891,3 +891,171 @@ def test_stream_topk_terms_cumulative_board_per_wave(spark, tmp_path):
     assert board[1] == {"hot": (1, 6), "riser": (2, 2), "steady": (3, 2)}
     # wave 2: riser (4) strictly overtakes steady (3)
     assert board[2] == {"hot": (1, 9), "riser": (2, 4), "steady": (3, 3)}
+
+
+def _line_dedup_corpus(spark):
+    """4-wave corpus where the boilerplate segment crosses the df
+    threshold at wave 2 (one carrier per wave 0..3, threshold 3)."""
+    from pdfplucker_spark.operators.dedup import LINE_SEG_WORDS
+
+    boiler = " ".join(f"nav{i}" for i in range(LINE_SEG_WORDS))
+    uniq = lambda d: " ".join(f"u{d}w{i}" for i in range(LINE_SEG_WORDS))
+    rows = []
+    for w in range(4):
+        rows.append((10 * w + 1, f"{boiler} {uniq(10 * w + 1)}", w))  # carrier
+        rows.append((10 * w + 2, uniq(10 * w + 2), w))                # clean
+    return spark.createDataFrame(
+        [(d, t, "en", "s", len(t), w) for d, t, w in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, bno int",
+    )
+
+
+def _read_line_dedup_out(spark, out_dir):
+    return sorted(
+        map(
+            tuple,
+            spark.read.schema(
+                "doc_id long, bno int, n_segs long, n_boiler_segs long, "
+                "clean_text string"
+            ).parquet(out_dir).collect(),
+        )
+    )
+
+
+def test_counts_index_compaction_preserves_results(spark, tmp_path):
+    """THE sum-mergeable claim, executed: draining waves 0-1, compacting
+    the standing (seg, n) counts index into one segment, then draining
+    waves 2-3 through the compacted index must produce byte-identical
+    per-wave results to an uncompacted single-pass drain — and the
+    committed set must flip atomically to the one segment marker."""
+    from pdfplucker_spark.job import committed_run_ids
+    from pdfplucker_spark.streaming.stream import (
+        _committed_waves,
+        compact_standing_index,
+        stage_waves,
+        stream_line_dedup_incremental,
+    )
+
+    docs = _line_dedup_corpus(spark)
+
+    # reference: single uncompacted drain of all four waves
+    ref_in, ref_out = f"{tmp_path}/ref_in", f"{tmp_path}/ref_out"
+    stage_waves(docs, ref_in, range(4))
+    q = stream_line_dedup_incremental(spark, ref_in, ref_out, f"{tmp_path}/ref_ck")
+    assert q.awaitTermination(300)
+    ref = _read_line_dedup_out(spark, ref_out)
+
+    # two-phase drain with compaction in between
+    in2, out2, ck2 = f"{tmp_path}/in2", f"{tmp_path}/out2", f"{tmp_path}/ck2"
+    index2 = out2 + "_index"
+    stage_waves(docs.where("bno <= 1"), in2, [0, 1])
+    q = stream_line_dedup_incremental(spark, in2, out2, ck2)
+    assert q.awaitTermination(300)
+    assert compact_standing_index(
+        spark, index2, sum_over=(("seg",), "n")
+    ) == (0, 1)
+    assert committed_run_ids(index2) == ["bnoc-0-1"]  # atomic old->new flip
+    assert _committed_waves(index2) == [0, 1]
+    stage_waves(docs.where("bno >= 2"), in2, [2, 3])
+    q = stream_line_dedup_incremental(spark, in2, out2, ck2)
+    assert q.awaitTermination(300)
+
+    got = _read_line_dedup_out(spark, out2)
+    assert got == ref and got
+    # the threshold genuinely crossed at wave 2 THROUGH the compacted
+    # segment: wave-2/3 carriers cleaned, wave-0/1 carriers untouched.
+    # (partition discovery on the bno=K dirs appends bno LAST, so the
+    # tuple order is doc_id, n_segs, n_boiler_segs, clean_text, bno)
+    boiler_cleaned = {r[0] for r in got if r[2] > 0}
+    assert boiler_cleaned == {21, 31}
+    # re-compaction folds the segment and the new waves into one
+    assert compact_standing_index(spark, index2, sum_over=(("seg",), "n")) == (0, 3)
+    assert committed_run_ids(index2) == ["bnoc-0-3"]
+
+
+def test_membership_index_compaction_preserves_results(spark, tmp_path):
+    """The dedup stream's two-table membership index (bands/toks child
+    dirs) compacts by row-union: pair output through the compacted index
+    equals the uncompacted single-pass run."""
+    from pdfplucker_spark.streaming.stream import (
+        compact_standing_index,
+        stage_waves,
+        stream_dedup_incremental,
+    )
+
+    texts = {
+        10: "alpha beta gamma delta epsilon zeta",
+        11: "one two three four five six seven",
+        20: "red green blue yellow purple orange",
+        30: "alpha beta gamma delta epsilon zeta",   # dup of wave-0 doc
+        31: "red green blue yellow purple orange",   # dup of wave-1 doc
+    }
+    waves = {10: 0, 11: 0, 20: 1, 30: 2, 31: 3}
+    docs = spark.createDataFrame(
+        [(d, texts[d], "en", "s", len(texts[d]), waves[d]) for d in sorted(texts)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, bno int",
+    )
+
+    def _read(out):
+        return sorted(
+            map(
+                tuple,
+                spark.read.schema(
+                    "batch_doc_id long, index_doc_id long, jaccard double, bno int"
+                ).parquet(out).collect(),
+            )
+        )
+
+    ref_in, ref_out = f"{tmp_path}/ref_in", f"{tmp_path}/ref_out"
+    stage_waves(docs, ref_in, range(4))
+    q = stream_dedup_incremental(spark, ref_in, ref_out, f"{tmp_path}/ref_ck")
+    assert q.awaitTermination(300)
+    ref = _read(ref_out)
+
+    in2, out2, ck2 = f"{tmp_path}/in2", f"{tmp_path}/out2", f"{tmp_path}/ck2"
+    stage_waves(docs.where("bno <= 1"), in2, [0, 1])
+    q = stream_dedup_incremental(spark, in2, out2, ck2)
+    assert q.awaitTermination(300)
+    assert compact_standing_index(
+        spark, out2 + "_index", subdirs=("bands", "toks")
+    ) == (0, 1)
+    stage_waves(docs.where("bno >= 2"), in2, [2, 3])
+    q = stream_dedup_incremental(spark, in2, out2, ck2)
+    assert q.awaitTermination(300)
+
+    got = _read(out2)
+    assert got == ref
+    assert (30, 10, 1.0, 2) in got and (31, 20, 1.0, 3) in got
+
+
+def test_compaction_guards_gaps_and_straddles(spark, tmp_path):
+    """A gapped committed set refuses to compact (a missing wave could
+    still arrive and would be silently swallowed as already-committed),
+    and a reader whose wave cut lands INSIDE a compacted segment raises
+    (watermark-contract violation) instead of over/under-reading."""
+    import pytest as _pytest
+
+    from pdfplucker_spark.job import _mark_committed
+    from pdfplucker_spark.streaming.stream import (
+        _committed_waves,
+        _index_wave_paths,
+        compact_standing_index,
+    )
+
+    idx = f"{tmp_path}/idx"
+    one = spark.createDataFrame([("s", 1)], "seg string, n long")
+    for k in (0, 2):  # wave 1 never landed
+        one.write.parquet(f"{idx}/bno={k}")
+        _mark_committed(idx, f"bno-{k}")
+    with _pytest.raises(ValueError, match="not .*contiguous|contiguous"):
+        compact_standing_index(spark, idx, sum_over=(("seg",), "n"))
+
+    idx2 = f"{tmp_path}/idx2"
+    one.write.parquet(f"{idx2}/bnoc=0-3")
+    _mark_committed(idx2, "bnoc-0-3")
+    assert _committed_waves(idx2) == [0, 1, 2, 3]
+    assert _index_wave_paths(idx2, 5) == [f"{idx2}/bnoc=0-3"]
+    with _pytest.raises(RuntimeError, match="straddles"):
+        _index_wave_paths(idx2, 2)
