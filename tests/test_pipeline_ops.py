@@ -917,3 +917,126 @@ def test_contamination_report_exact_fractions(spark, tmp_path):
     ).fetchall()))
     assert sorted(map(tuple, res.collect())) == exp
     spark.catalog.clearCache()
+
+
+def test_substring_dedup_matches_bruteforce_on_random_corpus(spark, tmp_path):
+    """Seeded-random corpus over a 2-token alphabet (dense window
+    collisions, within-doc repeats, empty/NULL/short texts) — the operator
+    must equal a brute-force Python reference exactly: same duplicated
+    windows, same island merging, same span rows."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.dedup import SUBSTR_W, q_docs_substring_dedup
+
+    rnd = random.Random(90210)
+    vocab = ["t0", "t1"]  # 2^8 = 256 window values over ~1300 windows:
+    # collisions guaranteed, within-doc repeats common
+    texts = {}
+    for d in range(1, 81):
+        pick = rnd.random()
+        if pick < 0.05:
+            texts[d] = None
+        elif pick < 0.10:
+            texts[d] = ""
+        else:
+            texts[d] = " ".join(
+                rnd.choice(vocab) for _ in range(rnd.randint(1, 24))
+            )
+    rows = [
+        Row(doc_id=d, text=t, lang="en", source="s",
+            n_chars=len(t) if t else 0)
+        for d, t in texts.items()
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+
+    # brute force
+    wins, cnt = {}, Counter()
+    for d, t in texts.items():
+        if t is None:
+            continue
+        toks = t.split(" ")
+        ws = [
+            " ".join(toks[i : i + SUBSTR_W])
+            for i in range(len(toks) - SUBSTR_W + 1)
+        ]
+        wins[d] = ws
+        cnt.update(ws)
+    exp = []
+    for d, ws in wins.items():
+        islands = []  # [start, last_pos, n]
+        for i, w in enumerate(ws):
+            if cnt[w] < 2:
+                continue
+            if islands and i <= islands[-1][1] + SUBSTR_W:
+                islands[-1][1] = i
+                islands[-1][2] += 1
+            else:
+                islands.append([i, i, 1])
+        for seq, (s, last, n) in enumerate(islands, 1):
+            exp.append((d, seq, s, last + SUBSTR_W, n))
+
+    got = sorted(map(tuple, q_docs_substring_dedup(spark, str(tmp_path)).collect()))
+    assert got == sorted(exp) and got
+    spark.catalog.clearCache()
+
+
+def test_balanced_sample_matches_bruteforce_on_random_strata(spark, tmp_path):
+    """Seeded-random stratum sizes (1..30 docs across 12 sources) — quota
+    allocation AND within-stratum hash selection must equal a Python
+    water-filling reference exactly, and the total must hit the budget."""
+    import hashlib
+    import random
+
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.pipeline import (
+        BALANCED_BUDGET_DEN,
+        q_docs_balanced_sample,
+    )
+
+    rnd = random.Random(1234)
+    sizes = {f"s{i:02d}": rnd.randint(1, 30) for i in range(12)}
+    rows, members, did = [], {}, 0
+    for src, n in sizes.items():
+        members[src] = []
+        for _ in range(n):
+            did += 1
+            members[src].append(did)
+            rows.append(
+                Row(doc_id=did, text=f"x{did}", lang="en", source=src, n_chars=5)
+            )
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    n_total = sum(sizes.values())
+    b = n_total // BALANCED_BUDGET_DEN
+    k = len(sizes)
+    srt = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+    quotas, cum, istar = {}, 0, 0
+    for i, (src, n) in enumerate(srt, 1):
+        if n * (k - i + 1) <= b - cum:
+            quotas[src] = n
+            cum += n
+            istar = i
+        else:
+            break
+    rest = sorted(src for src, _n in sizes.items() if src not in quotas)
+    if istar < k:
+        level, extras = divmod(b - cum, k - istar)
+        for j, src in enumerate(rest):
+            quotas[src] = level + (1 if j < extras else 0)
+    exp = []
+    for src, ids in members.items():
+        ordered = sorted(ids, key=lambda d: (h60(f"bs:{src}:{d}"), d))
+        for r, d in enumerate(ordered[: quotas[src]], 1):
+            exp.append((d, src, r))
+
+    got = sorted(map(tuple, q_docs_balanced_sample(spark, str(tmp_path)).collect()))
+    assert got == sorted(exp)
+    assert len(got) == b
+    spark.catalog.clearCache()
