@@ -779,6 +779,53 @@ def compact_standing_index(
     return (lo, hi)
 
 
+def vacuum_standing_index(index_dir: str) -> list[str]:
+    """Reclaim retired standing-index state: data dirs no LIVE entry
+    references (compaction-superseded per-wave dirs, torn unmarked dirs)
+    and superseded marker files. Safe by the protocol: live entries are
+    untouched; an unmarked dir is invisible to every reader; and deleting
+    a superseded MARKER file cannot resurrect anything — exclusion is by
+    name in the superseding marker's ``supersedes:`` line, which stays.
+    Same maintenance-window contract as ``compact_standing_index``: run
+    between drains (a torn dir during an ACTIVE drain is a wave mid-write,
+    not garbage). Returns the removed paths."""
+    import os
+    import re as _re
+    import shutil
+
+    from pdfplucker_spark.job import committed_run_ids
+
+    live = _index_entries(index_dir)
+    live_dirs = {d for _r, _l, _h, d in live}
+    live_markers = {rid for rid, _l, _h, _d in live}
+    removed = []
+    for name in sorted(os.listdir(index_dir)):
+        full = os.path.join(index_dir, name)
+        if (
+            (name.startswith("bno=") or name.startswith("bnoc="))
+            and os.path.isdir(full)
+            and full not in live_dirs
+        ):
+            shutil.rmtree(full)
+            removed.append(full)
+    commits = os.path.join(index_dir, "_commits")
+    live_names = set(committed_run_ids(index_dir))
+    try:
+        marker_files = sorted(os.listdir(commits))
+    except FileNotFoundError:
+        marker_files = []
+    for n in marker_files:
+        if n.startswith("."):
+            continue  # stale tmps belong to job.vacuum's lease-guarded path
+        if n not in live_names and _re.fullmatch(r"bnoc?-[0-9-]+", n):
+            # superseded index marker (per-wave or an older segment)
+            full = os.path.join(commits, n)
+            os.remove(full)
+            removed.append(full)
+            assert live_markers <= set(committed_run_ids(index_dir))
+    return removed
+
+
 def stream_dedup_incremental(
     spark: SparkSession,
     input_dir: str,
@@ -1113,6 +1160,7 @@ def stream_line_dedup_incremental(
     output_dir: str,
     checkpoint_dir: str,
     files_per_wave: int = 1,
+    compact_every: int | None = None,
 ):
     """foreachBatch incremental LINE dedup — the live-pipeline cadence of
     ``docs_line_dedup`` (operators/dedup.py): docs arrive as waves, and a
@@ -1126,14 +1174,21 @@ def stream_line_dedup_incremental(
     membership indexes (dedup: band keys + token sets; decontaminate:
     static eval shingles): a sum-MERGEABLE aggregate. Each wave appends
     one small (seg, n_docs) table; the current frequency is the sum over
-    committed waves — associative, so a production deployment compacts
-    prior waves into one rollup at any time without changing a single
-    result (the read below sums per-wave tables; with daily waves you'd
-    compact weekly). Per-wave join cost tracks the wave's segment set ×
-    the matched index rows; there is NO self-join, so no occupancy guard
-    is needed (a hot segment is one counter cell). Index visibility is
-    the commit-marker protocol; write order result → index → marker with
-    the same retry-skip + result-presence pin as the dedup stream."""
+    committed waves — associative, so the index compacts at any time
+    without changing a single result. ``compact_every=C`` runs that
+    maintenance IN-LOOP: after a wave commits, once the committed entry
+    count reaches C, ``compact_standing_index`` folds them into one
+    segment (group-sum) — bounding the read side at ≤ C tables forever,
+    the shape a years-long stream needs; the driver registration uses it,
+    so result-invariance under compaction is cross-engine-verified, not
+    just pytest-asserted. The in-loop call is watermark-safe by
+    construction: it runs after wave w's marker, and every later read
+    cuts at a wave > w. Per-wave join cost tracks the wave's segment set
+    × the matched index rows; there is NO self-join, so no occupancy
+    guard is needed (a hot segment is one counter cell). Index
+    visibility is the commit-marker protocol; write order result →
+    index → marker with the same retry-skip + result-presence pin as
+    the dedup stream."""
     import os
 
     from pyspark.sql import functions as F
@@ -1221,6 +1276,8 @@ def stream_line_dedup_incremental(
             _mark_committed(index_dir, _index_marker(bno))
             segs.unpersist()
             wc.unpersist()
+            if compact_every and len(_index_entries(index_dir)) >= compact_every:
+                compact_standing_index(sp, index_dir, sum_over=(("seg",), "n"))
 
     return (
         src.writeStream.foreachBatch(_screen)
@@ -1256,9 +1313,17 @@ def q_stream_line_dedup_incremental(spark: SparkSession, sf_dir: str):
         )
         stage_waves(d, in_dir, range(STREAM_INC_BATCHES))
 
-    sink = _drain(
-        spark, sf_dir, "lineinc", _stage, stream_line_dedup_incremental
-    )
+    # compact_every=3: with 4 waves, the standing counts index folds into
+    # one bnoc segment after wave 2 commits, and wave 3 screens THROUGH
+    # the compacted segment — so this registration's oracle compare is the
+    # cross-engine record that compaction changes no result (the oracle
+    # knows nothing about compaction; it replays plain cumulative sums)
+    def _start(sp, in_dir, out_dir, ckpt_dir):
+        return stream_line_dedup_incremental(
+            sp, in_dir, out_dir, ckpt_dir, compact_every=3
+        )
+
+    sink = _drain(spark, sf_dir, "lineinc", _stage, _start)
     return spark.read.schema(
         "doc_id long, bno int, n_segs long, n_boiler_segs long, "
         "clean_text string"

@@ -1059,3 +1059,44 @@ def test_compaction_guards_gaps_and_straddles(spark, tmp_path):
     assert _index_wave_paths(idx2, 5) == [f"{idx2}/bnoc=0-3"]
     with _pytest.raises(RuntimeError, match="straddles"):
         _index_wave_paths(idx2, 2)
+
+
+def test_vacuum_standing_index_reclaims_superseded_state(spark, tmp_path):
+    """After compaction, vacuum removes the retired per-wave dirs and
+    superseded markers plus any torn unmarked dir, leaves the live segment
+    intact, and the committed view + reads are unchanged."""
+    import os
+
+    from pdfplucker_spark.job import _mark_committed, committed_run_ids
+    from pdfplucker_spark.streaming.stream import (
+        _committed_waves,
+        _index_wave_paths,
+        compact_standing_index,
+        vacuum_standing_index,
+    )
+
+    idx = f"{tmp_path}/idx"
+    for k in range(3):
+        spark.createDataFrame(
+            [(f"seg{k}", 1), ("shared", 1)], "seg string, n long"
+        ).write.parquet(f"{idx}/bno={k}")
+        _mark_committed(idx, f"bno-{k}")
+    # a torn wave dir: data landed, no marker (crash before commit)
+    spark.createDataFrame([("torn", 9)], "seg string, n long").write.parquet(
+        f"{idx}/bno=7"
+    )
+    assert compact_standing_index(spark, idx, sum_over=(("seg",), "n")) == (0, 2)
+
+    removed = vacuum_standing_index(idx)
+    assert sorted(os.path.basename(p) for p in removed) == [
+        "bno-0", "bno-1", "bno-2", "bno=0", "bno=1", "bno=2", "bno=7",
+    ]
+    assert committed_run_ids(idx) == ["bnoc-0-2"]
+    assert _committed_waves(idx) == [0, 1, 2]
+    merged = {
+        (r.seg, r.n)
+        for r in spark.read.parquet(*_index_wave_paths(idx, 3)).collect()
+    }
+    assert merged == {("seg0", 1), ("seg1", 1), ("seg2", 1), ("shared", 3)}
+    # idempotent: nothing left to reclaim
+    assert vacuum_standing_index(idx) == []
