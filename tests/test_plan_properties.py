@@ -354,3 +354,48 @@ def test_pq_adc_search_is_shuffle_free(spark):
     assert "Exchange rangepartitioning" not in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_substring_dedup_two_exchanges_broadcast_dup_set(spark):
+    """The ExactSubstr plan at 10¹² docs: exactly TWO data-moving
+    exchanges end-to-end — the window-hash frequency count (uniform md5
+    key, map-side partials) and ONE doc_id exchange that all three
+    per-doc window ops AND the island aggregate reuse (hashpartitioning
+    on doc_id co-locates (doc_id, island) groups, so the span aggregate
+    needs no exchange of its own). The dup set joins back by broadcast at
+    this scale; the scan reads only (doc_id, text) with the not-null
+    filter pushed."""
+    from pdfplucker_spark.operators.dedup import q_docs_substring_dedup
+
+    spark.catalog.clearCache()
+    plan = _plan(q_docs_substring_dedup(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("InMemoryTableScan") >= 2  # wins persisted, reused
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    spark.catalog.clearCache()
+
+
+def test_dsir_one_model_agg_one_doc_shuffle(spark):
+    """The DSIR plan: ONE bucket-cardinality aggregate computes BOTH
+    models (no second corpus pass for the target side) and the per-doc
+    sum is the only other hash exchange; the 64-row model reaches the
+    scoring rescan by broadcast, never sort-merge."""
+    from pdfplucker_spark.operators.pipeline import q_docs_dsir_weights
+
+    spark.catalog.clearCache()
+    plan = _plan(q_docs_dsir_weights(spark, SF))
+    # exchanges: bucket counts (×1 — the persisted counts frame prints
+    # under both its consumers but is ONE cached exchange, so count
+    # DISTINCT plan ids) + per-doc sum (×1); nothing else moves corpus data
+    import re as _re
+
+    ex_ids = set(
+        _re.findall(r"Exchange hashpartitioning\([^\]]*plan_id=(\d+)", plan)
+    )
+    assert len(ex_ids) == 2, (ex_ids, plan[:3000])
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    spark.catalog.clearCache()
