@@ -966,6 +966,129 @@ SELECT doc_id, source, n_chars, domain_rank FROM (
 
 
 # deterministic global training-shuffle order
+# ---------------------------------------------------------------------------
+# z-order (Morton) data layout: the multi-dimensional clustering key that
+# makes min/max file skipping work for MORE THAN ONE predicate column at
+# once (the Delta/Iceberg OPTIMIZE ZORDER analogue). A 1-D sort gives one
+# column tight per-file ranges and leaves every other column's range as
+# wide as the table; interleaving the bits of two dimensions bounds BOTH.
+# ---------------------------------------------------------------------------
+ZORDER_BITS = 16  # bits per dimension → 32-bit Morton key
+ZORDER_FILE_SHIFT = 26  # zkey >> shift → 2^(32-26) = 64 file buckets
+
+# Morton interleave of two ZORDER_BITS-bit ints a (odd positions) and b
+# (even positions) — a pure integer fold, bit-identical in both engines
+_Z_INTERLEAVE = (
+    f"aggregate(sequence(0, {ZORDER_BITS - 1}), 0L, (acc, i) -> "
+    "acc + shiftleft((a >> i) & 1, 2 * i + 1)"
+    " + shiftleft((b >> i) & 1, 2 * i))"
+)
+
+
+def _zorder_dims():
+    """The two clustered dimensions: a 16-bit hash of the source domain
+    (the equality-predicate column) and the doc length clamped to 16 bits
+    (the range-predicate column). Production swaps any two predicate
+    columns into the same plumbing."""
+    a = (md5_long(F.coalesce(F.col("source"), F.lit(""))) % (1 << ZORDER_BITS)).alias(
+        "a"
+    )
+    b = F.least(
+        F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(0)),
+        F.lit((1 << ZORDER_BITS) - 1),
+    ).alias("b")
+    return a, b
+
+
+def q_docs_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc z-order assignment: (doc_id, zkey, file_bucket) — the
+    layout a compaction job would repartitionByRange on before writing,
+    so that BOTH a source-equality predicate AND an n_chars-range
+    predicate prune most file buckets via min/max stats. Map-only: two
+    projected dimensions, one integer bit-interleave fold, a shift — no
+    shuffle at any N (the WRITE pays one range exchange when it
+    materializes the layout; this operator is the key computation the
+    driver gate can verify exactly)."""
+    d = load(spark, sf_dir, "documents")
+    a, b = _zorder_dims()
+    return (
+        d.where(F.col("doc_id").isNotNull())
+        .select("doc_id", a, b)
+        .select(
+            "doc_id",
+            F.expr(_Z_INTERLEAVE).alias("zkey"),
+        )
+        .select(
+            "doc_id",
+            "zkey",
+            F.shiftright("zkey", ZORDER_FILE_SHIFT).cast("int").alias("file_bucket"),
+        )
+    )
+
+
+def q_docs_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruning-stats table a reader skips files with: per file bucket,
+    row count and min/max of BOTH clustered dimensions — the z-order
+    property is that these ranges are tight in both dims simultaneously
+    (a 1-D layout bounds one and leaves the other table-wide; the pytest
+    asserts the 2-D widths quantitatively). One 64-ary hash aggregate
+    with map-side partials — the stats cost of a 10¹²-doc layout is one
+    corpus scan."""
+    d = load(spark, sf_dir, "documents")
+    a, b = _zorder_dims()
+    keyed = (
+        d.where(F.col("doc_id").isNotNull())
+        .select("doc_id", a, b)
+        .select(
+            "a",
+            "b",
+            F.shiftright(F.expr(_Z_INTERLEAVE), ZORDER_FILE_SHIFT)
+            .cast("int")
+            .alias("file_bucket"),
+        )
+    )
+    return keyed.groupBy("file_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("a").alias("min_src"),
+        F.max("a").alias("max_src"),
+        F.min("b").alias("min_len"),
+        F.max("b").alias("max_len"),
+    )
+
+
+def _sql_zorder_keyed() -> str:
+    z = (
+        f"list_sum(list_transform(range(0, {ZORDER_BITS}), i -> "
+        "((a >> i) & 1) * (1::BIGINT << (2 * i + 1))"
+        " + ((b >> i) & 1) * (1::BIGINT << (2 * i))))"
+    )
+    return f"""
+  SELECT doc_id, a, b, CAST({z} AS BIGINT) AS zkey
+  FROM (
+    SELECT doc_id,
+           {sql_md5_long("coalesce(source, '')")} % {1 << ZORDER_BITS} AS a,
+           least(greatest(coalesce(n_chars, 0), 0), {(1 << ZORDER_BITS) - 1}) AS b
+    FROM documents WHERE doc_id IS NOT NULL
+  )
+"""
+
+
+SQL_DOCS_ZORDER_LAYOUT = f"""
+SELECT doc_id, zkey,
+       CAST(zkey >> {ZORDER_FILE_SHIFT} AS INTEGER) AS file_bucket
+FROM ({_sql_zorder_keyed()})
+"""
+
+SQL_DOCS_ZORDER_STATS = f"""
+SELECT CAST(zkey >> {ZORDER_FILE_SHIFT} AS INTEGER) AS file_bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(a) AS BIGINT) AS min_src, CAST(MAX(a) AS BIGINT) AS max_src,
+       CAST(MIN(b) AS BIGINT) AS min_len, CAST(MAX(b) AS BIGINT) AS max_len
+FROM ({_sql_zorder_keyed()})
+GROUP BY 1
+"""
+
+
 SHUFFLE_EPOCH_SEED = 1
 SHUFFLE_BUCKET_BITS = 8  # top-8-bits of the 60-bit hash → 256 buckets
 
@@ -2013,6 +2136,8 @@ QUERIES = {
     "docs_balanced_sample": (q_docs_balanced_sample, SQL_DOCS_BALANCED_SAMPLE),
     "docs_mix_temperature": (q_docs_mix_temperature, SQL_DOCS_MIX_TEMPERATURE),
     "docs_shuffle_order": (q_docs_shuffle_order, SQL_DOCS_SHUFFLE_ORDER),
+    "docs_zorder_layout": (q_docs_zorder_layout, SQL_DOCS_ZORDER_LAYOUT),
+    "docs_zorder_stats": (q_docs_zorder_stats, SQL_DOCS_ZORDER_STATS),
     "docs_domain_cap": (q_docs_domain_cap, SQL_DOCS_DOMAIN_CAP),
     "docs_curation_manifest": (
         q_docs_curation_manifest,

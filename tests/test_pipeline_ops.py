@@ -1040,3 +1040,75 @@ def test_balanced_sample_matches_bruteforce_on_random_strata(spark, tmp_path):
     assert got == sorted(exp)
     assert len(got) == b
     spark.catalog.clearCache()
+
+
+def test_zorder_interleave_math_and_two_dim_pruning(spark, tmp_path):
+    """The Morton key must equal a bit-level Python reference, and the
+    layout must deliver the property it exists for: with docs in two
+    length clusters spread over many sources, a narrow length-range
+    predicate PRUNES most z-order file buckets via the min/max stats
+    (every matching doc provably inside the surviving buckets), while a
+    1-D source-ordered layout cannot prune on length at all (each source
+    holds both clusters, so every 1-D bucket's length range spans them)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.pipeline import (
+        ZORDER_BITS,
+        ZORDER_FILE_SHIFT,
+        q_docs_zorder_layout,
+        q_docs_zorder_stats,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(ZORDER_BITS):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    rows, did = [], 0
+    for s in range(24):
+        src = f"dom{s:02d}"
+        for ln in (100 + s, 60_000 + s):  # every source: one short, one long
+            did += 1
+            rows.append(
+                Row(doc_id=did, text="x", lang="en", source=src, n_chars=ln)
+            )
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+
+    lay = {r.doc_id: r for r in q_docs_zorder_layout(spark, str(tmp_path)).collect()}
+    by_doc = {r.doc_id: r for r in rows}
+    for d, r in lay.items():
+        a = h60(by_doc[d].source) % (1 << ZORDER_BITS)
+        b = min(max(by_doc[d].n_chars, 0), (1 << ZORDER_BITS) - 1)
+        assert r.zkey == morton(a, b), d
+        assert r.file_bucket == r.zkey >> ZORDER_FILE_SHIFT
+
+    stats = q_docs_zorder_stats(spark, str(tmp_path)).collect()
+    assert sum(r.n_docs for r in stats) == len(rows)
+    # the length predicate: n_chars <= 1000 (exactly the short cluster)
+    surviving = [r for r in stats if r.min_len <= 1000]
+    pruned = [r for r in stats if r.min_len > 1000]
+    assert pruned, "z-order failed to isolate the long cluster"
+    # completeness: every matching doc is in a surviving bucket
+    short_buckets = {lay[d].file_bucket for d, r in by_doc.items() if r.n_chars <= 1000}
+    assert short_buckets <= {r.file_bucket for r in surviving}
+    # the long cluster's mass is fully prunable: no long doc hides in a
+    # surviving bucket's stats range unnecessarily — surviving buckets'
+    # max_len stays in the short cluster (tight 2-D ranges)
+    assert all(r.max_len <= 1000 for r in surviving)
+    # the 1-D contrast: bucket by source hash alone — every bucket holds a
+    # short AND a long doc, so min_len <= 1000 < max_len everywhere and a
+    # length predicate prunes NOTHING
+    one_d = {}
+    for d, r in by_doc.items():
+        k = (h60(r.source) % (1 << ZORDER_BITS)) >> (ZORDER_BITS - 5)
+        lo, hi = one_d.get(k, (1 << 30, -1))
+        one_d[k] = (min(lo, r.n_chars), max(hi, r.n_chars))
+    assert all(lo <= 1000 < hi for lo, hi in one_d.values())
+    spark.catalog.clearCache()
