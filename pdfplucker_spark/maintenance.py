@@ -284,9 +284,26 @@ def main(argv=None) -> int:
 
     p = argparse.ArgumentParser(description="vacuum / compact / stats on output tables")
     p.add_argument("--output", required=True)
-    p.add_argument("--action", choices=["vacuum", "compact", "stats"], required=True)
+    p.add_argument(
+        "--action",
+        choices=["vacuum", "compact", "stats", "compact-index", "vacuum-index"],
+        required=True,
+    )
     p.add_argument("--target-mb", type=int, default=128)
     p.add_argument("--master", default=None)
+    p.add_argument(
+        "--subdirs",
+        default="",
+        help="compact-index: comma-separated per-wave child tables "
+        "(e.g. 'bands,toks' for the dedup membership index; empty = one "
+        "flat table)",
+    )
+    p.add_argument(
+        "--sum-over",
+        default=None,
+        help="compact-index: 'key1[,key2...]:count_col' to group-sum a "
+        "counts index (e.g. 'seg:n'); omit for membership row-union",
+    )
     a = p.parse_args(argv)
     if a.action == "stats":
         print(json.dumps(table_stats(a.output)))
@@ -295,12 +312,38 @@ def main(argv=None) -> int:
         removed = vacuum(a.output)
         print(f"vacuumed: {removed}")
         return 0
+    if a.action == "vacuum-index":
+        from pdfplucker_spark.streaming.stream import vacuum_standing_index
+
+        removed = vacuum_standing_index(a.output)
+        print(f"vacuumed: {len(removed)} paths")
+        return 0
+    from pyspark.sql import SparkSession
+
+    # stop only a session WE created: in-process callers (tests, notebooks)
+    # hand us their live session via getOrCreate, and stopping it would
+    # kill every later query they run
+    owned = SparkSession.getActiveSession() is None
     spark = get_spark(app="maintenance", master=a.master)
     try:
-        rid = compact(spark, a.output, target_mb=a.target_mb)
-        print(f"compacted into run {rid}")
+        if a.action == "compact-index":
+            from pdfplucker_spark.streaming.stream import compact_standing_index
+
+            sum_over = None
+            if a.sum_over:
+                keys, cnt = a.sum_over.rsplit(":", 1)
+                sum_over = (tuple(keys.split(",")), cnt)
+            subdirs = tuple(a.subdirs.split(",")) if a.subdirs else ("",)
+            seg = compact_standing_index(
+                spark, a.output, subdirs=subdirs, sum_over=sum_over
+            )
+            print(f"compacted waves: {seg}")
+        else:
+            rid = compact(spark, a.output, target_mb=a.target_mb)
+            print(f"compacted into run {rid}")
     finally:
-        spark.stop()
+        if owned:
+            spark.stop()
     return 0
 
 

@@ -585,6 +585,74 @@ FROM lineitem GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# per-source robust length-outlier gate (Tukey fences): the curation rule
+# "drop docs absurdly short/long FOR THEIR SOURCE" — absolute thresholds
+# misfire across heterogeneous sources (a tweet corpus vs a book corpus).
+# ---------------------------------------------------------------------------
+IQR_K = 1.5  # Tukey's fence multiplier
+
+
+def q_docs_length_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: its source's Tukey fences over n_chars and whether the doc
+    falls outside them. Cross-engine exactness without a micro grid: the
+    0.25/0.75 interpolation fractions are DYADIC (quarters), n_chars are
+    integers, and 1.5·IQR is a dyadic multiple — every fence arithmetic
+    step is exact in binary doubles, so the comparisons (and the reported
+    fences) are bit-identical between Spark `percentile` and DuckDB
+    `quantile_cont`. Scale shape: one |sources|-row percentile aggregate
+    (map-side partial percentile state), fences broadcast back onto the
+    corpus scan — map-only gate, one tiny shuffle total."""
+    d = load(spark, sf_dir, "documents")
+    base = d.where(
+        F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull()
+    ).select("doc_id", "source", "n_chars")
+    fences = base.groupBy("source").agg(
+        F.expr("percentile(cast(n_chars as double), 0.25)").alias("q1"),
+        F.expr("percentile(cast(n_chars as double), 0.75)").alias("q3"),
+    ).select(
+        "source",
+        (F.col("q1") - IQR_K * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + IQR_K * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    return base.join(F.broadcast(fences), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "lo_fence",
+        "hi_fence",
+        (
+            (F.col("n_chars") < F.col("lo_fence"))
+            | (F.col("n_chars") > F.col("hi_fence"))
+        )
+        .cast("int")
+        .alias("is_outlier"),
+    )
+
+
+SQL_DOCS_LENGTH_OUTLIER = f"""
+WITH base AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+),
+fences AS (
+  SELECT source,
+         q1 - {IQR_K} * (q3 - q1) AS lo_fence,
+         q3 + {IQR_K} * (q3 - q1) AS hi_fence
+  FROM (
+    SELECT source,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS q1,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS q3
+    FROM base GROUP BY source
+  )
+)
+SELECT b.doc_id, b.source, b.n_chars, f.lo_fence, f.hi_fence,
+       CASE WHEN b.n_chars < f.lo_fence OR b.n_chars > f.hi_fence
+            THEN 1 ELSE 0 END AS is_outlier
+FROM base b JOIN fences f USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
 # deterministic stratified sampling
 # ---------------------------------------------------------------------------
 def q_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2131,6 +2199,7 @@ QUERIES = {
     "docs_dsir_weights": (q_docs_dsir_weights, SQL_DOCS_DSIR_WEIGHTS),
     "docs_unigram_logppl": (q_docs_unigram_logppl, SQL_DOCS_UNIGRAM_LOGPPL),
     "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),
+    "docs_length_outlier": (q_docs_length_outlier, SQL_DOCS_LENGTH_OUTLIER),
     "docs_sample": (q_docs_sample, SQL_DOCS_SAMPLE),
     "docs_sample_weighted": (q_docs_sample_weighted, SQL_DOCS_SAMPLE_WEIGHTED),
     "docs_balanced_sample": (q_docs_balanced_sample, SQL_DOCS_BALANCED_SAMPLE),

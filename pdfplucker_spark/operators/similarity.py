@@ -1373,7 +1373,83 @@ def q_sim_semdedup_k16(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SIM_SEMDEDUP_K16 = _sql_semdedup_sampled(k=16)
 
 
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection: 64-d → RP_DIMS-d with a seeded
+# Rademacher (±1) matrix — the dimensionality-reduction step that shrinks
+# an embedding corpus ~4× before indexing (JL: pairwise distances are
+# preserved within (1±ε) w.h.p. for RP_DIMS = O(log n / ε²); the seeded
+# sign matrix is the standard database-friendly construction — no dense
+# gaussian matrix to distribute, the "matrix" is 16 literal arrays baked
+# into the plan).
+# ---------------------------------------------------------------------------
+RP_DIMS = 16
+
+
+def _rp_signs(j: int) -> list[float]:
+    """Row j of the seeded Rademacher matrix: ±1 from md5, generated in
+    Python once and baked into BOTH engines' plans as literals — no
+    cross-engine hash agreement needed."""
+    import hashlib as _h
+
+    return [
+        1.0 if int(_h.md5(f"rp:{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1.0
+        for i in range(DIM)
+    ]
+
+
+def q_sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim, val): each vector's RP_DIMS projection components —
+    val_j = Σ_i v_i · r_{j,i}, an exact fixed-order IEEE fold, so the
+    doubles are bit-identical cross-engine (the k-means/k-center
+    contract). Map-only at any N: the projection is RP_DIMS independent
+    fold expressions over one hoisted vector column, built into ONE array
+    and posexploded (each fold evaluates once; k simple expressions, per
+    the interpreted-HOF house rule — never one k-iteration lambda)."""
+    emb = load(spark, sf_dir, "embeddings")
+    folds = []
+    for j in range(RP_DIMS):
+        arr = "array(" + ", ".join(
+            f"{s:.1f}D" for s in _rp_signs(j)
+        ) + ")"
+        folds.append(
+            f"aggregate(zip_with(v, {arr}, (a, b) -> a * b), 0D, (s, t) -> s + t)"
+        )
+    return (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .select(
+            "vec_id",
+            F.posexplode(F.expr("array(" + ", ".join(folds) + ")")).alias(
+                "dim", "val"
+            ),
+        )
+        .select("vec_id", "dim", F.round("val", 6).alias("val"))
+    )
+
+
+def _sql_sim_random_projection() -> str:
+    rows = []
+    for j in range(RP_DIMS):
+        arr = "[" + ", ".join(f"{s:.1f}" for s in _rp_signs(j)) + "]"
+        rows.append(
+            f"SELECT vec_id, {j} AS dim, "
+            f"round(list_dot_product(CAST(embedding AS DOUBLE[]), {arr}), 6)"
+            " AS val FROM embeddings"
+        )
+    return (
+        "SELECT vec_id, CAST(dim AS INT) AS dim, val FROM ("
+        + " UNION ALL ".join(rows)
+        + ")"
+    )
+
+
+SQL_SIM_RANDOM_PROJECTION = _sql_sim_random_projection()
+
+
 QUERIES = {
+    "sim_random_projection": (q_sim_random_projection, SQL_SIM_RANDOM_PROJECTION),
     "sim_kcenter_sample": (q_sim_kcenter_sample, SQL_SIM_KCENTER_SAMPLE),
     "sim_pq_assign": (q_sim_pq_assign, SQL_SIM_PQ_ASSIGN),
     "sim_pq_adc_topk": (q_sim_pq_adc_topk, SQL_SIM_PQ_ADC_TOPK),

@@ -23,9 +23,9 @@ _OPERATOR_MODULES = (
 # two rounds. Names not in the registry are ignored; names not listed
 # keep module order after these.
 _RECORD_FIRST = (
-    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 119
+    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 121
     # live names means a two-round union covers at most 100, so priority
-    # is: (1) the 17 names new or with a changed EXECUTED PATH this
+    # is: (1) the 19 names new or with a changed EXECUTED PATH this
     # round (new/changed lead, per CLAUDE.md); (2) the 8 names still
     # riding r6 records — the stalest, each judge-strict-verified green
     # in r8. The round-9 new set: dedup_simhash_pairs + its _nulls
@@ -38,7 +38,9 @@ _RECORD_FIRST = (
     # (exact water-filling quotas + two-level per-stratum rank),
     # docs_contamination_report (the eval-side leakage audit),
     # docs_zorder_layout + docs_zorder_stats (Morton 2-D clustering key
-    # + the min/max pruning-stats table), sim_kcenter_sample (greedy
+    # + the min/max pruning-stats table), docs_length_outlier
+    # (per-source Tukey-fence robust length gate), sim_random_projection
+    # (seeded-Rademacher JL reduction), sim_kcenter_sample (greedy
     # Gonzalez coreset), stream_topk_terms (trending board over the
     # counts index), sim_pq_assign + sim_pq_adc_topk (IVF-PQ codes +
     # shuffle-free ADC search); sim_ann_recall grew from 2 rows to the
@@ -46,15 +48,15 @@ _RECORD_FIRST = (
     # production-shaped multi-file waves (files_per_wave=3, same
     # oracle), and stream_line_dedup_incremental now compacts its
     # standing index IN-LOOP (compact_every=3, same oracle — the driver
-    # record is the compaction-invariance check). Then (3) 25 of the 45
-    # r7-record names. The 20 that spill to r10 — regional_revenue_sql,
+    # record is the compaction-invariance check). Then (3) 23 of the 45
+    # r7-record names. The 22 that spill to r10 — regional_revenue_sql,
     # the 8 map-only textstats names (text_fingerprint, text_langid,
     # text_pii_scan, text_quality, text_regex_stats, text_repetition,
-    # text_tokens, text_top_terms), and the 11 trimmed for the r9
+    # text_tokens, text_top_terms), and the 13 trimmed for the r9
     # additions (sim_kmeans_fit, sim_lsh_buckets, sim_ivf_recenter,
     # sim_ivf_topk, sim_cosine_topk, sim_cosine_dup_pairs, sim_ann_topk,
-    # regional_supply, spans_derive, spans_main_content,
-    # text_gopher_rules) — are each pytest-covered and MUST lead the
+    # regional_supply, returnflag_rollup, media_decode_image,
+    # spans_derive, spans_main_content, text_gopher_rules) — are each pytest-covered and MUST lead the
     # r10 rotation; text_quality and spans_main_content additionally
     # get bench legs every round.
     # --- round-9 new / changed paths (new/changed lead, per the header
@@ -64,6 +66,8 @@ _RECORD_FIRST = (
     "docs_contamination_report",
     "docs_zorder_layout",
     "docs_zorder_stats",
+    "docs_length_outlier",
+    "sim_random_projection",
     "docs_substring_dedup",
     "docs_dsir_weights",
     "docs_unigram_logppl",
@@ -86,7 +90,7 @@ _RECORD_FIRST = (
     "events_approx_overlap",
     "events_approx_distinct",
     "lineitem_approx_quantiles",
-    # --- 25 of the 45 remaining r7-record names ---
+    # --- 23 of the 45 remaining r7-record names ---
     "dedup_bag",
     "dedup_bag_nulls",
     "dedup_exact",
@@ -110,8 +114,6 @@ _RECORD_FIRST = (
     "events_window",
     "lineitem_cube",
     "media_decode_audio",
-    "media_decode_image",
-    "returnflag_rollup",
 )
 
 

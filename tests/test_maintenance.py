@@ -371,3 +371,29 @@ def test_fenced_commit_critical_section_blocks_takeover(tmp_path, monkeypatch):
     assert job.committed_run_ids(out) == ["me"]  # commit landed first
     with open(os.path.join(out, "_RUN_LOCK")) as f:
         assert f.read().strip() == "usurper"  # then the takeover won
+
+
+def test_cli_compact_and_vacuum_index(spark, tmp_path):
+    """The standing-index lifecycle through the operational surface: the
+    maintenance CLI compacts a counts index (group-sum), then vacuums the
+    superseded state, and the committed view + merged reads survive."""
+    from pdfplucker_spark.job import _mark_committed, committed_run_ids
+    from pdfplucker_spark.maintenance import main
+    from pdfplucker_spark.streaming.stream import _index_wave_paths
+
+    idx = f"{tmp_path}/idx"
+    for k in range(3):
+        spark.createDataFrame(
+            [("shared", 1), (f"seg{k}", 2)], "seg string, n long"
+        ).write.parquet(f"{idx}/bno={k}")
+        _mark_committed(idx, f"bno-{k}")
+
+    assert main(["--output", idx, "--action", "compact-index",
+                 "--sum-over", "seg:n", "--master", "local[2]"]) == 0
+    assert committed_run_ids(idx) == ["bnoc-0-2"]
+    assert main(["--output", idx, "--action", "vacuum-index"]) == 0
+    merged = {
+        (r.seg, r.n)
+        for r in spark.read.parquet(*_index_wave_paths(idx, 3)).collect()
+    }
+    assert merged == {("shared", 3), ("seg0", 2), ("seg1", 2), ("seg2", 2)}

@@ -1112,3 +1112,76 @@ def test_zorder_interleave_math_and_two_dim_pruning(spark, tmp_path):
         one_d[k] = (min(lo, r.n_chars), max(hi, r.n_chars))
     assert all(lo <= 1000 < hi for lo, hi in one_d.values())
     spark.catalog.clearCache()
+
+
+def test_length_outlier_tukey_fences_per_source(spark, tmp_path):
+    """Hand-worked fences: source A = lengths {10,12,14,16,1000} → q1=12,
+    q3=16, fences [6, 22] → only the 1000-char doc flags; source B's
+    uniform lengths flag nothing — the per-source property an absolute
+    threshold can't give. DuckDB agrees row-for-row (dyadic-exact fence
+    arithmetic)."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.pipeline import q_docs_length_outlier
+    from pdfplucker_spark.registry import all_queries
+
+    rows = [
+        Row(doc_id=i + 1, text="x", lang="en", source="A", n_chars=n)
+        for i, n in enumerate([10, 12, 14, 16, 1000])
+    ] + [
+        Row(doc_id=100 + i, text="x", lang="en", source="B", n_chars=5000 + i)
+        for i in range(5)
+    ]
+    p = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(rows).write.parquet(p)
+
+    res = q_docs_length_outlier(spark, str(tmp_path))
+    got = {r.doc_id: r for r in res.collect()}
+    assert {d for d, r in got.items() if r.is_outlier} == {5}
+    a = got[1]
+    assert (a.lo_fence, a.hi_fence) == (6.0, 22.0)  # q1=12, q3=16, k=1.5
+    assert all(got[d].is_outlier == 0 for d in range(100, 105))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    exp = sorted(map(tuple, con.execute(
+        all_queries()["docs_length_outlier"][1]
+    ).fetchall()))
+    assert sorted(map(tuple, res.collect())) == exp
+    spark.catalog.clearCache()
+
+
+def test_random_projection_matches_numpy_and_is_map_only(spark):
+    """The JL projection must equal a NumPy reference (same seeded ±1
+    matrix, same fold order) on the real corpus, and the plan must be
+    map-only — no exchange of the N-row side anywhere."""
+    import numpy as np
+
+    from pdfplucker_spark.operators.similarity import (
+        DIM,
+        RP_DIMS,
+        _rp_signs,
+        q_sim_random_projection,
+    )
+
+    spark.catalog.clearCache()
+    res = q_sim_random_projection(spark, SF)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    R = np.array([_rp_signs(j) for j in range(RP_DIMS)])
+    got = {(r.vec_id, r.dim): r.val for r in res.collect()}
+    assert len(got) == len(emb) * RP_DIMS
+    for vid, v in list(emb.items())[:50]:
+        proj = R @ v
+        for j in range(RP_DIMS):
+            assert abs(got[(vid, j)] - proj[j]) < 2e-6, (vid, j)
+    spark.catalog.clearCache()
