@@ -1895,6 +1895,143 @@ GROUP BY e.doc_id
 """
 
 
+# Bloom-filter decontamination (the Dolma/BFF pattern): the eval side is
+# represented by an m-bit Bloom filter instead of its raw shingle set, so
+# the broadcast state is capped at BLOOM_M positions NO MATTER how large
+# the held-out corpus grows — the sublinear-memory path that takes over
+# from q_docs_decontaminate's raw-shingle join when the eval side itself
+# is web-scale. m = 2^20 keeps the driver-corpora false-positive rate
+# near zero ((fill·k/m)^k ≈ 1e-4 per probe at sf0.1) while the bit table
+# stays a ~1 M-row broadcast ceiling.
+BLOOM_M = 1 << 20  # Bloom bit-space size
+BLOOM_K = 3  # hash functions per shingle
+
+
+def q_docs_bloom_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Sublinear-memory decontamination: probe every TRAIN doc's trigram
+    shingles against a Bloom filter built from the HELD-OUT set's
+    shingles (k positions per shingle in an m-bit space; a shingle is a
+    *bloom hit* iff all k of its bits are set). Per train doc: total
+    shingle count, bloom-hit count, and the flag (hits >=
+    DECONTAM_MIN_SHARED against the eval UNION — one-sided: every doc the
+    exact pair operator flags is flagged here, never the reverse; false
+    positives are possible by construction, false negatives are not).
+
+    Scale shape: the filter is the DISTINCT set of set bit positions —
+    bounded by m rows REGARDLESS of eval-corpus size (the whole point vs
+    broadcasting raw shingles) — and the probe is k chained BROADCAST
+    LEFT-SEMI joins (one per hash function), which never fan out and
+    never shuffle the corpus; the only corpus-scale exchange is the final
+    per-doc count. No df-occupancy guard is needed: a semi-join's per-key
+    output is <= its left input by definition. Docs whose text yields no
+    shingles (NULL/empty) are absent in both engines, as in
+    q_docs_contamination_report. Bit positions use the cross-engine
+    md5-60bit hash (functions/hashing.py) salted with the function index,
+    so both engines replay the identical filter."""
+    from pdfplucker_spark.operators.dedup import _SHINGLE_OVER_TOKENS
+
+    d = load(spark, sf_dir, "documents")
+    gate = md5_long(F.concat("source", F.lit(":"), F.col("doc_id").cast("string")))
+    # one exploded frame, persisted: it feeds the filter build, the probe
+    # side, and the per-doc totals
+    ex = (
+        d.select(
+            "doc_id",
+            (gate % SAMPLE_MOD == 0).alias("is_eval"),
+            F.split("text", " ").alias("__tk"),
+        )
+        .select(
+            "doc_id",
+            "is_eval",
+            F.explode(F.expr(_SHINGLE_OVER_TOKENS)).alias("g"),
+        )
+        .persist()
+    )
+
+    def bit(i: int):
+        return F.pmod(md5_long(F.concat(F.col("g"), F.lit(f"#{i}"))), F.lit(m))
+
+    # the filter: distinct set bit positions (<= m rows by construction);
+    # persisted — one semi-join per hash function consumes it
+    bits = (
+        ex.where(F.col("is_eval"))
+        .select(F.explode(F.array(*[bit(i) for i in range(k)])).alias("bit"))
+        .distinct()
+        .persist()
+    )
+    probe = ex.where(~F.col("is_eval")).select(
+        "doc_id", *[bit(i).alias(f"b{i}") for i in range(k)]
+    )
+    for i in range(k):
+        probe = probe.join(
+            F.broadcast(bits.withColumnRenamed("bit", f"b{i}")),
+            f"b{i}",
+            "left_semi",
+        )
+    hits = probe.groupBy("doc_id").agg(F.count("*").alias("n_bloom_hits"))
+    totals = (
+        ex.where(~F.col("is_eval"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"))
+    )
+    nh = F.coalesce("n_bloom_hits", F.lit(0))
+    return totals.join(hits, "doc_id", "left").select(
+        F.col("doc_id").alias("train_doc_id"),
+        "n_shingles",
+        nh.alias("n_bloom_hits"),
+        (nh >= DECONTAM_MIN_SHARED).alias("flagged"),
+    )
+
+
+def _sql_docs_bloom_decontaminate(m: int = BLOOM_M, k: int = BLOOM_K) -> str:
+    idx = ", ".join(str(i) for i in range(k))
+    pos = sql_md5_long("g || '#' || CAST(i AS VARCHAR)") + f" % {m}"
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id,
+         {sql_md5_long("source || ':' || CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD} AS gate,
+         UNNEST({_SQL_SHINGLES}) AS g
+  FROM documents
+),
+bits AS MATERIALIZED (
+  SELECT DISTINCT {pos} AS bit
+  FROM (SELECT g FROM sh WHERE gate = 0) e
+  CROSS JOIN (SELECT UNNEST([{idx}]) AS i) ids
+),
+tb AS (
+  SELECT doc_id, g, {pos} AS bit
+  FROM (SELECT doc_id, g FROM sh WHERE gate <> 0) t
+  CROSS JOIN (SELECT UNNEST([{idx}]) AS i) ids
+),
+-- a (doc, shingle) is a bloom hit iff every one of its k position rows
+-- finds its bit set (duplicate positions join independently, matching
+-- the engine's per-hash-function semi-joins)
+hit AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits FROM (
+    SELECT doc_id, g FROM tb JOIN bits USING (bit)
+    GROUP BY doc_id, g HAVING COUNT(*) = {k}
+  ) GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, COUNT(*) AS n_shingles
+  FROM sh WHERE gate <> 0 GROUP BY doc_id
+)
+SELECT tot.doc_id AS train_doc_id,
+       tot.n_shingles,
+       CAST(COALESCE(h.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+       COALESCE(h.n_bloom_hits, 0) >= {DECONTAM_MIN_SHARED} AS flagged
+FROM tot LEFT JOIN hit h USING (doc_id)
+"""
+
+
+SQL_DOCS_BLOOM_DECONTAMINATE = _sql_docs_bloom_decontaminate()
+
+
 DECONTAM_BATCH_MOD = 20  # the arriving crawl batch: 1/20 of train docs
 
 
@@ -2225,6 +2362,10 @@ QUERIES = {
     "docs_contamination_report": (
         q_docs_contamination_report,
         SQL_DOCS_CONTAMINATION_REPORT,
+    ),
+    "docs_bloom_decontaminate": (
+        q_docs_bloom_decontaminate,
+        SQL_DOCS_BLOOM_DECONTAMINATE,
     ),
     "docs_decontaminate_incremental": (
         q_docs_decontaminate_incremental,

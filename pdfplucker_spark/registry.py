@@ -62,6 +62,7 @@ _RECORD_FIRST = (
     # --- round-9 new / changed paths (new/changed lead, per the header
     # comment + CLAUDE.md; membership is what the 50-name sample sees,
     # but a narrower sample must record these first) ---
+    "docs_bloom_decontaminate",
     "docs_balanced_sample",
     "docs_contamination_report",
     "docs_zorder_layout",

@@ -1185,3 +1185,99 @@ def test_random_projection_matches_numpy_and_is_map_only(spark):
         for j in range(RP_DIMS):
             assert abs(got[(vid, j)] - proj[j]) < 2e-6, (vid, j)
     spark.catalog.clearCache()
+
+
+def test_bloom_decontaminate_superset_semantics_and_small_m_fps(spark, tmp_path):
+    """Planted corpus (membership via the operator's own deterministic
+    gate): a train doc carrying ALL of one eval doc's shingles must be
+    flagged with the exact hit count; a 2-shared-shingle doc must not; at
+    the default m the tiny filter is collision-free so bloom == exact
+    everywhere; at a deliberately saturated m=8 false POSITIVES must
+    appear while the one-sided guarantee (bloom >= exact, every
+    exact-flagged doc still flagged) survives. DuckDB must agree on the
+    registered default."""
+    import duckdb
+    import hashlib
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.pipeline import (
+        SAMPLE_MOD,
+        q_docs_bloom_decontaminate,
+    )
+    from pdfplucker_spark.registry import all_queries
+
+    def is_eval(doc_id: int, source: str = "s") -> bool:
+        h = int(hashlib.md5(f"{source}:{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % SAMPLE_MOD == 0
+
+    ids = list(range(1, 300))
+    ev = [d for d in ids if is_eval(d)][:3]
+    tr = [d for d in ids if not is_eval(d)][:4]
+    texts = {
+        ev[0]: "a b c d e f",            # shingles abc bcd cde def
+        ev[1]: "p q r s t u",
+        ev[2]: "m n o v w x",
+        tr[0]: "a b c d e f gx1 gx2",    # 6 shingles, 4 of them eval's
+        tr[1]: "p q r s z9 z8",          # 4 shingles, 2 eval hits — below 3
+        tr[2]: "h1 h2 h3 h4 h5",         # clean (3 shingles)
+        tr[3]: "k1 k2 k3 k4 k5",         # clean (3 shingles)
+    }
+    rows = [
+        Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t))
+        for d, t in texts.items()
+    ]
+    p = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(rows).write.parquet(p)
+
+    exact = {tr[0]: 4, tr[1]: 2, tr[2]: 0, tr[3]: 0}
+    n_sh = {tr[0]: 6, tr[1]: 4, tr[2]: 3, tr[3]: 3}
+
+    res = q_docs_bloom_decontaminate(spark, str(tmp_path))
+    got = {r.train_doc_id: r for r in res.collect()}
+    assert set(got) == set(tr)
+    for d in tr:
+        assert got[d].n_shingles == n_sh[d]
+        # default m = 2^20: ~36 set bits — collision-free on this corpus
+        assert got[d].n_bloom_hits == exact[d], d
+        assert got[d].flagged is (exact[d] >= 3)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    exp = sorted(map(tuple, con.execute(
+        all_queries()["docs_bloom_decontaminate"][1]
+    ).fetchall()))
+    assert sorted(map(tuple, res.collect())) == exp
+
+    # saturate the filter: m=8, k=2 — ~0.95 fill, so clean shingles
+    # collide into set bits and false positives MUST appear; the Bloom
+    # one-sided contract must hold regardless
+    small = {
+        r.train_doc_id: r
+        for r in q_docs_bloom_decontaminate(spark, str(tmp_path), m=8, k=2).collect()
+    }
+    assert all(small[d].n_bloom_hits >= exact[d] for d in tr)
+    assert small[tr[0]].flagged  # exact-flagged docs never unflagged
+    assert any(small[d].n_bloom_hits > exact[d] for d in tr), (
+        "saturated filter produced no false positive — not a Bloom probe?"
+    )
+    spark.catalog.clearCache()
+
+
+def test_bloom_decontaminate_probe_is_broadcast_semi_only(spark):
+    """Plan pin: the probe is k=3 broadcast LEFT-SEMI joins (map-side, no
+    fan-out) and the filter side never shuffles the corpus — the only
+    corpus-grain exchanges are the two per-doc aggs + their doc-keyed
+    merge join."""
+    from pdfplucker_spark.operators.pipeline import q_docs_bloom_decontaminate
+
+    spark.catalog.clearCache()
+    plan = q_docs_bloom_decontaminate(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("LeftSemi") == 3, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
