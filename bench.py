@@ -94,6 +94,7 @@ def main():
         )
 
     from pdfplucker_spark.operators.pipeline import (
+        q_docs_bigram_logppl,
         q_docs_curation_manifest,
         q_docs_decontaminate,
         q_docs_decontaminate_incremental,
@@ -165,6 +166,10 @@ def main():
         # counts + per-doc integer sums; vocab via TakeOrdered): tracked
         # from birth — the corpus-fit-then-score shape has no other leg
         ("docs_unigram_logppl", lambda: q_docs_unigram_logppl(spark, sf_dir).count(), 1),
+        # the r9 bigram interpolated scorer (adds the bigram-count shuffle
+        # and the ≤V²-row broadcast model on top of the unigram shape):
+        # tracked from birth
+        ("docs_bigram_logppl", lambda: q_docs_bigram_logppl(spark, sf_dir).count(), 1),
         # the r9 ExactSubstr span reporter (stride-1 window hashes — the
         # densest explode in the registry — + dup join + per-doc interval
         # merge): tracked from birth

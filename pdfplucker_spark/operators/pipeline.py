@@ -421,6 +421,165 @@ FROM scored GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# bigram interpolated LM fit + per-doc log-perplexity (the CCNet filter's
+# actual shape: KenLM is an interpolated n-gram model; this is its
+# Jelinek-Mercer bigram core, fit on the corpus itself)
+# ---------------------------------------------------------------------------
+# interpolation weight: exactly 0.5 (dyadic — the multiply is IEEE-exact)
+# p(w | c) = 0.5 * p_bi(w | c) + 0.5 * p_uni(w), where p_bi = cnt(c,w) /
+# cnt(c) for vocab-pair bigrams seen in the corpus (else 0), and p_uni is
+# the unigram op's top-V/OOV model. Denominator cnt(c) is the plain
+# unigram count of the context (not "times followed by anything") — a
+# smoothed variant that never needs a second context-grain aggregate.
+
+
+def q_docs_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BIGRAM interpolated log-perplexity + seen-bigram count —
+    the quality-filter signal one rung up from ``docs_unigram_logppl``
+    (repetitive or shuffled-word docs score near the unigram model;
+    natural word ORDER is what the bigram term rewards).
+
+    Cross-engine exactness: per-position log-probs snap to the integer
+    micro grid before the per-doc sum (the unigram op's contract); the
+    pre-ln double is the same fixed-form IEEE expression on both engines
+    over <= V² + V + 1 distinct ratio combinations. Docs with fewer than
+    2 tokens have no bigram positions and are absent in BOTH engines
+    (the shingle ops' convention).
+
+    Scale shape (100 TB): bigram positions come from ONE per-doc array
+    projection (transform over the hoisted split — no position self-join
+    anywhere); the bigram MODEL is bounded <= V² rows by construction
+    (both tokens in the top-V vocab), so it broadcasts at any corpus
+    size; three corpus-scale shuffles total — unigram counts, bigram
+    counts (both uniform token keys with map-side partials), and the
+    final per-doc integer sum."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(LOGPPL_VOCAB)
+        .select("tok", "cnt")
+    )
+    # bigram positions, map-only: one hoisted split per doc, pairs from
+    # adjacent slots (size guard first — sequence(0, -1) DESCENDS in Spark)
+    big = (
+        d.select(
+            "doc_id",
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t"),
+        )
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS c, t[i + 1] AS w))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.c", "p.w")
+    )
+    # the bigram model: counts over vocab-pair bigrams only (<= V² rows);
+    # both membership filters are broadcast semi-joins on the tiny vocab
+    vc = F.broadcast(vocab.select(F.col("tok").alias("c"), F.col("cnt").alias("cnt_c")))
+    vw = F.broadcast(vocab.select(F.col("tok").alias("w"), F.col("cnt").alias("cnt_w")))
+    bmodel = (
+        big.join(vc, "c", "left_semi")
+        .join(vw, "w", "left_semi")
+        .groupBy("c", "w")
+        .agg(F.count(F.lit(1)).alias("cnt_cw"))
+    )
+    scored = (
+        big.join(F.broadcast(bmodel), ["c", "w"], "left")
+        .join(vc, "c", "left")
+        .join(vw, "w", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(round(ln("
+                "0.5D * coalesce(CAST(cnt_cw AS DOUBLE) / cnt_c, 0.0D)"
+                " + 0.5D * (CASE WHEN cnt_w IS NULL THEN 1.0D / (2 * tot)"
+                "           ELSE CAST(cnt_w AS DOUBLE) / tot END)"
+                f") * {LOGPPL_MICRO}) AS BIGINT)"
+            ).alias("lp"),
+            F.col("cnt_cw").isNotNull().cast("int").alias("is_seen"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("is_seen").alias("seen_bigrams"),
+        F.sum("lp").alias("slog"),
+    )
+    # same integer-grid mean as the unigram op: (-slog) div n, then ONE
+    # IEEE division (n_bigrams >= 1 for every emitted doc by construction)
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "seen_bigrams",
+        (
+            F.expr("(-slog) div n_bigrams").cast("double")
+            / F.lit(float(LOGPPL_MICRO))
+        ).alias("logppl2"),
+    )
+
+
+SQL_DOCS_BIGRAM_LOGPPL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+  FROM documents
+),
+counts AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM counts
+),
+vocab AS MATERIALIZED (
+  SELECT tok, cnt FROM counts
+  ORDER BY cnt DESC, tok ASC LIMIT {LOGPPL_VOCAB}
+),
+tl AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
+),
+big AS MATERIALIZED (
+  SELECT doc_id, t[i] AS c, t[i + 1] AS w
+  FROM tl CROSS JOIN UNNEST(range(1, len(t))) AS r(i)
+),
+bmodel AS MATERIALIZED (
+  SELECT c, w, COUNT(*) AS cnt_cw FROM big
+  WHERE c IN (SELECT tok FROM vocab) AND w IN (SELECT tok FROM vocab)
+  GROUP BY c, w
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(round(ln(
+           0.5 * coalesce(CAST(m.cnt_cw AS DOUBLE) / vc.cnt, 0.0)
+           + 0.5 * (CASE WHEN vw.cnt IS NULL THEN 1.0 / (2 * tot.tot)
+                    ELSE CAST(vw.cnt AS DOUBLE) / tot.tot END)
+         ) * {LOGPPL_MICRO}) AS BIGINT) AS lp,
+         CASE WHEN m.cnt_cw IS NULL THEN 0 ELSE 1 END AS is_seen
+  FROM big b
+  LEFT JOIN bmodel m ON m.c = b.c AND m.w = b.w
+  LEFT JOIN vocab vc ON vc.tok = b.c
+  LEFT JOIN vocab vw ON vw.tok = b.w
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(is_seen) AS BIGINT) AS seen_bigrams,
+       CAST((-CAST(SUM(lp) AS BIGINT)) // COUNT(*) AS DOUBLE)
+         / {float(LOGPPL_MICRO)} AS logppl2
+FROM scored GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact grouped quantiles
 # ---------------------------------------------------------------------------
 # DSIR importance weights (Xie et al. 2023, "Data Selection for Language
@@ -2335,6 +2494,7 @@ QUERIES = {
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "docs_dsir_weights": (q_docs_dsir_weights, SQL_DOCS_DSIR_WEIGHTS),
     "docs_unigram_logppl": (q_docs_unigram_logppl, SQL_DOCS_UNIGRAM_LOGPPL),
+    "docs_bigram_logppl": (q_docs_bigram_logppl, SQL_DOCS_BIGRAM_LOGPPL),
     "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),
     "docs_length_outlier": (q_docs_length_outlier, SQL_DOCS_LENGTH_OUTLIER),
     "docs_sample": (q_docs_sample, SQL_DOCS_SAMPLE),

@@ -433,26 +433,41 @@ FROM assigned GROUP BY cid
 """
 
 
-def _ivf_topk_from_assigned(emb, assigned, nprobe: int = IVF_NPROBE) -> DataFrame:
-    """IVF top-k over a prebuilt (vec_id, cid) assignment frame, probing the
-    ``nprobe`` centroids nearest the query — the query-time cost knob (more
-    lists probed = more vectors scored exactly; the inverted lists never
-    change). The caller owns persist() on ``assigned``: the recall sweep
-    probes one shared assignment at several breadths, so the map-only
-    broadcast-argmax runs once for the whole sweep."""
+def _ivf_probe(emb, nprobe: int = IVF_NPROBE, cents=None) -> DataFrame:
+    """The ``nprobe`` centroid ids nearest the query vector — the shared
+    query-time pruning step of every IVF search path (exact re-rank,
+    IVF-PQ/ADC, and the fitted-centroid variant via ``cents``). K rows
+    in, ``nprobe`` rows out: always broadcastable."""
     qv = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").cast("array<double>").alias("qv")
     )
     cdot = "aggregate(zip_with(cv, qv, (a,b) -> a*b), 0D, (p,q) -> p+q)"
     cnrm = "sqrt(aggregate(cv, 0D, (a,v) -> a + v*v))"
-    probe = (
-        _ivf_centroids(emb)
+    return (
+        (_ivf_centroids(emb) if cents is None else cents)
         .crossJoin(F.broadcast(qv))
         .select("cid", F.expr(f"{cdot} / {cnrm}").alias("s"))
         .orderBy(F.desc("s"), F.asc("cid"))
         .limit(nprobe)
         .select("cid")
     )
+
+
+def _ivf_topk_from_assigned(
+    emb, assigned, nprobe: int = IVF_NPROBE, cents=None
+) -> DataFrame:
+    """IVF top-k over a prebuilt (vec_id, cid) assignment frame, probing the
+    ``nprobe`` centroids nearest the query — the query-time cost knob (more
+    lists probed = more vectors scored exactly; the inverted lists never
+    change). ``cents`` overrides the probed centroid frame (the fitted-
+    centroid variant); it must be the frame ``assigned`` was built against.
+    The caller owns persist() on ``assigned``: the recall sweep
+    probes one shared assignment at several breadths, so the map-only
+    broadcast-argmax runs once for the whole sweep."""
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    probe = _ivf_probe(emb, nprobe, cents)
     cand = (
         assigned.join(F.broadcast(probe), "cid")
         .where(F.col("vec_id") != QUERY_VEC_ID)
@@ -531,10 +546,16 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k rows), the LSH keys frame (the 16-fold plane derivation), the IVF
     assignment (map-only broadcast-argmax) — so the sweep's marginal
     cost per point is one candidate filter + one k-row scoring pass.
+    The IVF-PQ compressed path is swept at the same nprobe points over
+    its own persisted coarse-assignment base — the third curve, showing
+    what ADC compression costs in recall at each probe breadth.
     All top-k frames are k-row, so every join here is broadcast-sized.
-    Recall is monotone in the probe param by construction (candidates
-    grow with the probe set; exact scoring on candidates means a true
-    top-k member is only ever displaced by another) — pytest-asserted.
+    Recall is monotone in the probe param for lsh and ivf by construction
+    (candidates grow with the probe set; EXACT scoring on candidates
+    means a true top-k member is only ever displaced by another) —
+    pytest-asserted. NOT asserted for ivfpq: ADC scoring is approximate,
+    so a wider probe can displace a true member with an ADC-closer false
+    candidate (inherent to compressed search, not a bug).
     Oracle: the identical composition over the engines' shared
     parameterized top-k SQL texts (each nests as a parenthesized WITH
     subquery)."""
@@ -542,6 +563,7 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = q_sim_cosine_topk(spark, sf_dir).select("vec_id").persist()
     keys = _lsh_keys(emb).persist()
     assigned = _ivf_assigned(emb).persist()
+    pq_base = _ivfpq_base(emb).persist()
 
     def _row(method: str, param: int, approx: DataFrame) -> DataFrame:
         hits = approx.select("vec_id").join(
@@ -555,13 +577,20 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits").cast("double") / TOP_K).alias("recall"),
         )
 
-    rows = [
-        _row("lsh", t, _ann_topk_from_keys(emb, keys, t))
-        for t in LSH_TABLE_SWEEP
-    ] + [
-        _row("ivf", p, _ivf_topk_from_assigned(emb, assigned, p))
-        for p in IVF_NPROBE_SWEEP
-    ]
+    rows = (
+        [
+            _row("lsh", t, _ann_topk_from_keys(emb, keys, t))
+            for t in LSH_TABLE_SWEEP
+        ]
+        + [
+            _row("ivf", p, _ivf_topk_from_assigned(emb, assigned, p))
+            for p in IVF_NPROBE_SWEEP
+        ]
+        + [
+            _row("ivfpq", p, _ivfpq_topk_from_base(emb, pq_base, p))
+            for p in IVF_NPROBE_SWEEP
+        ]
+    )
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
@@ -576,13 +605,18 @@ SELECT '{method}' AS method, {TOP_K} AS k, {param} AS probe_param,
 FROM ({topk_sql}) WHERE vec_id IN (SELECT vec_id FROM exact_k)"""
 
 
-SQL_SIM_ANN_RECALL = (
-    f"WITH exact_k AS (SELECT vec_id FROM ({SQL_SIM_COSINE_TOPK}))"
-    + "\nUNION ALL\n".join(
-        [_sql_recall_row("lsh", t, _sql_ann_topk(t)) for t in LSH_TABLE_SWEEP]
-        + [_sql_recall_row("ivf", p, _sql_ivf_topk(p)) for p in IVF_NPROBE_SWEEP]
+def _sql_ann_recall() -> str:
+    return (
+        f"WITH exact_k AS (SELECT vec_id FROM ({SQL_SIM_COSINE_TOPK}))"
+        + "\nUNION ALL\n".join(
+            [_sql_recall_row("lsh", t, _sql_ann_topk(t)) for t in LSH_TABLE_SWEEP]
+            + [_sql_recall_row("ivf", p, _sql_ivf_topk(p)) for p in IVF_NPROBE_SWEEP]
+            + [
+                _sql_recall_row("ivfpq", p, _sql_ivfpq_topk(p))
+                for p in IVF_NPROBE_SWEEP
+            ]
+        )
     )
-)
 
 
 def q_sim_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,6 +905,64 @@ FROM (
 SQL_SIM_KMEANS_FIT = _sql_kmeans_fit_query()
 
 
+def q_sim_ivf_fitted_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF query path over K-MEANS-FITTED coarse centroids — the
+    production composition the seed-centroid ``sim_ivf_topk`` stands in
+    for (the fixed-id seeding exists so the index plumbing has a cheap
+    oracle; a real deployment fits the quantizer first, exactly this).
+    Build: Lloyd fit (``kmeans_fit``) → map-only broadcast-argmax
+    assignment against the fitted centroids → probe the nprobe fitted
+    lists nearest the query → score only those lists exactly.
+
+    Oracle: the unrolled-Lloyd CTE chain (the ``sim_kmeans_fit``
+    fixed-depth-replay argument — exact fixpoint makes a converged fit
+    equal its iteration-cap replay) feeding the same assignment + probe
+    + top-k SQL the seed-centroid oracle uses, with the fitted CTE as
+    the centroid relation."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb)
+    assigned = _ivf_assigned_with(emb, cents)
+    return _ivf_topk_from_assigned(emb, assigned, nprobe, cents)
+
+
+def _sql_ivf_fitted_topk(
+    nprobe: int = IVF_NPROBE, iters: int = KMEANS_MAX_ITERS
+) -> str:
+    return f"""
+WITH {_sql_kmeans_unrolled(iters)},
+fc AS MATERIALIZED (SELECT cid, cv FROM c{iters}),
+assigned AS ({_sql_assign_from("fc")}),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid,
+           ROW_NUMBER() OVER (
+             ORDER BY list_dot_product(cv, (SELECT qv FROM q))
+                        / sqrt(list_dot_product(cv, cv)) DESC, cid ASC) AS rn
+    FROM fc
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT vec_id FROM assigned JOIN probe USING (cid)
+  WHERE vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, round(cos, 8) AS cosine FROM (
+  SELECT e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) AS cos
+  FROM embeddings e JOIN cand USING (vec_id)
+)
+ORDER BY cos DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+SQL_SIM_IVF_FITTED_TOPK = _sql_ivf_fitted_topk()
+
+
 # ---------------------------------------------------------------------------
 # greedy k-center coreset sampling (Gonzalez) — diverse-sample curation
 # ---------------------------------------------------------------------------
@@ -1046,17 +1138,30 @@ def _pq_codebook(emb):
     )
 
 
+def _pq_codes_over(vframe, crow):
+    """(vec_id, codes array<int>) from a prebuilt (vec_id, v) frame and a
+    one-row broadcast codebook ``crow`` — the shared encode step of the
+    flat-ADC and IVF-PQ searches. Map-only at any N: every vector
+    computes all PQ_M codes in a single expression."""
+    return vframe.crossJoin(F.broadcast(crow)).select(
+        "vec_id", F.expr(_PQ_CODES_ARR).alias("codes")
+    )
+
+
+def _pq_crow(emb):
+    """The PQ_K codebook rows aggregated into ONE broadcast array row."""
+    return _pq_codebook(emb).agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+    )
+
+
 def _pq_codes(emb):
     """(vec_id, codes array<int>) — map-only: the PQ_K codebook rows
     aggregate into ONE broadcast array row; every vector computes all
     PQ_M codes in a single expression. No shuffle of the N-row side."""
-    crow = _pq_codebook(emb).agg(
-        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents")
-    )
-    return (
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .crossJoin(F.broadcast(crow))
-        .select("vec_id", F.expr(_PQ_CODES_ARR).alias("codes"))
+    return _pq_codes_over(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        _pq_crow(emb),
     )
 
 
@@ -1112,11 +1217,20 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered. This is the plan that searches 10⁹ compressed vectors
     without moving any of them."""
     emb = load(spark, sf_dir, "embeddings")
+    scored = _pq_adc_scored(
+        emb, _pq_codes(emb.where(F.col("vec_id") != QUERY_VEC_ID))
+    )
+    w = scored.orderBy(F.asc("adc_d2_micro"), F.asc("vec_id")).limit(TOP_K)
+    return w.select("vec_id", "adc_d2_micro")
+
+
+def _pq_lut(emb):
+    """The query's asymmetric-distance lookup table as ONE broadcast map
+    row: (m*PQ_K + cid) -> round(d2(q_sub, c_sub)*1e6). PQ_M·PQ_K = 64
+    cells regardless of corpus size."""
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").cast("array<double>").alias("v")
     )
-    # LUT rows: (m*PQ_K + cid) -> round(d2(q_sub, c_sub)*1e6), folded into
-    # ONE broadcast map row
     lut_rows = (
         _pq_codebook(emb)
         .crossJoin(F.broadcast(q))
@@ -1136,22 +1250,21 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2u"),
         )
     )
-    lut = lut_rows.agg(
+    return lut_rows.agg(
         F.map_from_entries(F.collect_list(F.struct("k", "d2u"))).alias("lut")
     )
-    scored = (
-        _pq_codes(emb.where(F.col("vec_id") != QUERY_VEC_ID))
-        .crossJoin(F.broadcast(lut))
-        .select(
-            "vec_id",
-            F.expr(
-                f"aggregate(sequence(0, {PQ_M - 1}), 0L, "
-                f"(s, m) -> s + lut[m * {PQ_K} + codes[m]])"  # [] is 0-based
-            ).alias("adc_d2_micro"),
-        )
+
+
+def _pq_adc_scored(emb, codes):
+    """(vec_id, adc_d2_micro) over a prebuilt (vec_id, codes) frame —
+    the shared LUT-sum scoring map of the flat-ADC and IVF-PQ searches."""
+    return codes.crossJoin(F.broadcast(_pq_lut(emb))).select(
+        "vec_id",
+        F.expr(
+            f"aggregate(sequence(0, {PQ_M - 1}), 0L, "
+            f"(s, m) -> s + lut[m * {PQ_K} + codes[m]])"  # [] is 0-based
+        ).alias("adc_d2_micro"),
     )
-    w = scored.orderBy(F.asc("adc_d2_micro"), F.asc("vec_id")).limit(TOP_K)
-    return w.select("vec_id", "adc_d2_micro")
 
 
 SQL_SIM_PQ_ADC_TOPK = f"""
@@ -1192,6 +1305,120 @@ FROM codes cd JOIN lut l ON l.m = cd.m AND l.cid = cd.code
 GROUP BY vec_id
 ORDER BY adc_d2_micro ASC, vec_id ASC LIMIT {TOP_K}
 """
+
+
+# The composed production search: IVF pruning + PQ/ADC scoring (Jégou et
+# al.'s IVFADC, in the no-residual variant — codes quantize the raw
+# vectors through the SAME codebook as the flat ADC path, so the two
+# searches agree exactly on any list the probe covers). The coarse and
+# product codebooks share the fixed-id seeds (1..K), which the SQL oracle
+# exploits by reusing one CTE for both.
+assert IVF_K == PQ_K, "the composed oracle reuses one seed CTE for both"
+
+
+def q_sim_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF-PQ top-k: the IVF coarse quantizer prunes the corpus to the
+    ``nprobe`` inverted lists nearest the query, then asymmetric-distance
+    scoring over the PQ codes ranks only those candidates — the
+    memory-AND-compute compressed search (flat ADC still scores every
+    vector; IVF-PQ touches ~nprobe/K of them).
+
+    Scale shape: ZERO corpus shuffles end-to-end — coarse assignment is
+    the map-only broadcast argmax, probe membership is a broadcast
+    LEFT-SEMI on cid (never a row fan-out), PQ encode + LUT scoring are
+    map-only broadcasts, and the top-k is a TakeOrdered. At 10⁹ vectors
+    the only rows that reach the scoring fold are the probed lists'."""
+    emb = load(spark, sf_dir, "embeddings")
+    return _ivfpq_topk_from_base(emb, _ivfpq_base(emb), nprobe)
+
+
+def _ivfpq_base(emb):
+    """(vec_id, v, cid) — the corpus with its coarse assignment, the
+    nprobe-independent input the recall sweep persists and probes at
+    several breadths. Map-only broadcast argmax."""
+    crow_ivf = _ivf_centroids(emb).agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+    )
+    return (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(crow_ivf))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.expr(_IVF_BEST).alias("cid"),
+        )
+    )
+
+
+def _ivfpq_topk_from_base(emb, base, nprobe: int = IVF_NPROBE) -> DataFrame:
+    cand = base.join(
+        F.broadcast(_ivf_probe(emb, nprobe)), "cid", "left_semi"
+    ).select("vec_id", "v")
+    scored = _pq_adc_scored(emb, _pq_codes_over(cand, _pq_crow(emb)))
+    return (
+        scored.orderBy(F.asc("adc_d2_micro"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "adc_d2_micro")
+    )
+
+
+def _sql_ivfpq_topk(nprobe: int = IVF_NPROBE) -> str:
+    return f"""
+WITH {_SQL_IVF_ASSIGNED},
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid,
+           ROW_NUMBER() OVER (
+             ORDER BY list_dot_product(cv, (SELECT v FROM q))
+                        / sqrt(list_dot_product(cv, cv)) DESC, cid ASC) AS rn
+    FROM c
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT vec_id FROM assigned JOIN probe USING (cid)
+  WHERE vec_id <> {QUERY_VEC_ID}
+),
+lut AS (
+  SELECT CAST(m AS INT) AS m, c.cid,
+         CAST(round(list_dot_product(
+           list_transform(range(1, {PQ_SUB} + 1),
+             i -> q.v[m * {PQ_SUB} + i] - c.cv[m * {PQ_SUB} + i]),
+           list_transform(range(1, {PQ_SUB} + 1),
+             i -> q.v[m * {PQ_SUB} + i] - c.cv[m * {PQ_SUB} + i])
+         ) * 1000000) AS BIGINT) AS d2u
+  FROM c CROSS JOIN UNNEST(range({PQ_M})) AS t(m) CROSS JOIN q
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, CAST(m AS INT) AS m, c.cid AS code,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, m ORDER BY
+             list_dot_product(
+               list_transform(range(1, {PQ_SUB} + 1),
+                 i -> CAST(e.embedding AS DOUBLE[])[m * {PQ_SUB} + i] - c.cv[m * {PQ_SUB} + i]),
+               list_transform(range(1, {PQ_SUB} + 1),
+                 i -> CAST(e.embedding AS DOUBLE[])[m * {PQ_SUB} + i] - c.cv[m * {PQ_SUB} + i])
+             ) ASC, c.cid ASC) AS rn
+    FROM embeddings e JOIN cand USING (vec_id)
+    CROSS JOIN UNNEST(range({PQ_M})) AS t(m)
+    CROSS JOIN c
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(SUM(l.d2u) AS BIGINT) AS adc_d2_micro
+FROM codes cd JOIN lut l ON l.m = cd.m AND l.cid = cd.code
+GROUP BY vec_id
+ORDER BY adc_d2_micro ASC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+SQL_SIM_IVFPQ_TOPK = _sql_ivfpq_topk(IVF_NPROBE)
+
+# assembled here, not at its builder above: the recall oracle composes
+# _sql_ivfpq_topk, which this module defines only at this point
+SQL_SIM_ANN_RECALL = _sql_ann_recall()
 
 
 # ---------------------------------------------------------------------------
@@ -1453,6 +1680,7 @@ QUERIES = {
     "sim_kcenter_sample": (q_sim_kcenter_sample, SQL_SIM_KCENTER_SAMPLE),
     "sim_pq_assign": (q_sim_pq_assign, SQL_SIM_PQ_ASSIGN),
     "sim_pq_adc_topk": (q_sim_pq_adc_topk, SQL_SIM_PQ_ADC_TOPK),
+    "sim_ivfpq_topk": (q_sim_ivfpq_topk, SQL_SIM_IVFPQ_TOPK),
     "sim_kmeans_fit": (q_sim_kmeans_fit, SQL_SIM_KMEANS_FIT),
     "sim_semdedup": (q_sim_semdedup, SQL_SIM_SEMDEDUP),
     "sim_semdedup_sampled": (q_sim_semdedup_sampled, SQL_SIM_SEMDEDUP_SAMPLED),
@@ -1466,4 +1694,5 @@ QUERIES = {
     "sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL),
     "sim_ivf_assign": (q_sim_ivf_assign, SQL_SIM_IVF_ASSIGN),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
+    "sim_ivf_fitted_topk": (q_sim_ivf_fitted_topk, SQL_SIM_IVF_FITTED_TOPK),
 }

@@ -62,6 +62,9 @@ _RECORD_FIRST = (
     # --- round-9 new / changed paths (new/changed lead, per the header
     # comment + CLAUDE.md; membership is what the 50-name sample sees,
     # but a narrower sample must record these first) ---
+    "sim_ivfpq_topk",
+    "sim_ivf_fitted_topk",
+    "docs_bigram_logppl",
     "docs_bloom_decontaminate",
     "docs_balanced_sample",
     "docs_contamination_report",

@@ -250,3 +250,64 @@ def test_pq_codes_and_adc_identify_exact_codebook_copies(spark):
     assert (top[0].vec_id, top[0].adc_d2_micro) == (5, 0)
     assert (top[1].vec_id, top[1].adc_d2_micro) == (100, 0)
     assert all(r.adc_d2_micro > 0 for r in top[2:])
+
+
+def test_ivfpq_composes_ivf_pruning_with_adc_scoring(spark):
+    """The composed IVF-PQ search against its two parents: (1) probing
+    ALL K lists makes the IVF stage a no-op, so the result must equal the
+    flat ADC top-k row-for-row; (2) at nprobe=1 every returned vector
+    must belong to the single probed inverted list (checked against the
+    shared assignment helper); (3) at the default nprobe each returned
+    ADC distance must equal the flat path's distance for that vec_id —
+    pruning changes WHICH vectors are scored, never their scores."""
+    from pdfplucker_spark.operators.similarity import (
+        _ivf_assigned,
+        _ivf_probe,
+        q_sim_ivfpq_topk,
+        q_sim_pq_adc_topk,
+    )
+
+    full = sorted(map(tuple, q_sim_ivfpq_topk(spark, SF, nprobe=IVF_K).collect()))
+    flat = sorted(map(tuple, q_sim_pq_adc_topk(spark, SF).collect()))
+    assert full == flat
+
+    emb = load(spark, SF, "embeddings")
+    one_cid = _ivf_probe(emb, 1).collect()[0].cid
+    member = {
+        r.vec_id for r in _ivf_assigned(emb).where(f"cid = {one_cid}").collect()
+    }
+    narrow = q_sim_ivfpq_topk(spark, SF, nprobe=1).collect()
+    assert narrow and all(r.vec_id in member for r in narrow)
+
+    flat_d = dict(flat)
+    for r in q_sim_ivfpq_topk(spark, SF).collect():
+        assert r.adc_d2_micro == flat_d.get(r.vec_id, r.adc_d2_micro)
+
+
+def test_ivf_fitted_topk_full_probe_is_brute_force(spark):
+    """The fitted-centroid IVF search against its limits: probing ALL K
+    fitted lists makes the prune a no-op, so exact scoring must
+    reproduce the brute-force cosine top-k row-for-row; at nprobe=1
+    every returned vector must belong to the single probed fitted list
+    (membership checked against the same fitted assignment)."""
+    from pdfplucker_spark.operators.similarity import (
+        _ivf_assigned_with,
+        _ivf_probe,
+        kmeans_fit,
+        q_sim_cosine_topk,
+        q_sim_ivf_fitted_topk,
+    )
+
+    full = sorted(map(tuple, q_sim_ivf_fitted_topk(spark, SF, nprobe=IVF_K).collect()))
+    brute = sorted(map(tuple, q_sim_cosine_topk(spark, SF).collect()))
+    assert full == brute
+
+    emb = load(spark, SF, "embeddings")
+    cents = kmeans_fit(emb)
+    one_cid = _ivf_probe(emb, 1, cents).collect()[0].cid
+    member = {
+        r.vec_id
+        for r in _ivf_assigned_with(emb, cents).where(f"cid = {one_cid}").collect()
+    }
+    narrow = q_sim_ivf_fitted_topk(spark, SF, nprobe=1).collect()
+    assert narrow and all(r.vec_id in member for r in narrow)

@@ -1281,3 +1281,94 @@ def test_bloom_decontaminate_probe_is_broadcast_semi_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     spark.catalog.clearCache()
+
+
+def test_bigram_logppl_matches_hand_computed_lm(spark, tmp_path):
+    """Crafted corpus against a pure-Python replica of the interpolated
+    bigram LM (same vocab/total/model definitions, same IEEE op order,
+    same micro-grid rounding): per-doc bigram counts, seen-bigram counts
+    and log-perplexities must match exactly; docs with <2 tokens (single
+    word, empty text, NULL text) must be absent from the output while
+    their tokens still count toward the corpus fit; the all-OOV doc must
+    score strictly more surprising than the all-common doc. Because the
+    model is fit on the scored corpus itself, a bigram position is
+    'seen' iff BOTH its tokens are in the top-V vocab — the pbi=0
+    backoff is exercised exactly by the OOV-containing pairs."""
+    import math
+
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.pipeline import (
+        LOGPPL_MICRO,
+        LOGPPL_VOCAB,
+        q_docs_bigram_logppl,
+    )
+
+    assert LOGPPL_VOCAB == 16
+    common = [f"c{i:02d}" for i in range(16)]
+    texts = {
+        1: "c00 c01 c02",
+        2: "r0 r1 r2",
+        3: "c00 r3",
+        4: " ".join(common),
+        5: " ".join(common),
+        6: "solo",
+        7: "",
+        8: None,
+        # third all-commons doc: keeps every common's count above the
+        # cnt=2 of the '' token the empty/NULL texts contribute, so the
+        # top-V vocab is exactly the 16 commons
+        9: " ".join(common),
+    }
+    rows = [
+        Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t or ""))
+        for d, t in texts.items()
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+
+    def toks_of(t):
+        return (t or "").split(" ")
+
+    cnt: dict[str, int] = {}
+    for t in texts.values():
+        for tok in toks_of(t):
+            cnt[tok] = cnt.get(tok, 0) + 1
+    tot = sum(cnt.values())
+    vocab = dict(
+        sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:LOGPPL_VOCAB]
+    )
+    assert set(vocab) == set(common)
+
+    bmodel: dict[tuple[str, str], int] = {}
+    for t in texts.values():
+        tk = toks_of(t)
+        for c, w in zip(tk, tk[1:]):
+            if c in vocab and w in vocab:
+                bmodel[(c, w)] = bmodel.get((c, w), 0) + 1
+
+    def micro(p: float) -> int:  # HALF_UP away from zero, like both engines
+        x = math.log(p) * LOGPPL_MICRO
+        return -int(math.floor(-x + 0.5)) if x < 0 else int(math.floor(x + 0.5))
+
+    def expected(text: str) -> tuple[int, int, float]:
+        tk = toks_of(text)
+        lps, seen = [], 0
+        for c, w in zip(tk, tk[1:]):
+            pbi = bmodel[(c, w)] / vocab[c] if (c, w) in bmodel else 0.0
+            puni = vocab[w] / tot if w in vocab else 1.0 / (2 * tot)
+            lps.append(micro(0.5 * pbi + 0.5 * puni))
+            seen += (c, w) in bmodel
+        return len(lps), seen, (-sum(lps) // len(lps)) / float(LOGPPL_MICRO)
+
+    got = {r.doc_id: r for r in q_docs_bigram_logppl(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 9}  # <2-token docs absent
+    for d in sorted(got):
+        n, seen, lp = expected(texts[d])
+        assert (got[d].n_bigrams, got[d].seen_bigrams, got[d].logppl2) == (
+            n,
+            seen,
+            lp,
+        ), d
+    assert got[2].seen_bigrams == 0 and got[4].seen_bigrams == 15
+    assert got[2].logppl2 > got[4].logppl2
+    spark.catalog.clearCache()

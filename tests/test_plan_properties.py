@@ -217,7 +217,11 @@ def test_sim_ann_recall_sweep_consistent_and_monotone(spark):
     non-decreasing in the probe parameter per method — probing more
     tables / more lists only grows the exactly-scored candidate set, and
     a true top-k member can only be displaced by another true top-k
-    member, so recall cannot drop as the probe widens."""
+    member, so recall cannot drop as the probe widens. The ivfpq curve
+    is checked for well-formedness and production-point consistency but
+    NOT monotonicity: ADC scoring is approximate, so a wider probe can
+    displace a true member with an ADC-closer false candidate — the
+    inherent compressed-search tradeoff, not a bug."""
     from pdfplucker_spark.operators.similarity import (
         IVF_NPROBE,
         IVF_NPROBE_SWEEP,
@@ -228,6 +232,7 @@ def test_sim_ann_recall_sweep_consistent_and_monotone(spark):
         q_sim_ann_topk,
         q_sim_cosine_topk,
         q_sim_ivf_topk,
+        q_sim_ivfpq_topk,
     )
 
     exact = {r.vec_id for r in q_sim_cosine_topk(spark, SF).collect()}
@@ -238,13 +243,18 @@ def test_sim_ann_recall_sweep_consistent_and_monotone(spark):
         ("ivf", IVF_NPROBE): len(
             {r.vec_id for r in q_sim_ivf_topk(spark, SF).collect()} & exact
         ),
+        ("ivfpq", IVF_NPROBE): len(
+            {r.vec_id for r in q_sim_ivfpq_topk(spark, SF).collect()} & exact
+        ),
     }
     rows = {
         (r.method, r.probe_param): r for r in q_sim_ann_recall(spark, SF).collect()
     }
-    assert set(rows) == {("lsh", t) for t in LSH_TABLE_SWEEP} | {
-        ("ivf", p) for p in IVF_NPROBE_SWEEP
-    }
+    assert set(rows) == (
+        {("lsh", t) for t in LSH_TABLE_SWEEP}
+        | {("ivf", p) for p in IVF_NPROBE_SWEEP}
+        | {("ivfpq", p) for p in IVF_NPROBE_SWEEP}
+    )
     for key, r in rows.items():
         assert r.k == TOP_K
         assert 0 <= r.n_hits <= TOP_K
@@ -399,3 +409,41 @@ def test_dsir_one_model_agg_one_doc_shuffle(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     spark.catalog.clearCache()
+
+
+def test_ivfpq_search_is_shuffle_free(spark):
+    """The composed IVF-PQ plan at 10⁹ vectors: coarse assignment is the
+    broadcast argmax, probe membership a broadcast LEFT-SEMI on cid (no
+    row fan-out), encode + LUT scoring map-only broadcasts, top-k a
+    TakeOrdered — like the flat ADC search, ZERO data-moving exchanges of
+    the N-row side and no join by shuffle."""
+    from pdfplucker_spark.operators.similarity import q_sim_ivfpq_topk
+
+    spark.catalog.clearCache()
+    plan = _plan(q_sim_ivfpq_topk(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan[:2500]
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_logppl_broadcast_model_no_position_self_join(spark):
+    """The bigram scorer's 100-TB shape: bigram positions come from ONE
+    per-doc array projection (never a tok⋈tok position self-join), the
+    <=V² bigram model and the top-V vocab broadcast back onto the
+    position stream, the vocabulary is a TakeOrdered — no SortMergeJoin,
+    no range partitioning, no nested loop anywhere."""
+    from pdfplucker_spark.operators.pipeline import (
+        LOGPPL_VOCAB,
+        q_docs_bigram_logppl,
+    )
+
+    spark.catalog.clearCache()
+    plan = _plan(q_docs_bigram_logppl(spark, SF))
+    assert f"TakeOrderedAndProject(limit={LOGPPL_VOCAB}" in plan, plan[:2500]
+    assert "SortMergeJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # model + vocab×2 (+ semis)
