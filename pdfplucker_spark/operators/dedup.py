@@ -1171,6 +1171,81 @@ SELECT doc_id,
 FROM spans
 """
 
+# the reporter's CTE chain up to ``spans`` — shared by the report and the
+# apply (removal) queries so the two can never drift
+_SQL_SUBSTR_SPANS_CTES = SQL_DOCS_SUBSTRING_DEDUP[
+    SQL_DOCS_SUBSTRING_DEDUP.index("WITH ") : SQL_DOCS_SUBSTRING_DEDUP.index(
+        "\nSELECT doc_id,"
+    )
+]
+
+
+def q_docs_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL pass over the ExactSubstr reporter's merged spans
+    (Lee et al.'s deletion step): every marked token interval is cut out
+    of every occurrence (the remove-ALL-occurrences policy — simple,
+    deterministic, needs no global keep-one election; the span table
+    supports a keep-one policy downstream if wanted). Emits
+    (doc_id, n_tokens, n_removed, clean_text) for every non-NULL-text
+    doc — docs without duplicated spans pass through verbatim (split/
+    join on a single space is an exact round trip, empty-string tokens
+    included).
+
+    Scale shape: the spans fold to ONE array row per doc (doc-grain,
+    bounded by doc length — the accepted per-doc reassembly pattern, as
+    in docs_line_dedup), the rebuild joins docs⋈spans on the uniform
+    doc_id, and the cut is a per-row array_except over the position
+    range — no token-grain join, no self-join, no new guard surface."""
+    d = load(spark, sf_dir, "documents")
+    spans = q_docs_substring_dedup(spark, sf_dir)
+    sp = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("tok_start", "tok_end"))).alias("sp")
+    )
+    docs = d.where(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    kept = (
+        "CASE WHEN sp IS NULL THEN t ELSE "
+        "transform(array_except(sequence(0, size(t) - 1), "
+        "flatten(transform(sp, s -> sequence(s.tok_start, s.tok_end - 1)))), "
+        "i -> t[i]) END"
+    )
+    return (
+        docs.join(sp, "doc_id", "left")
+        .select("doc_id", F.col("t").alias("t"), F.expr(kept).alias("kept"))
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            (F.size("t") - F.size("kept")).alias("n_removed"),
+            F.concat_ws(" ", F.col("kept")).alias("clean_text"),
+        )
+    )
+
+
+SQL_DOCS_SUBSTRING_DEDUP_APPLY = f"""
+{_SQL_SUBSTR_SPANS_CTES},
+pos AS (
+  SELECT doc_id, t, CAST(i AS INTEGER) AS i, t[CAST(i AS INTEGER) + 1] AS tok
+  FROM toks, UNNEST(range(len(t))) AS u(i)
+),
+flagged AS (
+  SELECT p.doc_id, p.i, p.tok,
+         EXISTS (
+           SELECT 1 FROM spans s
+           WHERE s.doc_id = p.doc_id
+             AND p.i >= s.tok_start AND p.i < s.tok_end
+         ) AS covered
+  FROM pos p
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS INTEGER) AS n_removed,
+       COALESCE(string_agg(CASE WHEN covered THEN NULL ELSE tok END, ' '
+                           ORDER BY i), '') AS clean_text
+FROM flagged
+GROUP BY doc_id
+"""
+
 
 QUERIES = {
     "dedup_containment_pairs": (
@@ -1200,4 +1275,8 @@ QUERIES = {
     "dedup_ngram_pairs": (q_dedup_ngram_pairs, SQL_DEDUP_NGRAM_PAIRS),
     "docs_line_dedup": (q_docs_line_dedup, SQL_DOCS_LINE_DEDUP),
     "docs_substring_dedup": (q_docs_substring_dedup, SQL_DOCS_SUBSTRING_DEDUP),
+    "docs_substring_dedup_apply": (
+        q_docs_substring_dedup_apply,
+        SQL_DOCS_SUBSTRING_DEDUP_APPLY,
+    ),
 }

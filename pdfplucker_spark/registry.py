@@ -64,6 +64,7 @@ _RECORD_FIRST = (
     # but a narrower sample must record these first) ---
     "sim_ivfpq_topk",
     "sim_ivf_fitted_topk",
+    "docs_substring_dedup_apply",
     "docs_bigram_logppl",
     "docs_bloom_decontaminate",
     "docs_balanced_sample",

@@ -1372,3 +1372,69 @@ def test_bigram_logppl_matches_hand_computed_lm(spark, tmp_path):
     assert got[2].seen_bigrams == 0 and got[4].seen_bigrams == 15
     assert got[2].logppl2 > got[4].logppl2
     spark.catalog.clearCache()
+
+
+def test_substring_dedup_apply_removes_all_marked_occurrences(spark, tmp_path):
+    """The removal pass over the same crafted corpus the reporter test
+    uses: every marked interval is cut from every occurrence (both
+    sharers of a run lose it; a within-doc repeat loses both copies),
+    untouched docs round-trip verbatim through the split/join rebuild
+    (sub-window docs included), and counts reconcile with the reporter's
+    span lengths. DuckDB must agree row-for-row."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.dedup import (
+        SUBSTR_W,
+        q_docs_substring_dedup_apply,
+    )
+    from pdfplucker_spark.registry import all_queries
+
+    assert SUBSTR_W == 8
+    dup12 = " ".join(f"d{i}" for i in range(12))
+    runa = " ".join(f"a{i}" for i in range(10))
+    runb = " ".join(f"b{i}" for i in range(10))
+    runc = " ".join(f"c{i}" for i in range(SUBSTR_W))
+    gs = " ".join(f"g{i}" for i in range(9))
+    mk = lambda *parts: " ".join(parts)
+    u = [" ".join(f"u{d}x{i}" for i in range(12)) for d in range(8)]
+    rows = [
+        Row(doc_id=1, text=mk(dup12, u[0]), lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text=mk(u[1], dup12), lang="en", source="s", n_chars=1),
+        Row(doc_id=3, text=u[2], lang="en", source="s", n_chars=1),
+        Row(doc_id=4, text=mk(runa, u[3], runb), lang="en", source="s", n_chars=1),
+        Row(doc_id=5, text=mk(runa, u[4], runb), lang="en", source="s", n_chars=1),
+        Row(doc_id=6, text=mk(runc, gs, runc), lang="en", source="s", n_chars=1),
+        Row(doc_id=7, text="a b c", lang="en", source="s", n_chars=1),
+        Row(doc_id=8, text=None, lang="en", source="s", n_chars=0),
+    ]
+    p = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(rows).write.parquet(p)
+
+    res = q_docs_substring_dedup_apply(spark, str(tmp_path))
+    got = {r.doc_id: r for r in res.collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}  # NULL text absent
+    expect = {
+        1: (24, 12, u[0]),
+        2: (24, 12, u[1]),
+        3: (12, 0, u[2]),
+        4: (32, 20, u[3]),
+        5: (32, 20, u[4]),
+        6: (25, 16, gs),
+        7: (3, 0, "a b c"),
+    }
+    for d, (n, rem, clean) in expect.items():
+        r = got[d]
+        assert (r.n_tokens, r.n_removed, r.clean_text) == (n, rem, clean), d
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    exp = sorted(map(tuple, con.execute(
+        all_queries()["docs_substring_dedup_apply"][1]
+    ).fetchall()))
+    assert sorted(map(tuple, res.collect())) == exp
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    spark.catalog.clearCache()
