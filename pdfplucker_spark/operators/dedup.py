@@ -1077,27 +1077,23 @@ _WINHASH_OVER_T = (
 )
 
 
-def q_docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal duplicated-substring spans per document:
-    (doc_id, span_seq, tok_start, tok_end, n_windows) — tok_end exclusive,
-    spans ordered by tok_start, n_windows = marked stride-1 windows merged
-    into the span."""
-    d = load(spark, sf_dir, "documents")
-    # persist: the window-hash frame feeds the frequency count AND the
-    # mark join
-    wins = (
+def _substr_wins(d) -> DataFrame:
+    """(doc_id, pos, wh) stride-1 window-hash rows, persisted — every
+    ExactSubstr variant consumes this frame at least twice (frequency/
+    keeper aggregation + mark join), so the frame that creates the double
+    consumption owns the persist (house rule)."""
+    return (
         d.where(F.col("text").isNotNull())
         .select("doc_id", F.split("text", " ").alias("t"))
         .select("doc_id", F.posexplode(F.expr(_WINHASH_OVER_T)).alias("pos", "wh"))
         .persist()
     )
-    dup = (
-        wins.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("wh")
-    )
-    marked = wins.join(dup, "wh").select("doc_id", "pos")
+
+
+def _substr_spans_from_marked(marked) -> DataFrame:
+    """Merge a (doc_id, pos) marked-window frame into maximal removal
+    spans via gaps-and-islands — the shared tail of every marking
+    policy (doc-grain windows, bounded by doc length)."""
     w_ord = Window.partitionBy("doc_id").orderBy(F.asc("pos"))
     isl = marked.select(
         "doc_id",
@@ -1130,22 +1126,63 @@ def q_docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DOCS_SUBSTRING_DEDUP = f"""
-WITH toks AS (
+def q_docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans per document:
+    (doc_id, span_seq, tok_start, tok_end, n_windows) — tok_end exclusive,
+    spans ordered by tok_start, n_windows = marked stride-1 windows merged
+    into the span."""
+    wins = _substr_wins(load(spark, sf_dir, "documents"))
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("wh")
+    )
+    marked = wins.join(dup, "wh").select("doc_id", "pos")
+    return _substr_spans_from_marked(marked)
+
+
+# The ExactSubstr SQL is assembled from shared parts — tokenize/window,
+# a per-POLICY ``marked`` CTE, and the gaps-and-islands merge — so every
+# variant (report, remove-all apply, keep-one apply) provably agrees on
+# what a window and a span are.
+_SQL_SUBSTR_WINS_CTES = f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
 ),
 wins AS MATERIALIZED (
   SELECT doc_id, CAST(i AS INTEGER) AS pos,
          md5(array_to_string(t[(CAST(i AS INTEGER) + 1):(CAST(i AS INTEGER) + {SUBSTR_W})], ' ')) AS wh
   FROM toks, UNNEST(range(len(t) - {SUBSTR_W} + 1)) AS u(i)
-),
-dup AS (
+)"""
+
+# remove-all policy: every occurrence of a duplicated window is marked
+_SQL_SUBSTR_MARKED_ALL = """dup AS (
   SELECT wh FROM (SELECT wh, COUNT(*) AS c FROM wins GROUP BY wh) WHERE c >= 2
 ),
 marked AS (
   SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wh)
+)"""
+
+# keep-one policy: the lexicographically-first (doc_id, pos) occurrence
+# of each duplicated window is the KEEPER; all other occurrences are
+# marked. Arg-min as two chained aggregates (min doc, then min pos
+# within that doc) — no per-wh window sort anywhere, so a boilerplate
+# run repeated 10⁸ times costs two counters, never a hot-key sort.
+_SQL_SUBSTR_MARKED_KEEP_ONE = """k1 AS MATERIALIZED (
+  SELECT wh, MIN(doc_id) AS kd FROM wins GROUP BY wh HAVING COUNT(*) >= 2
 ),
-isl AS (
+k2 AS MATERIALIZED (
+  SELECT w.wh, MIN(w.pos) AS kp
+  FROM wins w JOIN k1 ON w.wh = k1.wh AND w.doc_id = k1.kd
+  GROUP BY w.wh
+),
+marked AS (
+  SELECT w.doc_id, w.pos
+  FROM wins w JOIN k1 USING (wh) JOIN k2 USING (wh)
+  WHERE NOT (w.doc_id = k1.kd AND w.pos = k2.kp)
+)"""
+
+_SQL_SUBSTR_MERGE_CTES = f"""isl AS (
   SELECT doc_id, pos,
          CASE WHEN lag(pos) OVER w IS NULL
                    OR pos > lag(pos) OVER w + {SUBSTR_W}
@@ -1161,7 +1198,12 @@ spans AS (
   SELECT doc_id, island, MIN(pos) AS tok_start,
          MAX(pos) + {SUBSTR_W} AS tok_end, COUNT(*) AS n_windows
   FROM grp GROUP BY doc_id, island
-)
+)"""
+
+SQL_DOCS_SUBSTRING_DEDUP = f"""
+WITH {_SQL_SUBSTR_WINS_CTES},
+{_SQL_SUBSTR_MARKED_ALL},
+{_SQL_SUBSTR_MERGE_CTES}
 SELECT doc_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tok_start) AS INT)
          AS span_seq,
@@ -1171,13 +1213,27 @@ SELECT doc_id,
 FROM spans
 """
 
-# the reporter's CTE chain up to ``spans`` — shared by the report and the
-# apply (removal) queries so the two can never drift
-_SQL_SUBSTR_SPANS_CTES = SQL_DOCS_SUBSTRING_DEDUP[
-    SQL_DOCS_SUBSTRING_DEDUP.index("WITH ") : SQL_DOCS_SUBSTRING_DEDUP.index(
-        "\nSELECT doc_id,"
-    )
-]
+# the apply (cut) tail shared by both removal policies
+_SQL_SUBSTR_APPLY_TAIL = """pos AS (
+  SELECT doc_id, t, CAST(i AS INTEGER) AS i, t[CAST(i AS INTEGER) + 1] AS tok
+  FROM toks, UNNEST(range(len(t))) AS u(i)
+),
+flagged AS (
+  SELECT p.doc_id, p.i, p.tok,
+         EXISTS (
+           SELECT 1 FROM spans s
+           WHERE s.doc_id = p.doc_id
+             AND p.i >= s.tok_start AND p.i < s.tok_end
+         ) AS covered
+  FROM pos p
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS INTEGER) AS n_removed,
+       COALESCE(string_agg(CASE WHEN covered THEN NULL ELSE tok END, ' '
+                           ORDER BY i), '') AS clean_text
+FROM flagged
+GROUP BY doc_id"""
 
 
 def q_docs_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1196,8 +1252,15 @@ def q_docs_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     in docs_line_dedup), the rebuild joins docs⋈spans on the uniform
     doc_id, and the cut is a per-row array_except over the position
     range — no token-grain join, no self-join, no new guard surface."""
-    d = load(spark, sf_dir, "documents")
-    spans = q_docs_substring_dedup(spark, sf_dir)
+    return _substr_apply(
+        load(spark, sf_dir, "documents"), q_docs_substring_dedup(spark, sf_dir)
+    )
+
+
+def _substr_apply(d, spans) -> DataFrame:
+    """The shared cut tail of both removal policies: fold ``spans`` to
+    one array row per doc, join on the uniform doc_id, cut by
+    array_except over the position range, rebuild text."""
     sp = spans.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("tok_start", "tok_end"))).alias("sp")
     )
@@ -1222,28 +1285,58 @@ def q_docs_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_substring_dedup_keep_one(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The KEEP-ONE removal policy (what Lee et al.'s released dedup
+    actually does): for every duplicated window the lexicographically
+    first (doc_id, pos) occurrence is the KEEPER and survives; every
+    other occurrence is marked and cut. Same output shape as the
+    remove-all apply. The corpus keeps exactly one copy of every
+    duplicated run (modulo overlap with OTHER duplicated windows — the
+    policy is window-level, as published).
+
+    Scale shape: the keeper election is TWO chained hash aggregates on
+    the uniform window-hash key (min doc_id per hash, then min pos
+    within that doc) — an arg-min with map-side partials, NEVER a
+    per-hash window sort, so a boilerplate run repeated 10⁸ times costs
+    two counters, not a 10⁸-row single-key sort. The mark join and the
+    cut tail are shared with the other variants."""
+    d = load(spark, sf_dir, "documents")
+    wins = _substr_wins(d)
+    k1 = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("kd"))
+        .where(F.col("c") >= 2)
+        .select("wh", "kd")
+    )
+    k2 = (
+        wins.join(k1, "wh")
+        .where(F.col("doc_id") == F.col("kd"))
+        .groupBy("wh")
+        .agg(F.min("pos").alias("kp"))
+    )
+    marked = (
+        wins.join(k1, "wh")
+        .join(k2, "wh")
+        .where(~((F.col("doc_id") == F.col("kd")) & (F.col("pos") == F.col("kp"))))
+        .select("doc_id", "pos")
+    )
+    return _substr_apply(d, _substr_spans_from_marked(marked))
+
+
 SQL_DOCS_SUBSTRING_DEDUP_APPLY = f"""
-{_SQL_SUBSTR_SPANS_CTES},
-pos AS (
-  SELECT doc_id, t, CAST(i AS INTEGER) AS i, t[CAST(i AS INTEGER) + 1] AS tok
-  FROM toks, UNNEST(range(len(t))) AS u(i)
-),
-flagged AS (
-  SELECT p.doc_id, p.i, p.tok,
-         EXISTS (
-           SELECT 1 FROM spans s
-           WHERE s.doc_id = p.doc_id
-             AND p.i >= s.tok_start AND p.i < s.tok_end
-         ) AS covered
-  FROM pos p
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS INTEGER) AS n_tokens,
-       CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS INTEGER) AS n_removed,
-       COALESCE(string_agg(CASE WHEN covered THEN NULL ELSE tok END, ' '
-                           ORDER BY i), '') AS clean_text
-FROM flagged
-GROUP BY doc_id
+WITH {_SQL_SUBSTR_WINS_CTES},
+{_SQL_SUBSTR_MARKED_ALL},
+{_SQL_SUBSTR_MERGE_CTES},
+{_SQL_SUBSTR_APPLY_TAIL}
+"""
+
+SQL_DOCS_SUBSTRING_DEDUP_KEEP_ONE = f"""
+WITH {_SQL_SUBSTR_WINS_CTES},
+{_SQL_SUBSTR_MARKED_KEEP_ONE},
+{_SQL_SUBSTR_MERGE_CTES},
+{_SQL_SUBSTR_APPLY_TAIL}
 """
 
 
@@ -1278,5 +1371,9 @@ QUERIES = {
     "docs_substring_dedup_apply": (
         q_docs_substring_dedup_apply,
         SQL_DOCS_SUBSTRING_DEDUP_APPLY,
+    ),
+    "docs_substring_dedup_keep_one": (
+        q_docs_substring_dedup_keep_one,
+        SQL_DOCS_SUBSTRING_DEDUP_KEEP_ONE,
     ),
 }

@@ -65,6 +65,7 @@ _RECORD_FIRST = (
     "sim_ivfpq_topk",
     "sim_ivf_fitted_topk",
     "docs_substring_dedup_apply",
+    "docs_substring_dedup_keep_one",
     "docs_bigram_logppl",
     "docs_bloom_decontaminate",
     "docs_balanced_sample",

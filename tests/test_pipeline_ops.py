@@ -1438,3 +1438,75 @@ def test_substring_dedup_apply_removes_all_marked_occurrences(spark, tmp_path):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     spark.catalog.clearCache()
+
+
+def test_substring_dedup_keep_one_preserves_first_occurrence(spark, tmp_path):
+    """Keep-one policy on the same crafted corpus: the lexicographically
+    first (doc_id, pos) occurrence of each duplicated window SURVIVES —
+    doc 1 keeps the shared 12-token run doc 2 loses, doc 4 keeps both
+    runs doc 5 loses, and the within-doc repeat keeps its first copy and
+    loses the second. Exactly one copy of every duplicated run remains
+    corpus-wide. DuckDB must agree row-for-row."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.dedup import (
+        SUBSTR_W,
+        q_docs_substring_dedup_keep_one,
+    )
+    from pdfplucker_spark.registry import all_queries
+
+    assert SUBSTR_W == 8
+    dup12 = " ".join(f"d{i}" for i in range(12))
+    runa = " ".join(f"a{i}" for i in range(10))
+    runb = " ".join(f"b{i}" for i in range(10))
+    runc = " ".join(f"c{i}" for i in range(SUBSTR_W))
+    gs = " ".join(f"g{i}" for i in range(9))
+    mk = lambda *parts: " ".join(parts)
+    u = [" ".join(f"u{d}x{i}" for i in range(12)) for d in range(8)]
+    texts = {
+        1: mk(dup12, u[0]),
+        2: mk(u[1], dup12),
+        3: u[2],
+        4: mk(runa, u[3], runb),
+        5: mk(runa, u[4], runb),
+        6: mk(runc, gs, runc),
+        7: "a b c",
+    }
+    rows = [
+        Row(doc_id=d, text=t, lang="en", source="s", n_chars=1)
+        for d, t in texts.items()
+    ]
+    p = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(rows).write.parquet(p)
+
+    res = q_docs_substring_dedup_keep_one(spark, str(tmp_path))
+    got = {r.doc_id: r for r in res.collect()}
+    expect = {
+        1: (24, 0, texts[1]),            # keeper of the shared run
+        2: (24, 12, u[1]),               # loser: run cut
+        3: (12, 0, texts[3]),
+        4: (32, 0, texts[4]),            # keeper of both runs
+        5: (32, 20, u[4]),
+        6: (25, 8, mk(runc, gs)),        # first in-doc copy kept
+        7: (3, 0, texts[7]),
+    }
+    assert set(got) == set(expect)
+    for d, (n, rem, clean) in expect.items():
+        r = got[d]
+        assert (r.n_tokens, r.n_removed, r.clean_text) == (n, rem, clean), d
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    exp = sorted(map(tuple, con.execute(
+        all_queries()["docs_substring_dedup_keep_one"][1]
+    ).fetchall()))
+    assert sorted(map(tuple, res.collect())) == exp
+    # arg-min election must never plan a per-hash window sort
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    import re
+    assert not re.search(r"windowspecdefinition\(wh", plan)
+    spark.catalog.clearCache()
