@@ -1422,6 +1422,195 @@ SQL_SIM_ANN_RECALL = _sql_ann_recall()
 
 
 # ---------------------------------------------------------------------------
+# residual IVF-PQ (the full IVFADC of Jégou et al. 2011): PQ quantizes
+# the RESIDUAL v − c(v) instead of v itself — residuals concentrate near
+# zero, so the same code budget spends its resolution where the vectors
+# actually are. The price at query time: the LUT becomes per-probed-list
+# (the query residual differs per list), nprobe·M·K cells — still a
+# trivial broadcast.
+# ---------------------------------------------------------------------------
+# residual-codebook seeds: vec_ids IVF_K+1 .. IVF_K+PQ_K (9..16),
+# residualized against THEIR OWN coarse assignment — disjoint from the
+# coarse seeds 1..IVF_K (a coarse seed's residual is the zero vector,
+# which would degenerate the codebook). Production swaps per-subspace
+# k-means residual fits into the same plumbing.
+RESIDUAL_SEED_LO = IVF_K + 1
+RESIDUAL_SEED_HI = IVF_K + PQ_K
+
+
+def _ivfpq_residuals(emb):
+    """(vec_id, cid, rv): every non-query vector's coarse assignment and
+    residual v − c_cid. Map-only: coarse centroids broadcast BOTH as the
+    argmax array row and as a cid→cv map for the subtraction."""
+    cmap = _ivf_centroids(emb).agg(
+        F.map_from_entries(F.collect_list(F.struct("cid", "cv"))).alias("cm")
+    )
+    return (
+        _ivfpq_base(emb)
+        .crossJoin(F.broadcast(cmap))
+        .select(
+            "vec_id",
+            "cid",
+            F.expr("zip_with(v, cm[cid], (a, b) -> a - b)").alias("rv"),
+        )
+    )
+
+
+def q_sim_ivfpq_residual_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """Residual IVF-PQ top-k (full IVFADC): coarse probe prunes to the
+    nprobe nearest lists; candidates are scored by ADC over PQ codes of
+    their RESIDUALS, against a per-list LUT built from the query's
+    residual in that list (qr_L = q − c_L).
+
+    Scale shape: identical to the no-residual path — broadcast-argmax
+    assignment, one broadcast map subtraction for the residuals, a
+    broadcast LEFT-SEMI for probe membership, map-only encode, one
+    nprobe·M·K-cell broadcast LUT, TakeOrdered. ZERO corpus shuffles.
+
+    Exactness: residual doubles are fixed-order IEEE subtraction of
+    bit-identical inputs; LUT cells snap to the integer micro grid; the
+    per-candidate score is an exact integer sum keyed on
+    ((cid·M + m)·K + code) — code values are 1..PQ_K (never 0), so
+    adjacent (cid, m) slots cannot collide (the flat-ADC key argument)."""
+    emb = load(spark, sf_dir, "embeddings")
+    res = _ivfpq_residuals(emb)
+    # residual codebook: ONE broadcast array row of (cc, rv) sorted by cc
+    cbrow = (
+        res.where(
+            (F.col("vec_id") >= RESIDUAL_SEED_LO)
+            & (F.col("vec_id") <= RESIDUAL_SEED_HI)
+        )
+        .select(
+            (F.col("vec_id") - IVF_K).cast("int").alias("cid"),
+            F.col("rv").alias("cv"),
+        )
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
+    )
+    probe = _ivf_probe(emb, nprobe)
+    cand = res.join(F.broadcast(probe), "cid", "left_semi")
+    codes = (
+        cand.select("vec_id", "cid", F.col("rv").alias("v"))
+        .crossJoin(F.broadcast(cbrow))
+        .select("vec_id", "cid", F.expr(_PQ_CODES_ARR).alias("codes"))
+    )
+    # per-list LUTs: for each probed cid, the query residual q − c_cid
+    # against every codebook entry and subspace — nprobe·M·K cells
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    qr = (
+        _ivf_centroids(emb)
+        .join(F.broadcast(probe), "cid")
+        .crossJoin(F.broadcast(qv))
+        .select("cid", F.expr("zip_with(qv, cv, (a, b) -> a - b)").alias("qr"))
+    )
+    lut_rows = (
+        qr.crossJoin(F.broadcast(cbrow))
+        .select("cid", "qr", F.explode("cents").alias("cb"))
+        .select(
+            "cid",
+            "qr",
+            F.col("cb.cid").alias("cc"),
+            F.col("cb.cv").alias("cbv"),
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        )
+        .select(
+            (
+                (F.col("cid") * PQ_M + F.col("m")) * PQ_K + F.col("cc")
+            ).alias("k"),
+            F.expr(
+                "CAST(round(aggregate(zip_with("
+                f"slice(qr, m * {PQ_SUB} + 1, {PQ_SUB}), "
+                f"slice(cbv, m * {PQ_SUB} + 1, {PQ_SUB}), "
+                "(a,b) -> (a-b)*(a-b)), 0D, (s,t) -> s+t) * 1000000) AS BIGINT)"
+            ).alias("d2u"),
+        )
+    )
+    lut = lut_rows.agg(
+        F.map_from_entries(F.collect_list(F.struct("k", "d2u"))).alias("lut")
+    )
+    scored = codes.crossJoin(F.broadcast(lut)).select(
+        "vec_id",
+        F.expr(
+            f"aggregate(sequence(0, {PQ_M - 1}), 0L, "
+            f"(s, m) -> s + lut[(cid * {PQ_M} + m) * {PQ_K} + codes[m]])"
+        ).alias("adc_d2_micro"),
+    )
+    return (
+        scored.orderBy(F.asc("adc_d2_micro"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "adc_d2_micro")
+    )
+
+
+def _sql_ivfpq_residual_topk(nprobe: int = IVF_NPROBE) -> str:
+    d2 = (
+        "list_dot_product("
+        f"list_transform(range(1, {PQ_SUB} + 1), i -> {{a}}[m * {PQ_SUB} + i] - {{b}}[m * {PQ_SUB} + i]), "
+        f"list_transform(range(1, {PQ_SUB} + 1), i -> {{a}}[m * {PQ_SUB} + i] - {{b}}[m * {PQ_SUB} + i]))"
+    )
+    return f"""
+WITH {_SQL_IVF_ASSIGNED},
+res AS MATERIALIZED (
+  SELECT e.vec_id, a.cid,
+         list_transform(range(1, {DIM} + 1),
+           j -> CAST(e.embedding AS DOUBLE[])[j] - c.cv[j]) AS rv
+  FROM embeddings e
+  JOIN assigned a USING (vec_id)
+  JOIN c ON c.cid = a.cid
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+),
+cb AS MATERIALIZED (
+  SELECT CAST(vec_id - {IVF_K} AS INT) AS cc, rv AS cbv FROM res
+  WHERE vec_id BETWEEN {RESIDUAL_SEED_LO} AND {RESIDUAL_SEED_HI}
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid,
+           ROW_NUMBER() OVER (
+             ORDER BY list_dot_product(cv, (SELECT qv FROM q))
+                        / sqrt(list_dot_product(cv, cv)) DESC, cid ASC) AS rn
+    FROM c
+  ) WHERE rn <= {nprobe}
+),
+qr AS (
+  SELECT c.cid,
+         list_transform(range(1, {DIM} + 1),
+           j -> q.qv[j] - c.cv[j]) AS qr
+  FROM c JOIN probe USING (cid) CROSS JOIN q
+),
+lut AS (
+  SELECT (qr.cid * {PQ_M} + CAST(m AS INT)) * {PQ_K} + cb.cc AS k,
+         CAST(round({d2.format(a="qr.qr", b="cb.cbv")} * 1000000) AS BIGINT) AS d2u
+  FROM qr CROSS JOIN UNNEST(range({PQ_M})) AS t(m) CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, cid, m, code FROM (
+    SELECT r.vec_id, r.cid, CAST(m AS INT) AS m, cb.cc AS code,
+           ROW_NUMBER() OVER (PARTITION BY r.vec_id, m ORDER BY
+             {d2.format(a="r.rv", b="cb.cbv")} ASC, cb.cc ASC) AS rn
+    FROM res r
+    JOIN probe USING (cid)
+    CROSS JOIN UNNEST(range({PQ_M})) AS t(m)
+    CROSS JOIN cb
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(SUM(l.d2u) AS BIGINT) AS adc_d2_micro
+FROM codes cd
+JOIN lut l ON l.k = (cd.cid * {PQ_M} + cd.m) * {PQ_K} + cd.code
+GROUP BY vec_id
+ORDER BY adc_d2_micro ASC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+SQL_SIM_IVFPQ_RESIDUAL_TOPK = _sql_ivfpq_residual_topk()
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: embedding near-dup removal with k-means CLUSTER blocking
 # ---------------------------------------------------------------------------
 def q_sim_semdedup(
@@ -1681,6 +1870,10 @@ QUERIES = {
     "sim_pq_assign": (q_sim_pq_assign, SQL_SIM_PQ_ASSIGN),
     "sim_pq_adc_topk": (q_sim_pq_adc_topk, SQL_SIM_PQ_ADC_TOPK),
     "sim_ivfpq_topk": (q_sim_ivfpq_topk, SQL_SIM_IVFPQ_TOPK),
+    "sim_ivfpq_residual_topk": (
+        q_sim_ivfpq_residual_topk,
+        SQL_SIM_IVFPQ_RESIDUAL_TOPK,
+    ),
     "sim_kmeans_fit": (q_sim_kmeans_fit, SQL_SIM_KMEANS_FIT),
     "sim_semdedup": (q_sim_semdedup, SQL_SIM_SEMDEDUP),
     "sim_semdedup_sampled": (q_sim_semdedup_sampled, SQL_SIM_SEMDEDUP_SAMPLED),

