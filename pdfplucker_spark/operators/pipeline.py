@@ -305,6 +305,53 @@ LOGPPL_VOCAB = 16
 LOGPPL_MICRO = 1_000_000
 
 
+def _unigram_doc_scores(d, extra: tuple = ()) -> DataFrame:
+    """(doc_id, *extra, n_tokens, oov_tokens, slog): the corpus-fit
+    unigram LM's per-doc integer aggregates — the shared core of the
+    logppl scorer and the per-language perplexity bucketing. ``extra``
+    columns ride along through the explode and the per-doc group-by
+    (they are doc-constant attributes like lang); the LM fit itself
+    (counts, total, vocab) is identical regardless of ``extra``."""
+    toks = d.select(
+        "doc_id",
+        *extra,
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(LOGPPL_VOCAB)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.expr(
+                f"CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * {LOGPPL_MICRO}) AS BIGINT)"
+            ).alias("logp_micro"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            *extra,
+            F.coalesce(
+                F.col("logp_micro"),
+                F.expr(
+                    f"CAST(round(ln(1.0D / (2 * tot)) * {LOGPPL_MICRO}) AS BIGINT)"
+                ),
+            ).alias("lp"),
+            F.col("logp_micro").isNull().cast("int").alias("is_oov"),
+        )
+    )
+    return scored.groupBy("doc_id", *extra).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("is_oov").alias("oov_tokens"),
+        F.sum("lp").alias("slog"),
+    )
+
+
 def q_docs_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-filter signal: fit a top-V unigram LM on the
     corpus itself, then score every document with its unigram
@@ -330,43 +377,7 @@ def q_docs_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     is corpus×tokens scale, and its second consumer costs only a rescan +
     map, the cheaper side at scale.
     """
-    d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("tok"),
-    )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
-    total = counts.agg(F.sum("cnt").alias("tot"))
-    vocab = (
-        counts.orderBy(F.desc("cnt"), F.asc("tok"))
-        .limit(LOGPPL_VOCAB)
-        .crossJoin(F.broadcast(total))
-        .select(
-            "tok",
-            F.expr(
-                f"CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * {LOGPPL_MICRO}) AS BIGINT)"
-            ).alias("logp_micro"),
-        )
-    )
-    scored = (
-        toks.join(F.broadcast(vocab), "tok", "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            F.coalesce(
-                F.col("logp_micro"),
-                F.expr(
-                    f"CAST(round(ln(1.0D / (2 * tot)) * {LOGPPL_MICRO}) AS BIGINT)"
-                ),
-            ).alias("lp"),
-            F.col("logp_micro").isNull().cast("int").alias("is_oov"),
-        )
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("is_oov").alias("oov_tokens"),
-        F.sum("lp").alias("slog"),
-    )
+    agg = _unigram_doc_scores(load(spark, sf_dir, "documents"))
     # The reported mean stays ON the integer micro grid ((-slog) div n —
     # exact integer math, both operands positive so Spark's truncating
     # `div` == DuckDB's flooring `//`), then ONE IEEE division by 1e6.
@@ -417,6 +428,136 @@ SELECT doc_id,
        CAST((-CAST(SUM(lp) AS BIGINT)) // COUNT(*) AS DOUBLE)
          / {float(LOGPPL_MICRO)} AS logppl
 FROM scored GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets: per-language head/middle/tail terciles
+# ---------------------------------------------------------------------------
+# two-level rank bucketing: quantized-ppl bin (monotone prefix of the
+# rank key) × a hash prefix that splits ties, so a constant-ppl corpus
+# can never concentrate a window sort on one key
+PPL_BIN_SHIFT = 13  # ppl_micro >> 13 ≈ 0.008-logppl bins
+PPL_HB_BITS = 4  # 16-way tie split inside each bin
+PPL_N_BUCKETS = 3  # CCNet's head/middle/tail
+
+
+def q_docs_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's language-model bucketing: within each LANGUAGE, rank docs
+    by unigram log-perplexity and split the ranking into
+    {PPL_N_BUCKETS} equal buckets — 0 = head (most fluent), 2 = tail.
+    CCNet trains on the head/middle and drops or down-weights the tail;
+    the bucket id is the signal a curation run joins on. The ranking
+    order is (quantized ppl, doc-id hash, exact ppl, hash, doc_id) — a
+    deterministic total order, monotone in ppl up to the ~0.008-logppl
+    bin quantum (ties inside a bin split by hash: the standard
+    rank-tercile definition, exact integer math end-to-end).
+
+    Scale shape: per-doc scores ride the unigram LM core (three corpus
+    shuffles inherited); ranking is the two-level `_shuffle_rank`
+    pattern with the bucket key (lang, ppl-bin, hash-prefix) — the
+    bucket is a PREFIX of the rank key, so bucket-ordered offsets +
+    within-bucket row_number compose to the global per-lang rank, and
+    NO window ever partitions on lang alone (a 3-language 10¹²-doc
+    corpus would sort 10¹² rows on one key). Offsets/totals are
+    bucket-cardinality frames, broadcast back."""
+    d = load(spark, sf_dir, "documents")
+    agg = _unigram_doc_scores(d, ("lang",))
+    h = md5_long(F.concat(F.lit("pplb:"), F.col("doc_id").cast("string")))
+    base = (
+        agg.select(
+            "doc_id",
+            "lang",
+            F.expr("(-slog) div n_tokens").alias("ppl_micro"),
+            h.alias("h"),
+        )
+        .withColumn("pmb", F.shiftright("ppl_micro", PPL_BIN_SHIFT))
+        .withColumn("hb", F.shiftright("h", 60 - PPL_HB_BITS))
+        .persist()  # two consumers: the bucket-count offsets + rank join
+    )
+    counts = base.groupBy("lang", "pmb", "hb").agg(F.count(F.lit(1)).alias("n_b"))
+    woff = (
+        Window.partitionBy("lang")
+        .orderBy("pmb", "hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "lang",
+        "pmb",
+        "hb",
+        F.coalesce(F.sum("n_b").over(woff), F.lit(0)).alias("offset"),
+    )
+    totals = counts.groupBy("lang").agg(F.sum("n_b").alias("n_lang"))
+    wrk = Window.partitionBy("lang", "pmb", "hb").orderBy(
+        "ppl_micro", "h", "doc_id"
+    )
+    ranked = (
+        base.join(F.broadcast(offsets), ["lang", "pmb", "hb"])
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "ppl_micro",
+            (F.col("offset") + F.row_number().over(wrk) - 1).alias("rnk"),
+            "n_lang",
+        )
+    )
+    # integer floor-div on both engines (operands nonnegative)
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "ppl_micro",
+        F.expr(f"CAST(({PPL_N_BUCKETS} * rnk) div n_lang AS INT)").alias(
+            "ppl_bucket"
+        ),
+    )
+
+
+SQL_DOCS_PPL_BUCKETS = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+  FROM documents
+),
+counts AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM counts
+),
+vocab AS MATERIALIZED (
+  SELECT tok,
+         CAST(round(ln(CAST(cnt AS DOUBLE) / tot.tot) * {LOGPPL_MICRO}) AS BIGINT)
+           AS logp_micro
+  FROM counts, tot
+  ORDER BY cnt DESC, tok ASC LIMIT {LOGPPL_VOCAB}
+),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         coalesce(v.logp_micro,
+                  CAST(round(ln(1.0 / (2 * tot.tot)) * {LOGPPL_MICRO}) AS BIGINT))
+           AS lp
+  FROM toks t LEFT JOIN vocab v USING (tok), tot
+),
+agg AS (
+  SELECT doc_id, lang,
+         (-CAST(SUM(lp) AS BIGINT)) // COUNT(*) AS ppl_micro,
+         {sql_md5_long("'pplb:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM scored GROUP BY doc_id, lang
+),
+r AS (
+  SELECT doc_id, lang, ppl_micro,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ppl_micro >> {PPL_BIN_SHIFT},
+                    h >> {60 - PPL_HB_BITS},
+                    ppl_micro, h, doc_id
+         ) - 1 AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM agg
+)
+SELECT doc_id, lang, ppl_micro,
+       CAST(({PPL_N_BUCKETS} * rnk) // n_lang AS INT) AS ppl_bucket
+FROM r
 """
 
 
@@ -2495,6 +2636,7 @@ QUERIES = {
     "docs_dsir_weights": (q_docs_dsir_weights, SQL_DOCS_DSIR_WEIGHTS),
     "docs_unigram_logppl": (q_docs_unigram_logppl, SQL_DOCS_UNIGRAM_LOGPPL),
     "docs_bigram_logppl": (q_docs_bigram_logppl, SQL_DOCS_BIGRAM_LOGPPL),
+    "docs_ppl_buckets": (q_docs_ppl_buckets, SQL_DOCS_PPL_BUCKETS),
     "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),
     "docs_length_outlier": (q_docs_length_outlier, SQL_DOCS_LENGTH_OUTLIER),
     "docs_sample": (q_docs_sample, SQL_DOCS_SAMPLE),

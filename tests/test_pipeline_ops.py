@@ -1510,3 +1510,52 @@ def test_substring_dedup_keep_one_preserves_first_occurrence(spark, tmp_path):
     import re
     assert not re.search(r"windowspecdefinition\(wh", plan)
     spark.catalog.clearCache()
+
+
+def test_ppl_buckets_balanced_monotone_and_never_lang_alone_ranked(spark):
+    """CCNet perplexity terciles: within every language the three
+    buckets are balanced to ±1 doc (the floor-div rank-tercile
+    property), bucket order is monotone in the quantized-ppl bin (a bin
+    may straddle one boundary — hash splits ties inside it — but bucket
+    b's max bin never exceeds bucket b+1's min bin), and the executed
+    plan's corpus-grain rank window is keyed by (lang, pmb, hb), NEVER
+    lang alone — a 3-language web corpus must not sort itself on three
+    keys."""
+    import re
+    from collections import Counter, defaultdict
+
+    from pdfplucker_spark.operators.pipeline import (
+        PPL_N_BUCKETS,
+        q_docs_ppl_buckets,
+    )
+
+    spark.catalog.clearCache()
+    df = q_docs_ppl_buckets(spark, SF)
+    rows = df.collect()
+    assert {r.ppl_bucket for r in rows} <= set(range(PPL_N_BUCKETS))
+    sizes = Counter((r.lang, r.ppl_bucket) for r in rows)
+    per_lang = defaultdict(list)
+    for (lang, b), n in sizes.items():
+        per_lang[lang].append((b, n))
+    for lang, bn in per_lang.items():
+        ns = [n for _, n in bn]
+        assert max(ns) - min(ns) <= 1, (lang, bn)
+
+    from pdfplucker_spark.operators.pipeline import PPL_BIN_SHIFT
+
+    bins = defaultdict(list)
+    for r in rows:
+        bins[(r.lang, r.ppl_bucket)].append(r.ppl_micro >> PPL_BIN_SHIFT)
+    for lang in per_lang:
+        for b in range(PPL_N_BUCKETS - 1):
+            lo, hi = bins.get((lang, b)), bins.get((lang, b + 1))
+            if lo and hi:
+                assert max(lo) <= min(hi), (lang, b)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^\)]*)\)", plan)
+    rank_specs = [s for s in specs if "ppl_micro" in s]
+    assert rank_specs, plan[:2500]
+    for s in rank_specs:
+        assert "pmb" in s and "hb" in s, s  # never lang-alone over the corpus
+    spark.catalog.clearCache()
