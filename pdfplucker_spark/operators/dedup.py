@@ -1340,6 +1340,95 @@ WITH {_SQL_SUBSTR_WINS_CTES},
 """
 
 
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# algorithm): from each window of W consecutive k-gram hashes, select the
+# RIGHTMOST MINIMAL hash. Guarantees: any shared run of at least
+# K + W - 1 tokens shares at least one selected fingerprint (the
+# detection floor), and expected density is 2/(W+1) — a principled,
+# position-robust sample of the document instead of stride-S truncation.
+# ---------------------------------------------------------------------------
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 4  # k-gram hashes per winnowing window
+
+# hoisted k-gram hash array over the token array ``t``. The IF guard
+# matters (sequence(0, n) DESCENDS for n < 0); the downstream window
+# transform references ``hs`` THREE times textually, so CollapseProject
+# keeps this projection hoisted (the r9 simhash lesson) — plan-pinned.
+_WINNOW_HS = (
+    f"IF(size(t) >= {WINNOW_K}, "
+    f"transform(sequence(0, size(t) - {WINNOW_K}), i -> "
+    + sql_expr_md5_long(f"concat_ws(' ', slice(t, i + 1, {WINNOW_K}))")
+    + "), array())"
+)
+
+# per-window rightmost-minimal selection: ascending fold with h <= acc.h
+# (ties replace → rightmost), init above any 60-bit hash
+_WINNOW_FPS = (
+    f"IF(size(hs) >= {WINNOW_W}, "
+    f"transform(sequence(0, size(hs) - {WINNOW_W}), "
+    f"j -> aggregate(sequence(j, j + {WINNOW_W} - 1), "
+    "named_struct('h', 9223372036854775807L, 'p', -1), "
+    "(acc, i) -> IF(hs[i] <= acc.h, named_struct('h', hs[i], 'p', i), acc))), "
+    "array())"
+)
+
+
+def q_docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection: (doc_id, fp_pos, fp_hash) — the
+    distinct (position, hash) pairs the MOSS window rule selects. Two
+    docs sharing any K+W-1-token run share at least one fp_hash (the
+    guarantee a fingerprint JOIN then exploits for candidate pairing,
+    at ~2/(W+1) of the k-gram volume). Docs with fewer than K+W-1
+    tokens emit nothing (no complete window) in BOTH engines.
+
+    Scale shape: map-only until the final distinct — one hoisted k-gram
+    hash projection (md5 ONCE per k-gram; the collapsed alternative
+    re-hashes once per window, plan-pinned out), one per-window fold
+    projection, explode, then a (doc_id, pos, hash) distinct on uniform
+    keys. No joins anywhere."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.expr(_WINNOW_HS).alias("hs"))
+        .select("doc_id", F.explode(F.expr(_WINNOW_FPS)).alias("fp"))
+        .select(
+            "doc_id",
+            F.col("fp.p").cast("int").alias("fp_pos"),
+            F.col("fp.h").alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
+SQL_DOCS_WINNOW_FINGERPRINTS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
+),
+ks AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         {sql_md5_long(f"array_to_string(t[(CAST(i AS INTEGER) + 1):(CAST(i AS INTEGER) + {WINNOW_K})], ' ')")} AS h
+  FROM toks, UNNEST(range(len(t) - {WINNOW_K} + 1)) AS u(i)
+),
+nk AS (SELECT doc_id, COUNT(*) AS nk FROM ks GROUP BY doc_id),
+sel AS (
+  SELECT doc_id, pos, h FROM (
+    SELECT j.doc_id, j.pos AS jpos, k.pos, k.h,
+           ROW_NUMBER() OVER (PARTITION BY j.doc_id, j.pos
+                              ORDER BY k.h ASC, k.pos DESC) AS rn
+    FROM ks j
+    JOIN nk USING (doc_id)
+    JOIN ks k ON k.doc_id = j.doc_id
+             AND k.pos BETWEEN j.pos AND j.pos + {WINNOW_W} - 1
+    WHERE j.pos <= nk.nk - {WINNOW_W}
+  ) WHERE rn = 1
+)
+SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS fp_pos, h AS fp_hash
+FROM sel
+"""
+
+
 QUERIES = {
     "dedup_containment_pairs": (
         q_dedup_containment_pairs,
@@ -1375,5 +1464,9 @@ QUERIES = {
     "docs_substring_dedup_keep_one": (
         q_docs_substring_dedup_keep_one,
         SQL_DOCS_SUBSTRING_DEDUP_KEEP_ONE,
+    ),
+    "docs_winnow_fingerprints": (
+        q_docs_winnow_fingerprints,
+        SQL_DOCS_WINNOW_FINGERPRINTS,
     ),
 }

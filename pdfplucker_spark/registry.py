@@ -67,6 +67,7 @@ _RECORD_FIRST = (
     "sim_ivf_fitted_topk",
     "docs_substring_dedup_apply",
     "docs_substring_dedup_keep_one",
+    "docs_winnow_fingerprints",
     "docs_bigram_logppl",
     "docs_ppl_buckets",
     "docs_bloom_decontaminate",

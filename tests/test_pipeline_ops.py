@@ -1559,3 +1559,89 @@ def test_ppl_buckets_balanced_monotone_and_never_lang_alone_ranked(spark):
     for s in rank_specs:
         assert "pmb" in s and "hb" in s, s  # never lang-alone over the corpus
     spark.catalog.clearCache()
+
+
+def test_winnow_fingerprints_match_replica_guarantee_and_hash_once(spark, tmp_path):
+    """Winnowing against a pure-Python replica of the MOSS rule
+    (rightmost-minimal per window, same 60-bit md5): exact (pos, hash)
+    sets per doc; the winnowing GUARANTEE holds (every window of W
+    consecutive k-gram hashes contains a selected position, and two docs
+    sharing a K+W-1-token run share a fingerprint hash); docs shorter
+    than K+W-1 tokens emit nothing; and the optimized plan hashes each
+    k-gram ONCE (the hoisted projection survives CollapseProject — the
+    collapsed shape re-hashes once per window)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        _WINNOW_FPS,
+        _WINNOW_HS,
+        q_docs_winnow_fingerprints,
+    )
+
+    assert (WINNOW_K, WINNOW_W) == (4, 4)
+    run = " ".join(f"r{i}" for i in range(WINNOW_K + WINNOW_W - 1))  # 7 tokens
+    texts = {
+        1: " ".join(f"a{i}" for i in range(12)) + " " + run,
+        2: run + " " + " ".join(f"b{i}" for i in range(12)),
+        3: " ".join(f"c{i}" for i in range(WINNOW_K + WINNOW_W - 2)),  # too short
+        4: " ".join(f"d{i}" for i in range(20)),
+    }
+    rows = [
+        Row(doc_id=d, text=t, lang="en", source="s", n_chars=1)
+        for d, t in texts.items()
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def replica(text: str) -> set[tuple[int, int]]:
+        t = text.split(" ")
+        hs = [
+            h60(" ".join(t[i : i + WINNOW_K]))
+            for i in range(len(t) - WINNOW_K + 1)
+        ]
+        out = set()
+        for j in range(len(hs) - WINNOW_W + 1):
+            best_h, best_p = None, None
+            for i in range(j, j + WINNOW_W):
+                if best_h is None or hs[i] <= best_h:  # ties -> rightmost
+                    best_h, best_p = hs[i], i
+            out.add((best_p, best_h))
+        return out
+
+    got: dict[int, set] = {}
+    for r in q_docs_winnow_fingerprints(spark, str(tmp_path)).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp_hash))
+    assert set(got) == {1, 2, 4}  # doc 3 has no complete window
+    for d in got:
+        assert got[d] == replica(texts[d]), d
+
+    # guarantee: every window contains a selected position
+    for d, t in texts.items():
+        if d not in got:
+            continue
+        n_hs = len(t.split(" ")) - WINNOW_K + 1
+        sel = {p for p, _ in got[d]}
+        for j in range(n_hs - WINNOW_W + 1):
+            assert sel & set(range(j, j + WINNOW_W)), (d, j)
+    # the shared 7-token run gives docs 1 and 2 a common fingerprint hash
+    assert {h for _, h in got[1]} & {h for _, h in got[2]}
+
+    # hoist pin: ONE md5 in the optimized two-projection plan
+    from pdfplucker_spark.sources.tables import load
+
+    fp = (
+        load(spark, str(tmp_path), "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.expr(_WINNOW_HS).alias("hs"))
+        .select("doc_id", F.explode(F.expr(_WINNOW_FPS)).alias("fp"))
+    )
+    plan = fp._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5(") == 1, plan[:3000]
+    spark.catalog.clearCache()
