@@ -1402,8 +1402,9 @@ def q_docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DOCS_WINNOW_FINGERPRINTS = f"""
-WITH toks AS (
+# the fingerprint-selection CTE chain, shared by the fingerprint table
+# and the candidate-pair join so both agree on what a fingerprint is
+_SQL_WINNOW_CTES = f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
 ),
 ks AS MATERIALIZED (
@@ -1423,10 +1424,63 @@ sel AS (
              AND k.pos BETWEEN j.pos AND j.pos + {WINNOW_W} - 1
     WHERE j.pos <= nk.nk - {WINNOW_W}
   ) WHERE rn = 1
-)
+)"""
+
+SQL_DOCS_WINNOW_FINGERPRINTS = f"""
+WITH {_SQL_WINNOW_CTES}
 SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS fp_pos, h AS fp_hash
 FROM sel
 """
+
+
+def q_docs_winnow_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """Candidate near-dup pairs from shared winnowing fingerprints:
+    (doc_a, doc_b, n_shared_fps) for every doc pair sharing at least one
+    selected hash — the MOSS matching step. By the winnowing guarantee,
+    any pair sharing a K+W-1-token run appears here.
+
+    Scale shape: the self-join runs on the (doc_id, fp_hash)-distinct
+    fingerprint table through ``drop_oversized_buckets`` on fp_hash —
+    the join's own shuffle key (house rule: a hash shared by more docs
+    than the cap is boilerplate, non-discriminative by definition, and
+    would go quadratic); the pair count is one hash aggregation on the
+    uniform (doc_a, doc_b) key. The fingerprint table is ~2/(W+1) of
+    the k-gram volume, so this joins a principled SAMPLE of the corpus,
+    not its every window (the ExactSubstr reporter covers that need)."""
+    fps = (
+        q_docs_winnow_fingerprints(spark, sf_dir)
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .persist()  # guard occupancy agg + both join sides
+    )
+    g = drop_oversized_buckets(fps, ("fp_hash",), bucket_cap, "winnow_pairs")
+    a = g.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = g.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
+def _sql_winnow_pairs(cap: int = DEFAULT_BUCKET_CAP) -> str:
+    return f"""
+WITH {_SQL_WINNOW_CTES},
+fph AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM sel),
+ok AS (SELECT h FROM fph GROUP BY h HAVING COUNT(*) <= {cap})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+FROM fph a
+JOIN ok ON ok.h = a.h
+JOIN fph b ON b.h = a.h AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+"""
+
+
+SQL_DOCS_WINNOW_PAIRS = _sql_winnow_pairs()
 
 
 QUERIES = {
@@ -1469,4 +1523,5 @@ QUERIES = {
         q_docs_winnow_fingerprints,
         SQL_DOCS_WINNOW_FINGERPRINTS,
     ),
+    "docs_winnow_pairs": (q_docs_winnow_pairs, SQL_DOCS_WINNOW_PAIRS),
 }

@@ -68,6 +68,7 @@ _RECORD_FIRST = (
     "docs_substring_dedup_apply",
     "docs_substring_dedup_keep_one",
     "docs_winnow_fingerprints",
+    "docs_winnow_pairs",
     "docs_bigram_logppl",
     "docs_ppl_buckets",
     "docs_bloom_decontaminate",

@@ -1645,3 +1645,46 @@ def test_winnow_fingerprints_match_replica_guarantee_and_hash_once(spark, tmp_pa
     plan = fp._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("md5(") == 1, plan[:3000]
     spark.catalog.clearCache()
+
+
+def test_winnow_pairs_detect_shared_runs_and_cap_never_fires(spark, tmp_path):
+    """The MOSS matching step on the crafted shared-run corpus: the pair
+    sharing a K+W-1-token run must surface with >= 1 shared fingerprint
+    (the winnowing guarantee composed through the join); unrelated docs
+    must not pair; the default occupancy cap must not drop anything at
+    this scale (cap=None output identical); and the join must plan as a
+    hash join, never a nested loop."""
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        q_docs_winnow_pairs,
+    )
+
+    run = " ".join(f"r{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    texts = {
+        1: " ".join(f"a{i}" for i in range(12)) + " " + run,
+        2: run + " " + " ".join(f"b{i}" for i in range(12)),
+        4: " ".join(f"d{i}" for i in range(20)),
+    }
+    rows = [
+        Row(doc_id=d, text=t, lang="en", source="s", n_chars=1)
+        for d, t in texts.items()
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+
+    res = q_docs_winnow_pairs(spark, str(tmp_path))
+    got = {(r.doc_a, r.doc_b): r.n_shared_fps for r in res.collect()}
+    assert set(got) == {(1, 2)} and got[(1, 2)] >= 1
+
+    uncapped = {
+        (r.doc_a, r.doc_b): r.n_shared_fps
+        for r in q_docs_winnow_pairs(spark, str(tmp_path), bucket_cap=None).collect()
+    }
+    assert uncapped == got
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
