@@ -23,7 +23,7 @@ _OPERATOR_MODULES = (
 # two rounds. Names not in the registry are ignored; names not listed
 # keep module order after these.
 _RECORD_FIRST = (
-    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 121
+    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 131
     # live names means a two-round union covers at most 100, so priority
     # is: (1) the 19 names new or with a changed EXECUTED PATH this
     # round (new/changed lead, per CLAUDE.md); (2) the 8 names still
@@ -48,8 +48,20 @@ _RECORD_FIRST = (
     # production-shaped multi-file waves (files_per_wave=3, same
     # oracle), and stream_line_dedup_incremental now compacts its
     # standing index IN-LOOP (compact_every=3, same oracle — the driver
-    # record is the compaction-invariance check). Then (3) 23 of the 45
-    # r7-record names. The 22 that spill to r10 — regional_revenue_sql,
+    # record is the compaction-invariance check). The final r9 wave adds
+    # twelve more: sim_ivfpq_topk (composed IVF+ADC search),
+    # sim_ivfpq_residual_topk (full IVFADC, per-list query LUTs),
+    # sim_ivf_fitted_topk (IVF over the k-means fit, unrolled-CTE
+    # oracle), docs_bloom_decontaminate (sublinear eval state),
+    # docs_bigram_logppl (Jelinek-Mercer interpolated LM),
+    # docs_ppl_buckets (CCNet per-language terciles, prefix-bucketed
+    # rank), docs_substring_dedup_apply + _keep_one (the ExactSubstr
+    # removal passes), docs_winnow_fingerprints + docs_winnow_pairs
+    # (MOSS winnowing + guarded matching); sim_ann_recall grew again to
+    # the 9-point three-method sweep. Then (3) 23 of the 45 r7-record
+    # names are listed, of which the first 13 fit the 50-name sample
+    # (the last 10 listed — events_daily_ma through media_decode_audio —
+    # plus the 22 never listed spill to r10). The 22 — regional_revenue_sql,
     # the 8 map-only textstats names (text_fingerprint, text_langid,
     # text_pii_scan, text_quality, text_regex_stats, text_repetition,
     # text_tokens, text_top_terms), and the 13 trimmed for the r9
