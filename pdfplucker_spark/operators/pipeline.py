@@ -432,6 +432,76 @@ FROM scored GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# per-doc token Shannon entropy (gibberish / repetition quality signal)
+# ---------------------------------------------------------------------------
+ENTROPY_MICRO = 1_000_000
+
+
+def q_docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (nats) — the classic
+    gibberish/boilerplate quality signal: near-zero for a page of one
+    repeated token, ~ln(n) for all-distinct text. Complements
+    text_repetition (top-term share) with the full-distribution measure.
+
+    Exactness: H = ln(N) - (1/N)·Σ c·ln(c) is computed on the same integer
+    micro grid as the LM scorers — each ln is snapped to
+    round(ln(x)·1e6) AS BIGINT BEFORE any sum, so the aggregation is
+    order-independent integer math on both engines and the one IEEE
+    division happens after the grid math (the docs_unigram_logppl
+    cross-engine contract; see that docstring for the 1-ulp ln analysis).
+
+    Scale shape: explode is map-only; term frequencies are one hash
+    aggregation on the uniform composite key (doc_id, tok) with map-side
+    partials; the per-doc reduce is the second and last shuffle on the
+    uniform doc_id. No joins, no windows, no driver state — the same
+    two-hash-agg shape as the other corpus-statistics operators."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    ln_cnt = F.expr(
+        f"CAST(round(ln(CAST(cnt AS DOUBLE)) * {ENTROPY_MICRO}) AS BIGINT)"
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.sum(F.col("cnt") * ln_cnt).alias("slog"),
+    )
+    ln_n = F.expr(
+        f"CAST(round(ln(CAST(n_tokens AS DOUBLE)) * {ENTROPY_MICRO}) AS BIGINT)"
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        (
+            (ln_n - F.expr("slog div n_tokens")).cast("double")
+            / F.lit(float(ENTROPY_MICRO))
+        ).alias("token_entropy"),
+    )
+
+
+SQL_DOCS_TOKEN_ENTROPY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(CAST(round(ln(CAST(SUM(cnt) AS DOUBLE)) * {ENTROPY_MICRO}) AS BIGINT)
+            - CAST(SUM(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * {ENTROPY_MICRO})
+                                  AS BIGINT)) AS BIGINT)
+              // CAST(SUM(cnt) AS BIGINT)
+            AS DOUBLE) / {float(ENTROPY_MICRO)} AS token_entropy
+FROM tf GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # CCNet perplexity buckets: per-language head/middle/tail terciles
 # ---------------------------------------------------------------------------
 # two-level rank bucketing: quantized-ppl bin (monotone prefix of the
@@ -1956,6 +2026,54 @@ GROUP BY d.source
 """
 
 
+def q_dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the SIMHASH Hamming pair graph — the same
+    star-contraction components as ``q_dedup_clusters`` but fed by the
+    block-banded Hamming join instead of the n-gram Jaccard join. The two
+    candidate generators disagree on borderline pairs (bit-sketch vs exact
+    set overlap), so a curation pipeline runs both and diffs the cluster
+    tables; this operator is the simhash side of that diff. Scale shape is
+    inherited end to end: the pair graph is occupancy-guarded before its
+    self-join (plans/guards.py) and the components converge in O(log n)
+    star rounds. Oracle: independent recursive-CTE transitive closure over
+    the same pair SQL."""
+    from pdfplucker_spark.operators.dedup import q_dedup_simhash_pairs
+
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    pairs = q_dedup_simhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(docs, pairs)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+def _sql_dedup_simhash_clusters() -> str:
+    from pdfplucker_spark.operators.dedup import SQL_DEDUP_SIMHASH_PAIRS
+
+    return f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_SIMHASH_PAIRS}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""
+
+
 # ---------------------------------------------------------------------------
 # range join: events within each purchase's attribution window
 # ---------------------------------------------------------------------------
@@ -2635,6 +2753,7 @@ QUERIES = {
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "docs_dsir_weights": (q_docs_dsir_weights, SQL_DOCS_DSIR_WEIGHTS),
     "docs_unigram_logppl": (q_docs_unigram_logppl, SQL_DOCS_UNIGRAM_LOGPPL),
+    "docs_token_entropy": (q_docs_token_entropy, SQL_DOCS_TOKEN_ENTROPY),
     "docs_bigram_logppl": (q_docs_bigram_logppl, SQL_DOCS_BIGRAM_LOGPPL),
     "docs_ppl_buckets": (q_docs_ppl_buckets, SQL_DOCS_PPL_BUCKETS),
     "lineitem_quantiles": (q_lineitem_quantiles, SQL_LINEITEM_QUANTILES),
@@ -2653,6 +2772,10 @@ QUERIES = {
     ),
     "docs_mix_report": (q_docs_mix_report, SQL_DOCS_MIX_REPORT),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
+    "dedup_simhash_clusters": (
+        q_dedup_simhash_clusters,
+        _sql_dedup_simhash_clusters(),
+    ),
     "docs_dedup_verdict": (q_docs_dedup_verdict, _sql_docs_dedup_verdict()),
     "docs_dedup_rate_report": (
         q_docs_dedup_rate_report,

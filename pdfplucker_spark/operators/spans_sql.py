@@ -769,8 +769,77 @@ SELECT doc_id,
 FROM f GROUP BY doc_id"""
 
 
+HEADING_KINDS = ("title", "section_header")
+
+
+def q_spans_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document OUTLINE reconstruction — the section structure a layout
+    parser recovers from heading spans: each title/section_header span in
+    reading order opens a new section owning every span up to the next
+    heading (spans before the first heading form section 0, header NULL).
+    Output per (doc, section): the heading text, span count, text mass,
+    and the [start_offset, end_offset] reading-order interval — the table
+    a chunking/retrieval stage consumes to split documents on semantic
+    boundaries instead of byte counts.
+
+    Scale shape: one running count of heading flags per doc (window keyed
+    on the uniform doc_id, ordered by offset — the accepted doc-grain
+    pattern, bounded by doc length like the reassembly sorts), then one
+    hash aggregation on (doc_id, section_idx). A section has exactly one
+    heading row (each heading increments the running count), so the
+    header_text MAX picks that row deterministically. No joins."""
+    sp = derived_spans_flat(spark, sf_dir)
+    is_h = F.col("kind").isin(*HEADING_KINDS)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = sp.select(
+        "doc_id",
+        "offset",
+        "text",
+        is_h.cast("int").alias("is_h"),
+        F.length("text").alias("len"),
+    ).withColumn("section_idx", F.sum("is_h").over(w).cast("int"))
+    return marked.groupBy("doc_id", "section_idx").agg(
+        F.max(F.when(F.col("is_h") == 1, F.col("text"))).alias("header_text"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.coalesce("len", F.lit(0))).alias("n_chars"),
+        F.min("offset").alias("start_offset"),
+        F.max("offset").alias("end_offset"),
+    )
+
+
+_HEADING_IN = ", ".join(f"'{k}'" for k in HEADING_KINDS)
+
+SQL_SPANS_HEADING_OUTLINE = f"""WITH {DERIVED_SPANS_CTE},
+marked AS (
+  SELECT doc_id, "offset", text,
+         CASE WHEN kind IN ({_HEADING_IN}) THEN 1 ELSE 0 END AS is_h,
+         length(text) AS len
+  FROM spans
+),
+sec AS (
+  SELECT doc_id, "offset", text, is_h, len,
+         CAST(SUM(is_h) OVER (PARTITION BY doc_id ORDER BY "offset"
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS INT) AS section_idx
+  FROM marked
+)
+SELECT doc_id, section_idx,
+       MAX(CASE WHEN is_h = 1 THEN text END) AS header_text,
+       COUNT(*) AS n_spans,
+       CAST(SUM(coalesce(len, 0)) AS BIGINT) AS n_chars,
+       MIN("offset") AS start_offset,
+       MAX("offset") AS end_offset
+FROM sec GROUP BY doc_id, section_idx
+"""
+
+
 QUERIES = {
     "spans_main_content": (q_spans_main_content, SQL_SPANS_MAIN_CONTENT),
+    "spans_heading_outline": (q_spans_heading_outline, SQL_SPANS_HEADING_OUTLINE),
     "spans_derive": (q_spans_derive, SQL_SPANS_DERIVE),
     "markdown_export": (q_markdown_export, SQL_MARKDOWN_EXPORT),
     "markdown_export_embedded": (

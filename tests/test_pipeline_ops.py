@@ -1688,3 +1688,138 @@ def test_winnow_pairs_detect_shared_runs_and_cap_never_fires(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     spark.catalog.clearCache()
+
+
+def test_simhash_clusters_are_pair_graph_components(spark):
+    """The simhash cluster table must be exactly the transitive closure of
+    the Hamming pair graph (independent pure-Python union-find), with the
+    component min-id as the cluster label and consistent sizes — and every
+    reported Hamming pair co-clustered."""
+    from pdfplucker_spark.operators.dedup import q_dedup_simhash_pairs
+    from pdfplucker_spark.operators.pipeline import q_dedup_simhash_clusters
+
+    pairs = [(r.doc_a, r.doc_b) for r in q_dedup_simhash_pairs(spark, SF).collect()]
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in q_dedup_simhash_clusters(spark, SF).collect()
+    }
+    assert got, "empty cluster table"
+
+    parent = {d: d for d in got}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = defaultdict(set)
+    for d in got:
+        comps[find(d)].add(d)
+    for root, members in comps.items():
+        lab = min(members)
+        for d in members:
+            assert got[d] == (lab, len(members)), (d, got[d], lab, len(members))
+    for a, b in pairs:
+        assert got[a][0] == got[b][0], (a, b)
+    spark.catalog.clearCache()
+
+
+def test_token_entropy_matches_shannon_and_extremes(spark, tmp_path):
+    """token_entropy equals the pure-Python Shannon entropy (nats) within
+    the micro-grid tolerance; a one-token-repeated doc scores exactly 0 and
+    an all-distinct doc scores ln(n); null text degrades to 0, not null."""
+    import math
+
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.pipeline import q_docs_token_entropy
+
+    texts = {
+        1: "a a a a a a a a",
+        2: "t0 t1 t2 t3 t4 t5 t6 t7",
+        3: "x x y y z mixed bag of words x",
+        4: None,
+    }
+    rows = [
+        Row(doc_id=d, text=t, lang="en", source="s", n_chars=1)
+        for d, t in texts.items()
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {r.doc_id: r for r in q_docs_token_entropy(spark, str(tmp_path)).collect()}
+    assert set(got) == set(texts)
+
+    def shannon(toks):
+        n = len(toks)
+        cnt = {}
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        return math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+
+    for d, t in texts.items():
+        toks = (t or "").split(" ")
+        exp = shannon(toks)
+        assert abs(got[d].token_entropy - exp) <= 5e-6, (d, got[d], exp)
+        assert got[d].n_tokens == len(toks)
+        assert got[d].n_distinct_tokens == len(set(toks))
+    assert got[1].token_entropy == 0.0
+    assert abs(got[2].token_entropy - math.log(8)) <= 5e-6
+    assert got[4].token_entropy == 0.0
+
+
+def test_heading_outline_tiles_docs_and_owns_one_heading_per_section(spark):
+    """The outline must TILE each document: sections in order, intervals
+    contiguous and non-overlapping, span/char mass reconciling exactly with
+    the raw span table; each section's header_text is the text of the one
+    heading span that opened it (section 0 = headerless preamble only)."""
+    from pdfplucker_spark.operators.spans_sql import (
+        HEADING_KINDS,
+        q_spans_heading_outline,
+    )
+    from pdfplucker_spark.sources.tables import derived_spans_flat
+
+    sp = derived_spans_flat(spark, SF).collect()
+    by_doc = defaultdict(list)
+    for r in sp:
+        by_doc[r.doc_id].append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.offset)
+
+    out = defaultdict(list)
+    for r in q_spans_heading_outline(spark, SF).collect():
+        out[r.doc_id].append(r)
+    assert set(out) == set(by_doc)
+
+    for doc, secs in out.items():
+        secs.sort(key=lambda r: r.section_idx)
+        spans = by_doc[doc]
+        # tiling: first section starts at the first offset, each section
+        # ends right before the next one starts, last ends at the last span
+        assert secs[0].start_offset == spans[0].offset
+        assert secs[-1].end_offset == spans[-1].offset
+        for a, b in zip(secs, secs[1:]):
+            assert b.section_idx == a.section_idx + 1, (doc, a, b)
+            nxt = min(s.offset for s in spans if s.offset > a.end_offset)
+            assert b.start_offset == nxt, (doc, a, b)
+        # mass reconciliation
+        assert sum(s.n_spans for s in secs) == len(spans)
+        assert sum(s.n_chars for s in secs) == sum(
+            len(s.text) for s in spans if s.text is not None
+        )
+        # one heading per section, and it is the opener
+        for s in secs:
+            members = [
+                x for x in spans if s.start_offset <= x.offset <= s.end_offset
+            ]
+            heads = [x for x in members if x.kind in HEADING_KINDS]
+            if s.section_idx == 0:
+                assert not heads and s.header_text is None
+            else:
+                assert len(heads) == 1
+                assert heads[0].offset == s.start_offset
+                assert s.header_text == heads[0].text
