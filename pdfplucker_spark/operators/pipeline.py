@@ -2026,6 +2026,114 @@ GROUP BY d.source
 """
 
 
+AGREEMENT_MICRO = 1_000_000
+
+
+def q_dedup_pairs_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-set AGREEMENT matrix across the three near-dup detectors —
+    the governance table a curation team reviews when choosing the
+    production detector: n-gram Jaccard (exact, threshold 0.35 on token
+    trigrams), MinHash banding (verified token-set Jaccard ≥ 0.8), and
+    SimHash Hamming ≤ 3. The detectors define DIFFERENT similarity
+    spaces, so this is deliberately an overlap matrix, not a
+    recall-vs-truth audit (that framing only exists inside one space —
+    ``sim_ann_recall`` covers it for the ANN paths): one row per method
+    pair with both set sizes, the intersection, and the pair-set Jaccard.
+
+    Exactness: the overlap ratio is integer-grid division
+    ((common·1e6) div union — the logppl quotient contract; a
+    round(c/u, 6) would land on .xxxxxx5 midpoints where the engines'
+    round modes split). Scale shape: each pair set is already
+    banding/prefix-guarded upstream (bounded candidate volume by
+    construction); each is persisted once (three consumers: its own
+    count + two intersections); intersections join on the uniform
+    canonical (doc_a, doc_b) key; every aggregate is a 1-row count and
+    the result is exactly 3 rows."""
+    from pdfplucker_spark.operators.dedup import (
+        q_dedup_minhash_pairs,
+        q_dedup_ngram_pairs,
+        q_dedup_simhash_pairs,
+    )
+
+    sets = {
+        "minhash": q_dedup_minhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist(),
+        "ngram": q_dedup_ngram_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist(),
+        "simhash": q_dedup_simhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist(),
+    }
+    out = None
+    for ma, mb in (("minhash", "ngram"), ("minhash", "simhash"), ("ngram", "simhash")):
+        a, b = sets[ma], sets[mb]
+        row = (
+            a.agg(F.count(F.lit(1)).alias("n_a"))
+            .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
+            .crossJoin(
+                a.join(b, ["doc_a", "doc_b"]).agg(
+                    F.count(F.lit(1)).alias("n_common")
+                )
+            )
+            .select(
+                F.lit(ma).alias("method_a"),
+                F.lit(mb).alias("method_b"),
+                "n_a",
+                "n_b",
+                "n_common",
+                F.when(
+                    F.col("n_a") + F.col("n_b") - F.col("n_common") > 0,
+                    F.expr(
+                        f"(n_common * {AGREEMENT_MICRO}) div "
+                        "(n_a + n_b - n_common)"
+                    ).cast("double")
+                    / F.lit(float(AGREEMENT_MICRO)),
+                )
+                .otherwise(F.lit(1.0))
+                .alias("overlap_jaccard"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_dedup_pairs_agreement() -> str:
+    from pdfplucker_spark.operators.dedup import (
+        SQL_DEDUP_MINHASH_PAIRS,
+        SQL_DEDUP_NGRAM_PAIRS,
+        SQL_DEDUP_SIMHASH_PAIRS,
+    )
+
+    rows = []
+    for ma, mb, ta, tb in (
+        ("minhash", "ngram", "mh", "ng"),
+        ("minhash", "simhash", "mh", "sh"),
+        ("ngram", "simhash", "ng", "sh"),
+    ):
+        rows.append(f"""
+SELECT '{ma}' AS method_a, '{mb}' AS method_b,
+       (SELECT COUNT(*) FROM {ta}) AS n_a,
+       (SELECT COUNT(*) FROM {tb}) AS n_b,
+       (SELECT COUNT(*) FROM {ta} JOIN {tb} USING (doc_a, doc_b)) AS n_common,
+       CASE WHEN (SELECT COUNT(*) FROM {ta}) + (SELECT COUNT(*) FROM {tb})
+                 - (SELECT COUNT(*) FROM {ta} JOIN {tb} USING (doc_a, doc_b)) > 0
+         THEN CAST(((SELECT COUNT(*) FROM {ta} JOIN {tb} USING (doc_a, doc_b))
+                      * {AGREEMENT_MICRO})
+                   // ((SELECT COUNT(*) FROM {ta}) + (SELECT COUNT(*) FROM {tb})
+                       - (SELECT COUNT(*) FROM {ta} JOIN {tb} USING (doc_a, doc_b)))
+                   AS DOUBLE) / {float(AGREEMENT_MICRO)}
+         ELSE 1.0 END AS overlap_jaccard""")
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH mh AS MATERIALIZED ({SQL_DEDUP_MINHASH_PAIRS}),
+ng AS MATERIALIZED ({SQL_DEDUP_NGRAM_PAIRS}),
+sh AS MATERIALIZED ({SQL_DEDUP_SIMHASH_PAIRS})
+{union}
+"""
+
+
 def q_dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from the SIMHASH Hamming pair graph — the same
     star-contraction components as ``q_dedup_clusters`` but fed by the
@@ -2775,6 +2883,10 @@ QUERIES = {
     "dedup_simhash_clusters": (
         q_dedup_simhash_clusters,
         _sql_dedup_simhash_clusters(),
+    ),
+    "dedup_pairs_agreement": (
+        q_dedup_pairs_agreement,
+        _sql_dedup_pairs_agreement(),
     ),
     "docs_dedup_verdict": (q_docs_dedup_verdict, _sql_docs_dedup_verdict()),
     "docs_dedup_rate_report": (

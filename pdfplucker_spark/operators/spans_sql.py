@@ -837,9 +837,62 @@ FROM sec GROUP BY doc_id, section_idx
 """
 
 
+SECTION_CHUNK_CHARS = 100
+
+
+def q_spans_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic chunking — the retrieval/context-window stage the heading
+    outline exists for: sections pack greedily, in reading order, into
+    chunks of ~SECTION_CHUNK_CHARS text mass. A chunk owns every section
+    that STARTS inside its budget range (the ``docs_pack_shards``
+    streaming-packing contract, applied within a document on semantic
+    boundaries instead of across documents on token counts), so splits
+    always land BETWEEN sections — a section is never cut mid-heading.
+
+    Scale shape: one per-doc running sum over the section table (window
+    keyed on the uniform doc_id, ordered by section_idx — sections per
+    doc are bounded by doc length / heading density, far below the span
+    count), no joins. Deterministic: same outline → same chunks."""
+    out = q_spans_heading_outline(spark, sf_dir)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("section_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (F.sum("n_chars").over(w) - F.col("n_chars")).alias("chunk_start_char")
+    return out.select(
+        "doc_id", "section_idx", "header_text", "n_chars", start
+    ).select(
+        "doc_id",
+        "section_idx",
+        "header_text",
+        "n_chars",
+        "chunk_start_char",
+        F.floor(F.col("chunk_start_char") / SECTION_CHUNK_CHARS)
+        .cast("int")
+        .alias("chunk_idx"),
+    )
+
+
+SQL_SPANS_SECTION_CHUNKS = f"""
+WITH outline AS ({SQL_SPANS_HEADING_OUTLINE}),
+runs AS (
+  SELECT doc_id, section_idx, header_text, n_chars,
+         CAST(SUM(n_chars) OVER (PARTITION BY doc_id ORDER BY section_idx
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_chars AS BIGINT) AS chunk_start_char
+  FROM outline
+)
+SELECT doc_id, section_idx, header_text, n_chars, chunk_start_char,
+       CAST(chunk_start_char // {SECTION_CHUNK_CHARS} AS INT) AS chunk_idx
+FROM runs
+"""
+
+
 QUERIES = {
     "spans_main_content": (q_spans_main_content, SQL_SPANS_MAIN_CONTENT),
     "spans_heading_outline": (q_spans_heading_outline, SQL_SPANS_HEADING_OUTLINE),
+    "spans_section_chunks": (q_spans_section_chunks, SQL_SPANS_SECTION_CHUNKS),
     "spans_derive": (q_spans_derive, SQL_SPANS_DERIVE),
     "markdown_export": (q_markdown_export, SQL_MARKDOWN_EXPORT),
     "markdown_export_embedded": (

@@ -23,9 +23,9 @@ _OPERATOR_MODULES = (
 # two rounds. Names not in the registry are ignored; names not listed
 # keep module order after these.
 _RECORD_FIRST = (
-    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 134
+    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 136
     # live names means a two-round union covers at most 100, so priority
-    # is: (1) the 32 names new or with a changed EXECUTED PATH this
+    # is: (1) the 34 names new or with a changed EXECUTED PATH this
     # round (new/changed lead, per CLAUDE.md); (2) the 8 names still
     # riding r6 records — the stalest, each judge-strict-verified green
     # in r8. The round-9 new set: dedup_simhash_pairs + its _nulls
@@ -63,9 +63,11 @@ _RECORD_FIRST = (
     # Hamming pair graph — the simhash side of the cluster-table diff),
     # docs_token_entropy (micro-grid Shannon entropy quality signal),
     # spans_heading_outline (section-structure reconstruction from
-    # heading spans). Then (3) 23 of the 45 r7-record names are listed,
-    # of which the first 10 fit the 50-name sample (the last 13 listed —
-    # docs_domain_cap through media_decode_audio — plus the 22 never
+    # heading spans), dedup_pairs_agreement (the three detectors'
+    # pair-set overlap matrix), spans_section_chunks (semantic chunking
+    # over the outline). Then (3) 23 of the 45 r7-record names are listed,
+    # of which the first 8 fit the 50-name sample (the last 15 listed —
+    # dedup_simhash through media_decode_audio — plus the 22 never
     # listed spill to r10). The 22 — regional_revenue_sql,
     # the 8 map-only textstats names (text_fingerprint, text_langid,
     # text_pii_scan, text_quality, text_regex_stats, text_repetition,
@@ -80,8 +82,10 @@ _RECORD_FIRST = (
     # comment + CLAUDE.md; membership is what the 50-name sample sees,
     # but a narrower sample must record these first) ---
     "dedup_simhash_clusters",
+    "dedup_pairs_agreement",
     "docs_token_entropy",
     "spans_heading_outline",
+    "spans_section_chunks",
     "sim_ivfpq_topk",
     "sim_ivfpq_residual_topk",
     "sim_ivf_fitted_topk",

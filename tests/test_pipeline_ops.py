@@ -1823,3 +1823,80 @@ def test_heading_outline_tiles_docs_and_owns_one_heading_per_section(spark):
                 assert len(heads) == 1
                 assert heads[0].offset == s.start_offset
                 assert s.header_text == heads[0].text
+
+
+def test_pairs_agreement_matches_independent_set_arithmetic(spark):
+    """The agreement matrix must equal pure-Python set arithmetic over the
+    three detectors' collected pair sets, with the integer-grid overlap
+    ratio; intersections are symmetric and bounded by both sizes."""
+    from pdfplucker_spark.operators.dedup import (
+        q_dedup_minhash_pairs,
+        q_dedup_ngram_pairs,
+        q_dedup_simhash_pairs,
+    )
+    from pdfplucker_spark.operators.pipeline import (
+        AGREEMENT_MICRO,
+        q_dedup_pairs_agreement,
+    )
+
+    sets = {
+        "minhash": {(r.doc_a, r.doc_b) for r in q_dedup_minhash_pairs(spark, SF).collect()},
+        "ngram": {(r.doc_a, r.doc_b) for r in q_dedup_ngram_pairs(spark, SF).collect()},
+        "simhash": {(r.doc_a, r.doc_b) for r in q_dedup_simhash_pairs(spark, SF).collect()},
+    }
+    spark.catalog.clearCache()
+    got = {
+        (r.method_a, r.method_b): r
+        for r in q_dedup_pairs_agreement(spark, SF).collect()
+    }
+    assert set(got) == {
+        ("minhash", "ngram"),
+        ("minhash", "simhash"),
+        ("ngram", "simhash"),
+    }
+    for (ma, mb), r in got.items():
+        a, b = sets[ma], sets[mb]
+        common = len(a & b)
+        assert (r.n_a, r.n_b, r.n_common) == (len(a), len(b), common)
+        union = len(a) + len(b) - common
+        exp = (common * AGREEMENT_MICRO) // union / AGREEMENT_MICRO if union else 1.0
+        assert r.overlap_jaccard == exp, (ma, mb, r.overlap_jaccard, exp)
+    spark.catalog.clearCache()
+
+
+def test_section_chunks_pack_contract_and_never_split_sections(spark):
+    """Chunk assignment follows the streaming-packing contract within each
+    doc: chunk_idx = start//budget over the section-order running mass,
+    chunk indices are monotone in section order, every non-final chunk is
+    filled to (or straddles) its boundary, and each section belongs to
+    exactly one chunk."""
+    from pdfplucker_spark.operators.spans_sql import (
+        SECTION_CHUNK_CHARS,
+        q_spans_section_chunks,
+    )
+
+    rows = q_spans_section_chunks(spark, SF).collect()
+    assert rows
+    docs = defaultdict(list)
+    for r in rows:
+        docs[r.doc_id].append(r)
+    multi = 0
+    for secs in docs.values():
+        secs.sort(key=lambda r: r.section_idx)
+        cum = 0
+        last_chunk = 0
+        ends = defaultdict(int)
+        for s in secs:
+            assert s.chunk_start_char == cum, s
+            assert s.chunk_idx == s.chunk_start_char // SECTION_CHUNK_CHARS, s
+            assert s.chunk_idx >= last_chunk
+            last_chunk = s.chunk_idx
+            cum += s.n_chars
+            ends[s.chunk_idx] = max(ends[s.chunk_idx], s.chunk_start_char + s.n_chars)
+        for c, end in ends.items():
+            if c < last_chunk:
+                assert end >= (c + 1) * SECTION_CHUNK_CHARS, (c, end)
+        if last_chunk > 0:
+            multi += 1
+    # the budget actually bites: most docs split into multiple chunks
+    assert multi > len(docs) // 2, (multi, len(docs))
