@@ -1483,7 +1483,156 @@ GROUP BY doc_a, doc_b
 SQL_DOCS_WINNOW_PAIRS = _sql_winnow_pairs()
 
 
+# ---------------------------------------------------------------------------
+# Content-defined chunking (FastCDC/gear-style, token granularity).
+#
+# Boundaries depend on CONTENT, not position: token t closes a chunk iff
+# hash(t) % CDC_DIVISOR == 0, so inserting a token early in a document
+# shifts only its own chunk's boundary — every later chunk re-aligns
+# (the property that makes chunk-grain dedup robust to edits, which
+# fixed-stride segments like LINE_SEG_WORDS are not). Average chunk
+# length ≈ CDC_DIVISOR tokens by construction.
+#
+# Scale shape: explode is map-only; the cut flag is one portable md5 per
+# token; chunk membership is a per-DOC running count of preceding cut
+# flags (doc-grain window — the accepted reassembly pattern); reassembly
+# is the standard ordered-struct sort per (doc, chunk). No joins.
+# ---------------------------------------------------------------------------
+CDC_DIVISOR = 8
+
+
+def q_docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_text, chunk_hash) — the
+    content-defined chunk table. A cut token TERMINATES its chunk (it is
+    the chunk's last member); the final chunk may end cut-less at EOF."""
+    from pdfplucker_spark.functions.hashing import md5_long
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "i", "tok"
+        ),
+    )
+    cut = (
+        md5_long(F.concat(F.lit("cdc:"), F.col("tok"))) % CDC_DIVISOR == 0
+    ).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = toks.select("doc_id", "i", "tok", cut.alias("cut")).withColumn(
+        "chunk_idx", F.coalesce(F.sum("cut").over(w), F.lit(0)).cast("int")
+    )
+    chunks = marked.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(i, tok))), "
+            "x -> x.tok))"
+        ).alias("chunk_text"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        "chunk_text",
+        F.md5("chunk_text").alias("chunk_hash"),
+    )
+
+
+_SQL_CDC_CHUNKS_CTE = f"""
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(coalesce(text, ''), ' ')) AS tok,
+         unnest(range(len(string_split(coalesce(text, ''), ' ')))) AS i
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, i, tok,
+         CASE WHEN {sql_md5_long("'cdc:' || tok")} % {CDC_DIVISOR} = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM toks
+),
+numbered AS (
+  SELECT doc_id, i, tok,
+         CAST(coalesce(SUM(cut) OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS INT) AS chunk_idx
+  FROM marked
+),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         COUNT(*) AS n_tokens,
+         string_agg(tok, ' ' ORDER BY i) AS chunk_text
+  FROM numbered GROUP BY doc_id, chunk_idx
+)"""
+
+SQL_DOCS_CDC_CHUNKS = f"""
+WITH {_SQL_CDC_CHUNKS_CTE}
+SELECT doc_id, chunk_idx, n_tokens, chunk_text, md5(chunk_text) AS chunk_hash
+FROM chunks
+"""
+
+CDC_RATIO_MICRO = 1_000_000
+
+
+def q_docs_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source chunk-grain dedup POTENTIAL — the number a storage/dedup
+    planner reads before running chunk-level dedup: total chunks, distinct
+    chunk hashes, and the duplicate fraction. Two-level distinct (uniform
+    (source, chunk_hash) shuffle → per-source count — the hot-key
+    invariant; a boilerplate chunk costs one counter, never an array
+    merge); the ratio is integer-grid division (the logppl quotient
+    contract)."""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("d_id"), "source"
+    )
+    c = q_docs_cdc_chunks(spark, sf_dir).join(
+        d, F.col("doc_id") == F.col("d_id")
+    ).select("source", "chunk_hash")
+    total = c.groupBy("source").agg(F.count(F.lit(1)).alias("n_chunks"))
+    distinct = (
+        c.distinct().groupBy("source").agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return (
+        total.join(distinct, "source")
+        .select(
+            "source",
+            "n_chunks",
+            F.col("n_distinct").alias("n_distinct_chunks"),
+            (
+                F.expr(
+                    f"((n_chunks - n_distinct) * {CDC_RATIO_MICRO}) div n_chunks"
+                ).cast("double")
+                / F.lit(float(CDC_RATIO_MICRO))
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+SQL_DOCS_CDC_DEDUP_RATIO = f"""
+WITH {_SQL_CDC_CHUNKS_CTE},
+hashed AS (
+  SELECT d.source, md5(c.chunk_text) AS chunk_hash
+  FROM chunks c JOIN documents d USING (doc_id)
+),
+tot AS (SELECT source, COUNT(*) AS n_chunks FROM hashed GROUP BY source),
+dis AS (
+  SELECT source, COUNT(*) AS n_distinct
+  FROM (SELECT DISTINCT source, chunk_hash FROM hashed)
+  GROUP BY source
+)
+SELECT t.source, t.n_chunks, d.n_distinct AS n_distinct_chunks,
+       CAST(((t.n_chunks - d.n_distinct) * {CDC_RATIO_MICRO}) // t.n_chunks
+            AS DOUBLE) / {float(CDC_RATIO_MICRO)} AS dup_ratio
+FROM tot t JOIN dis d USING (source)
+"""
+
+
 QUERIES = {
+    "docs_cdc_chunks": (q_docs_cdc_chunks, SQL_DOCS_CDC_CHUNKS),
+    "docs_cdc_dedup_ratio": (q_docs_cdc_dedup_ratio, SQL_DOCS_CDC_DEDUP_RATIO),
     "dedup_containment_pairs": (
         q_dedup_containment_pairs,
         SQL_DEDUP_CONTAINMENT_PAIRS,

@@ -1900,3 +1900,68 @@ def test_section_chunks_pack_contract_and_never_split_sections(spark):
             multi += 1
     # the budget actually bites: most docs split into multiple chunks
     assert multi > len(docs) // 2, (multi, len(docs))
+
+
+def test_cdc_chunks_tile_realign_after_edits_and_ratio_reconciles(spark, tmp_path):
+    """CDC structural invariants: chunks tile each doc in order and
+    reconstruct the text; only a chunk's LAST token may be a cut token.
+    The content-defined property: prepending one token re-aligns every
+    chunk after the first boundary (suffix chunk hashes identical) —
+    which fixed-stride segmentation cannot do. The dedup-ratio table
+    must reconcile exactly with the chunk table."""
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.functions.hashing import md5_long
+    from pdfplucker_spark.operators.dedup import (
+        CDC_DIVISOR,
+        q_docs_cdc_chunks,
+        q_docs_cdc_dedup_ratio,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight again " * 3
+    rows = [
+        Row(doc_id=1, text=base.strip(), lang="en", source="s1", n_chars=1),
+        Row(doc_id=2, text=("EDIT " + base).strip(), lang="en", source="s2", n_chars=1),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+
+    # which tokens cut, per the engine's own portable hash
+    toks = sorted(set(base.split()) | {"EDIT"})
+    cuts = {
+        r.tok
+        for r in spark.createDataFrame([Row(tok=t) for t in toks])
+        .select("tok", (md5_long(F.concat(F.lit("cdc:"), F.col("tok"))) % CDC_DIVISOR == 0).alias("c"))
+        .collect()
+        if r.c
+    }
+    assert cuts, "test corpus must contain at least one cut token"
+
+    chunks = defaultdict(list)
+    for r in q_docs_cdc_chunks(spark, str(tmp_path)).collect():
+        chunks[r.doc_id].append(r)
+    for doc_id, cs in chunks.items():
+        cs.sort(key=lambda r: r.chunk_idx)
+        text = rows[doc_id - 1].text
+        assert " ".join(c.chunk_text for c in cs) == text
+        assert [c.chunk_idx for c in cs] == list(range(len(cs)))
+        for c in cs:
+            words = c.chunk_text.split(" ")
+            assert len(words) == c.n_tokens
+            # no interior cut tokens — a cut closes its chunk
+            assert not any(wd in cuts for wd in words[:-1]), c
+        for c in cs[:-1]:
+            assert c.chunk_text.split(" ")[-1] in cuts, c
+
+    # edit locality: past the first boundary the token streams are equal,
+    # so the chunk streams REALIGN exactly — either the edit merged into
+    # chunk 0 (EDIT not a cut token: h2[1:] == h1[1:]) or it formed its
+    # own chunk (EDIT is a cut token: h2[1:] == h1)
+    h1 = [c.chunk_hash for c in chunks[1]]
+    h2 = [c.chunk_hash for c in chunks[2]]
+    assert h2[1:] == h1[1:] or h2[1:] == h1, (h1, h2)
+
+    ratio = {r.source: r for r in q_docs_cdc_dedup_ratio(spark, str(tmp_path)).collect()}
+    for src, doc in (("s1", 1), ("s2", 2)):
+        hs = [c.chunk_hash for c in chunks[doc]]
+        assert ratio[src].n_chunks == len(hs)
+        assert ratio[src].n_distinct_chunks == len(set(hs))
