@@ -159,7 +159,123 @@ FROM events WHERE event_type IN ('view', 'purchase')
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005).
+#
+# Unlike the HLL/quantile sketches above, a CMS is DETERMINISTIC given its
+# hash family — both engines can build the identical d×w counter grid, so
+# this operator gets a FULL hash-exact oracle, not a within-bound flag.
+# CMS is linear (counter = Σ colliding keys' counts), so the grid builds
+# from the per-key exact counts — d·U rows shuffled instead of d·N.
+# The estimate min_i counter[i][h_i(k)] can only OVERESTIMATE (every
+# counter includes the key's own mass) — pytest pins estimate ≥ exact and
+# equality with a pure-Python CMS replica.
+#
+# Scale shape at 100 TB: the per-key count is one uniform-key corpus
+# shuffle; the grid aggregation is d·w ≤ 256 cells (map-side partials
+# absorb everything); estimates join the K-row top-k frame against the
+# broadcast 256-row grid. At true stream scale the per-key count drops out
+# and events feed the SAME grid directly (linearity) — the mergeable-state
+# story the sketch tier exists for.
+# ---------------------------------------------------------------------------
+CMS_D = 4
+CMS_W = 64
+CMS_TOPK = 10
+
+
+def _cms_key() -> F.Column:
+    # NULL-safe key image (the dedup-family policy), cross-engine portable
+    return F.coalesce(F.col("user_id").cast("string"), F.lit("∅null"))
+
+
+def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per heavy-hitter user: exact event count and the CMS estimate from
+    a d=4 × w=64 counter grid (md5-based hash family, identical in both
+    engines). Rows: the top-CMS_TOPK users by exact count (exact_n DESC,
+    user_id ASC — deterministic at rank ties)."""
+    from pdfplucker_spark.functions.hashing import md5_long
+
+    ev = load(spark, sf_dir, "events")
+    counts = (
+        ev.select("user_id", _cms_key().alias("k"))
+        .groupBy("user_id", "k")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .persist()  # feeds the grid build AND the top-k selection
+    )
+
+    def bucket(i: int, col: F.Column) -> F.Column:
+        return (md5_long(F.concat(F.lit(f"cms{i}:"), col)) % CMS_W).cast("int")
+
+    grid = None
+    for i in range(CMS_D):
+        part = counts.select(
+            F.lit(i).alias("row_i"), bucket(i, F.col("k")).alias("bucket"), "exact_n"
+        )
+        grid = part if grid is None else grid.unionByName(part)
+    counters = grid.groupBy("row_i", "bucket").agg(F.sum("exact_n").alias("c"))
+
+    topk = counts.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(CMS_TOPK)
+    est = topk
+    for i in range(CMS_D):
+        ci = counters.where(F.col("row_i") == i).select(
+            F.col("bucket").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+        )
+        est = est.join(F.broadcast(ci), bucket(i, F.col("k")) == F.col(f"b{i}"))
+    return est.select(
+        "user_id",
+        "exact_n",
+        F.least(*[F.col(f"c{i}") for i in range(CMS_D)]).alias("cms_estimate"),
+    )
+
+
+def _sql_cms_heavy_hitters() -> str:
+    from pdfplucker_spark.functions.hashing import sql_md5_long
+
+    def bucket(i: int, expr: str) -> str:
+        salted = f"'cms{i}:' || {expr}"
+        return f"CAST({sql_md5_long(salted)} % {CMS_W} AS INT)"
+
+    grid = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS row_i, {bucket(i, 'k')} AS bucket, exact_n FROM counts"
+        for i in range(CMS_D)
+    )
+    joins = "\n".join(
+        f"JOIN counters c{i} ON c{i}.row_i = {i} AND c{i}.bucket = {bucket(i, 't.k')}"
+        for i in range(CMS_D)
+    )
+    least = ", ".join(f"c{i}.c" for i in range(CMS_D))
+    return f"""
+WITH counts AS MATERIALIZED (
+  SELECT user_id, coalesce(CAST(user_id AS VARCHAR), '∅null') AS k,
+         COUNT(*) AS exact_n
+  FROM events GROUP BY user_id
+),
+grid AS (
+{grid}
+),
+counters AS MATERIALIZED (
+  SELECT row_i, bucket, CAST(SUM(exact_n) AS BIGINT) AS c
+  FROM grid GROUP BY row_i, bucket
+),
+topk AS (
+  SELECT user_id, k, exact_n FROM counts
+  ORDER BY exact_n DESC, user_id ASC LIMIT {CMS_TOPK}
+)
+SELECT t.user_id, CAST(t.exact_n AS BIGINT) AS exact_n,
+       least({least}) AS cms_estimate
+FROM topk t
+{joins}
+"""
+
+
+SQL_EVENTS_CMS_HEAVY_HITTERS = _sql_cms_heavy_hitters()
+
+
 QUERIES = {
+    "events_cms_heavy_hitters": (
+        q_events_cms_heavy_hitters,
+        SQL_EVENTS_CMS_HEAVY_HITTERS,
+    ),
     "events_approx_overlap": (q_events_approx_overlap, SQL_EVENTS_APPROX_OVERLAP),
     "events_approx_distinct": (q_events_approx_distinct, SQL_EVENTS_APPROX_DISTINCT),
     "lineitem_approx_quantiles": (

@@ -94,3 +94,47 @@ def test_overlap_sketch_error_within_bound(spark):
     # and the registered flag agrees
     row = q_events_approx_overlap(spark, sf).collect()[0]
     assert row.approx_within_bound and row.n_overlap_exact == exact
+
+
+def test_cms_matches_pure_python_replica_and_only_overestimates(spark):
+    """The CMS is deterministic: a pure-Python replica of the d×w grid
+    (same md5 hash family) must reproduce every estimate EXACTLY, and the
+    classic CMS property must hold — estimate ≥ exact for every key, with
+    the grid's total mass per row equal to the corpus event count."""
+    import hashlib
+
+    from pdfplucker_spark.operators.sketches import (
+        CMS_D,
+        CMS_TOPK,
+        CMS_W,
+        q_events_cms_heavy_hitters,
+    )
+
+    ev = load(spark, SF, "events").select("user_id").collect()
+    exact = {}
+    for r in ev:
+        exact[r.user_id] = exact.get(r.user_id, 0) + 1
+
+    def bucket(i, key):
+        h = int(hashlib.md5(f"cms{i}:{key}".encode()).hexdigest()[:15], 16)
+        return h % CMS_W
+
+    grid = [[0] * CMS_W for _ in range(CMS_D)]
+    for u, n in exact.items():
+        k = str(u) if u is not None else "∅null"
+        for i in range(CMS_D):
+            grid[i][bucket(i, k)] += n
+    for i in range(CMS_D):
+        assert sum(grid[i]) == len(ev)
+
+    rows = q_events_cms_heavy_hitters(spark, SF).collect()
+    assert len(rows) == min(CMS_TOPK, len(exact))
+    want_top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOPK]
+    assert sorted(r.user_id for r in rows) == sorted(u for u, _ in want_top)
+    for r in rows:
+        k = str(r.user_id) if r.user_id is not None else "∅null"
+        replica = min(grid[i][bucket(i, k)] for i in range(CMS_D))
+        assert r.exact_n == exact[r.user_id]
+        assert r.cms_estimate == replica, (r, replica)
+        assert r.cms_estimate >= r.exact_n
+    spark.catalog.clearCache()
