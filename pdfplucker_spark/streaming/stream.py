@@ -1537,6 +1537,224 @@ FROM ranked WHERE rank <= {TOPK_TERMS_K}
 """
 
 
+def stream_cms_topk_terms(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    files_per_wave: int = 1,
+):
+    """foreachBatch trending board over a COUNT-MIN GRID index — the
+    bounded-state counterpart of ``stream_topk_terms``: where that
+    stream's counts index grows with the vocabulary, this one's standing
+    state is the d×w CMS grid — ≤ CMS_D·CMS_W (256) cells per wave
+    REGARDLESS of vocabulary size, the property that lets a 100 TB
+    intake stream keep its heavy-hitter state in kilobytes. CMS is
+    linear, so per-wave grids SUM-MERGE exactly like the counts index
+    (same commit-marker protocol, compactable without changing any
+    board). Per wave: the wave's own distinct terms are the candidates
+    (the stream never enumerates the historical vocabulary — that is
+    the sketch contract), each estimated against the cumulative grid
+    (min over rows), top-k by (estimate DESC, term ASC). Deterministic
+    md5 hash family ⇒ the oracle replays every wave's grid and board
+    exactly — a full hash-exact gate, not a within-bound flag."""
+    import os
+
+    from pyspark.sql import Window, functions as F
+
+    from pdfplucker_spark.functions.hashing import md5_long
+    from pdfplucker_spark.operators.sketches import CMS_D, CMS_W
+
+    index_dir = output_dir + "_index"
+
+    def bucket(i: int, col):
+        return (md5_long(F.concat(F.lit(f"cms{i}:"), col)) % CMS_W).cast("int")
+
+    src = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, bno int"
+        )
+        .option("maxFilesPerTrigger", files_per_wave)
+        .parquet(input_dir)
+    )
+
+    def _screen(batch_df, _batch_id):
+        sp = batch_df.sparkSession
+        bnos = sorted(r.bno for r in batch_df.select("bno").distinct().collect())
+        for bno in bnos:
+            committed = _committed_waves(index_dir)
+            if bno in committed:
+                if not os.path.isdir(os.path.join(output_dir, f"bno={bno}")):
+                    raise RuntimeError(
+                        f"stream_cms_topk_terms: wave {bno} is marker-"
+                        "committed but its result dir is absent — the "
+                        "result-before-marker write ordering was violated"
+                    )
+                continue
+            cur = batch_df.where(
+                (F.col("bno") == bno) & F.col("text").isNotNull()
+            )
+            # persisted: the wave's term counts feed the grid build AND
+            # the candidate list
+            wc = (
+                cur.select(F.explode(F.split("text", " ")).alias("term"))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .persist()
+            )
+            wave_grid = None
+            for i in range(CMS_D):
+                part = wc.select(
+                    F.lit(i).alias("row_i"),
+                    bucket(i, F.col("term")).alias("bucket"),
+                    "n",
+                )
+                wave_grid = (
+                    part if wave_grid is None else wave_grid.unionByName(part)
+                )
+            wave_grid = (
+                wave_grid.groupBy("row_i", "bucket")
+                .agg(F.sum("n").alias("n"))
+                .persist()  # feeds the cumulative sum AND the index append
+            )
+            prior_paths = _index_wave_paths(index_dir, bno)
+            total = wave_grid
+            if prior_paths:
+                total = wave_grid.unionByName(sp.read.parquet(*prior_paths))
+            cum = total.groupBy("row_i", "bucket").agg(F.sum("n").alias("c"))
+            est = wc.select("term")
+            for i in range(CMS_D):
+                ci = cum.where(F.col("row_i") == i).select(
+                    F.col("bucket").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+                )
+                est = est.join(
+                    F.broadcast(ci), bucket(i, F.col("term")) == F.col(f"b{i}")
+                )
+            board = (
+                est.select(
+                    "term",
+                    F.least(
+                        *[F.col(f"c{i}") for i in range(CMS_D)]
+                    ).alias("cms_estimate"),
+                )
+                .orderBy(F.desc("cms_estimate"), F.asc("term"))
+                .limit(TOPK_TERMS_K)
+            )
+            res = board.select(
+                F.lit(bno).cast("int").alias("bno"),
+                F.row_number()
+                .over(Window.orderBy(F.desc("cms_estimate"), F.asc("term")))
+                .alias("rank"),
+                "term",
+                "cms_estimate",
+            )
+            res.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"bno={bno}")
+            )
+            wave_grid.write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"bno={bno}")
+            )
+            from pdfplucker_spark.job import _mark_committed
+
+            _mark_committed(index_dir, _index_marker(bno))
+            wave_grid.unpersist()
+            wc.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def q_stream_cms_topk_terms(spark: SparkSession, sf_dir: str):
+    """DRIVER-GATED streaming: the CMS trending board — waves of docs, a
+    256-cell sum-mergeable grid as the ONLY standing state, per-wave
+    top-k of the wave's own terms by cumulative CMS estimate. The oracle
+    replays the deterministic grid per wave in SQL (full value compare —
+    CMS is the one sketch DuckDB can reproduce bit-for-bit)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.functions.hashing import md5_long
+
+    def _stage(sp, in_dir):
+        d = sp.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        d = d.withColumn(
+            "bno",
+            (
+                md5_long(F.concat(F.lit("ct:"), F.col("doc_id").cast("string")))
+                % STREAM_INC_BATCHES
+            ).cast("int"),
+        )
+        stage_waves(d, in_dir, range(STREAM_INC_BATCHES))
+
+    sink = _drain(spark, sf_dir, "cmsterms", _stage, stream_cms_topk_terms)
+    return spark.read.schema(
+        "bno int, rank int, term string, cms_estimate long"
+    ).parquet(sink)
+
+
+def _sql_stream_cms_topk_terms() -> str:
+    from pdfplucker_spark.functions.hashing import sql_md5_long
+    from pdfplucker_spark.operators.sketches import CMS_D, CMS_W
+
+    gate = sql_md5_long("'ct:' || CAST(doc_id AS VARCHAR)")
+
+    def bucket(i: int, expr: str) -> str:
+        salted = f"'cms{i}:' || {expr}"
+        return f"CAST({sql_md5_long(salted)} % {CMS_W} AS INT)"
+
+    gridw = "\n  UNION ALL\n".join(
+        f"  SELECT bno, {i} AS row_i, {bucket(i, 'term')} AS bucket,"
+        " COUNT(*) AS n FROM toks GROUP BY 1, 3"
+        for i in range(CMS_D)
+    )
+    joins = "\n".join(
+        f"JOIN cum c{i} ON c{i}.bno = t.bno AND c{i}.row_i = {i} "
+        f"AND c{i}.bucket = {bucket(i, 't.term')}"
+        for i in range(CMS_D)
+    )
+    least = ", ".join(f"c{i}.c" for i in range(CMS_D))
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text, CAST({gate} % {STREAM_INC_BATCHES} AS INTEGER) AS bno
+  FROM documents
+),
+toks AS (
+  SELECT bno, unnest(string_split(text, ' ')) AS term
+  FROM gated WHERE text IS NOT NULL
+),
+gridw AS (
+{gridw}
+),
+waves AS (SELECT DISTINCT bno FROM gated),
+cum AS MATERIALIZED (
+  SELECT w.bno, g.row_i, g.bucket, CAST(SUM(g.n) AS BIGINT) AS c
+  FROM waves w JOIN gridw g ON g.bno <= w.bno
+  GROUP BY w.bno, g.row_i, g.bucket
+),
+wterms AS (SELECT DISTINCT bno, term FROM toks),
+est AS (
+  SELECT t.bno, t.term, least({least}) AS cms_estimate
+  FROM wterms t
+{joins}
+),
+ranked AS (
+  SELECT bno, term, cms_estimate,
+         CAST(ROW_NUMBER() OVER (PARTITION BY bno
+                                 ORDER BY cms_estimate DESC, term ASC) AS INT)
+           AS rank
+  FROM est
+)
+SELECT bno, rank, term, cms_estimate
+FROM ranked WHERE rank <= {TOPK_TERMS_K}
+"""
+
+
 def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str):
     """DRIVER-GATED streaming: the documents corpus arrives as
     ``STREAM_INC_BATCHES`` waves (deterministic md5 gate, strictly
@@ -1640,6 +1858,10 @@ QUERIES = {
         _sql_stream_line_dedup_incremental(),
     ),
     "stream_topk_terms": (q_stream_topk_terms, _sql_stream_topk_terms()),
+    "stream_cms_topk_terms": (
+        q_stream_cms_topk_terms,
+        _sql_stream_cms_topk_terms(),
+    ),
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED_COUNTS),
     "stream_user_running_totals": (
         q_stream_user_running_totals,

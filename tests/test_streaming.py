@@ -1100,3 +1100,95 @@ def test_vacuum_standing_index_reclaims_superseded_state(spark, tmp_path):
     assert merged == {("seg0", 1), ("seg1", 1), ("seg2", 1), ("shared", 3)}
     # idempotent: nothing left to reclaim
     assert vacuum_standing_index(idx) == []
+
+
+def test_stream_cms_board_replica_bounded_state_and_compaction(spark, tmp_path):
+    """The CMS trending board: (a) every estimate equals a pure-Python
+    replica of the cumulative d×w grid at that wave (the sketch is
+    deterministic — full equality, not a bound); (b) estimates never
+    underestimate the exact cumulative count; (c) the standing state is
+    BOUNDED — every index wave holds ≤ d·w rows regardless of vocabulary;
+    (d) the grid index is sum-mergeable: compacting after wave 1 and
+    continuing produces the identical boards to an uncompacted drain."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.operators.sketches import CMS_D, CMS_W
+    from pdfplucker_spark.streaming.stream import (
+        compact_standing_index,
+        stage_waves,
+        stream_cms_topk_terms,
+    )
+
+    waves = {
+        0: "hot hot hot steady alpha beta gamma",
+        1: "hot hot hot steady riser riser delta",
+        2: "hot hot hot steady riser riser epsilon zeta",
+    }
+
+    def mkdocs(ws):
+        return spark.createDataFrame(
+            [(w, t, w) for w, t in ws.items()], "doc_id long, text string, bno int"
+        ).select(
+            "doc_id", "text", F.lit("en").alias("lang"), F.lit("s").alias("source"),
+            F.length("text").cast("long").alias("n_chars"), "bno",
+        )
+
+    def drain(tag, stage_plan, compact_after_first=False):
+        in_dir = f"{tmp_path}/{tag}/in"
+        out_dir = f"{tmp_path}/{tag}/out"
+        for k, (ws, _) in enumerate(stage_plan):
+            stage_waves(mkdocs(ws), in_dir, sorted(ws))
+            q = stream_cms_topk_terms(spark, in_dir, out_dir, f"{tmp_path}/{tag}/ck{k}")
+            assert q.awaitTermination(300)
+            if compact_after_first and k == 0:
+                assert compact_standing_index(
+                    spark, out_dir + "_index", sum_over=(("row_i", "bucket"), "n")
+                ) == (0, 1)
+        return sorted(
+            map(
+                tuple,
+                spark.read.schema(
+                    "bno int, rank int, term string, cms_estimate long"
+                )
+                .parquet(out_dir)
+                .select("bno", "rank", "term", "cms_estimate")
+                .collect(),
+            )
+        ), out_dir
+
+    rows, out_dir = drain("a", [(waves, None)])
+
+    # pure-Python replica of the cumulative grid per wave
+    def bucket(i, term):
+        return int(hashlib.md5(f"cms{i}:{term}".encode()).hexdigest()[:15], 16) % CMS_W
+
+    grid = [[0] * CMS_W for _ in range(CMS_D)]
+    exact = {}
+    replica = {}
+    for w in sorted(waves):
+        for t in waves[w].split():
+            exact[t] = exact.get(t, 0) + 1
+            for i in range(CMS_D):
+                grid[i][bucket(i, t)] += 1
+        for t in set(waves[w].split()):
+            replica[(w, t)] = min(grid[i][bucket(i, t)] for i in range(CMS_D))
+        for t, n in list(exact.items()):
+            if (w, t) in replica:
+                assert replica[(w, t)] >= n  # overestimate-only
+    for bno, rank, term, est in rows:
+        assert est == replica[(bno, term)], (bno, term, est)
+
+    # bounded state: every committed index wave is <= d*w rows
+    idx = out_dir + "_index"
+    for d in os.listdir(idx):
+        if d.startswith("bno"):
+            assert spark.read.parquet(os.path.join(idx, d)).count() <= CMS_D * CMS_W
+
+    # sum-mergeable: compact mid-stream, identical boards
+    two_phase = {0: waves[0], 1: waves[1]}, None
+    rest = {2: waves[2]}, None
+    rows_c, _ = drain("b", [two_phase, rest], compact_after_first=True)
+    assert rows_c == rows
