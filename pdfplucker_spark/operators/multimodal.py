@@ -839,7 +839,102 @@ SQL_MEDIA_FRAMES = SQL_MEDIA_FRAMES.format(
     hx1=_sql_hx(1, 8), hx25=_sql_hx(25, 8)
 )
 
+def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup across MEDIA items — the media-axis counterpart of
+    ``dedup_exact``: two decodable items are duplicates iff their payload
+    BYTES are identical, which for these codec containers holds exactly
+    when the modality's generating parameters match (image: w,h,seed;
+    audio: n,step,rate; video: vw,vh,seed,nf — pytest re-encodes both
+    payloads of a dup group and asserts byte equality, so the key really
+    is content identity, not a proxy). One canonical copy per content key
+    (first by (doc_id, media_ref)), every copy counted — the table an
+    asset-store dedup job consumes. Corrupt payloads (the injected
+    seed%23 error rows) have no valid bytes and are excluded, as in the
+    decode operators' error paths.
+
+    Scale shape: map-only parameter derivation, then ONE window keyed on
+    the content key (the dup-group grain — the dedup_canonical pattern;
+    a viral logo is one group's sort, bounded by its copy count, never a
+    corpus sort). No joins."""
+    from pyspark.sql import Window
+
+    p = _media_params(spark, sf_dir).where(F.col("s") % 23 != 0)
+    key = F.concat_ws(
+        ":",
+        F.col("k").cast("string"),
+        F.when(
+            F.col("k") == 0,
+            F.concat_ws(",", "w", "h", "s"),
+        )
+        .when(F.col("k") == 1, F.concat_ws(",", "n", "step", "rate"))
+        .otherwise(F.concat_ws(",", "vw", "vh", "s", "nf")),
+    )
+    keyed = p.select(
+        "doc_id",
+        "media_ref",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("k") + 1).cast("int"),
+        ).alias("media_kind"),
+        key.alias("content_key"),
+    )
+    w = Window.partitionBy("content_key").orderBy("doc_id", "media_ref")
+    grp = Window.partitionBy("content_key")
+    return keyed.select(
+        "doc_id",
+        "media_ref",
+        "media_kind",
+        "content_key",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+        F.count(F.lit(1)).over(grp).alias("n_copies"),
+    )
+
+
+SQL_MEDIA_DEDUP_EXACT = f"""WITH {DERIVED_SPANS_CTE},
+m AS (
+  SELECT doc_id, media_ref,
+         CAST({{hx25}} % 3 AS INT) AS k,
+         CAST(4 + {{hx1}} % 16 AS INT) AS w,
+         CAST(4 + {{hx9}} % 16 AS INT) AS h,
+         CAST({{hx17}} % 256 AS INT) AS s,
+         CAST(100 + {{hx1}} % 900 AS INT) AS n,
+         CAST(1 + {{hx9}} % 1000 AS INT) AS step,
+         CASE CAST({{hx17}} % 3 AS INT)
+           WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate,
+         CAST(4 + 2 * ({{hx1}} % 8) AS INT) AS vw,
+         CAST(4 + 2 * ({{hx9}} % 8) AS INT) AS vh,
+         CAST(2 + {{hx25}} % 8 AS INT) AS nf
+  FROM spans WHERE kind = 'picture'
+),
+keyed AS (
+  SELECT doc_id, media_ref,
+         CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_kind,
+         CAST(k AS VARCHAR) || ':' ||
+         CASE WHEN k = 0 THEN CAST(w AS VARCHAR) || ',' || CAST(h AS VARCHAR)
+                            || ',' || CAST(s AS VARCHAR)
+              WHEN k = 1 THEN CAST(n AS VARCHAR) || ',' || CAST(step AS VARCHAR)
+                            || ',' || CAST(rate AS VARCHAR)
+              ELSE CAST(vw AS VARCHAR) || ',' || CAST(vh AS VARCHAR) || ','
+                   || CAST(s AS VARCHAR) || ',' || CAST(nf AS VARCHAR)
+         END AS content_key
+  FROM m WHERE s % 23 <> 0
+)
+SELECT doc_id, media_ref, media_kind, content_key,
+       ROW_NUMBER() OVER (PARTITION BY content_key
+                          ORDER BY doc_id, media_ref) = 1 AS is_canonical,
+       COUNT(*) OVER (PARTITION BY content_key) AS n_copies
+FROM keyed
+""".format(
+    hx1=_sql_hx(1, 8),
+    hx9=_sql_hx(9, 8),
+    hx17=_sql_hx(17, 8),
+    hx25=_sql_hx(25, 8),
+)
+
+
 QUERIES = {
+    "media_dedup_exact": (q_media_dedup_exact, SQL_MEDIA_DEDUP_EXACT),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "media_frames": (q_media_frames, SQL_MEDIA_FRAMES),
     "media_decode_image": (q_media_decode_image, SQL_MEDIA_DECODE_IMAGE),

@@ -23,9 +23,9 @@ _OPERATOR_MODULES = (
 # two rounds. Names not in the registry are ignored; names not listed
 # keep module order after these.
 _RECORD_FIRST = (
-    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 140
+    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 141
     # live names means a two-round union covers at most 100, so priority
-    # is: (1) the 38 names new or with a changed EXECUTED PATH this
+    # is: (1) the 39 names new or with a changed EXECUTED PATH this
     # round (new/changed lead, per CLAUDE.md); (2) the 8 names still
     # riding r6 records — the stalest, each judge-strict-verified green
     # in r8. The round-9 new set: dedup_simhash_pairs + its _nulls
@@ -71,9 +71,10 @@ _RECORD_FIRST = (
     # count-min grid — the one sketch with a FULL hash-exact oracle),
     # stream_cms_topk_terms (the bounded-state streaming CMS board: 256
     # sum-mergeable grid cells of standing state regardless of
-    # vocabulary, compaction-invariant). Then (3) 23 of the 45 r7-record names are listed,
-    # of which the first 4 fit the 50-name sample (the last 19 listed —
-    # dedup_minhash_pairs through media_decode_audio — plus the 22 never
+    # vocabulary, compaction-invariant), media_dedup_exact (payload-byte
+    # identity dedup across media items — the media-axis dedup_exact). Then (3) 23 of the 45 r7-record names are listed,
+    # of which the first 3 fit the 50-name sample (the last 20 listed —
+    # dedup_incremental through media_decode_audio — plus the 22 never
     # listed spill to r10). The 22 — regional_revenue_sql,
     # the 8 map-only textstats names (text_fingerprint, text_langid,
     # text_pii_scan, text_quality, text_regex_stats, text_repetition,
@@ -93,6 +94,7 @@ _RECORD_FIRST = (
     "docs_cdc_dedup_ratio",
     "events_cms_heavy_hitters",
     "stream_cms_topk_terms",
+    "media_dedup_exact",
     "docs_token_entropy",
     "spans_heading_outline",
     "spans_section_chunks",

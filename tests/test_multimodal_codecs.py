@@ -100,3 +100,65 @@ def test_y4m_corrupt_inputs_raise():
         _decode_y4m(good.replace(b"FRAME", b"FRAMX", 1))
     with pytest.raises(ValueError, match="chroma"):
         _decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + b"\x00" * 48)
+
+
+def test_media_dedup_key_is_byte_identity(spark):
+    """The content key really is payload-byte identity: every multi-copy
+    group's members encode to IDENTICAL bytes; items with different keys
+    in the same modality encode to different bytes; canonical selection
+    and copy counts match independent group arithmetic."""
+    from collections import defaultdict
+
+    from pdfplucker_spark.operators.multimodal import (
+        _encode_by_kind,
+        _media_params,
+        q_media_dedup_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    params = {}
+    for r in _media_params(spark, sf).collect():
+        if r.s % 23 == 0:
+            continue
+        if r.k == 0:
+            key = f"0:{r.w},{r.h},{r.s}"
+        elif r.k == 1:
+            key = f"1:{r.n},{r.step},{r.rate}"
+        else:
+            key = f"2:{r.vw},{r.vh},{r.s},{r.nf}"
+        params[(r.doc_id, r.media_ref)] = (key, r)
+
+    groups = defaultdict(list)
+    for (doc, ref), (key, r) in params.items():
+        groups[key].append((doc, ref, r))
+
+    def blob(r):
+        return _encode_by_kind(
+            r.k, r.w, r.h, r.s, r.n, r.step, r.rate, r.vw, r.vh, r.nf
+        )
+
+    multi = {k: v for k, v in groups.items() if len(v) > 1}
+    assert multi, "corpus must contain duplicate media payloads"
+    for key, members in list(multi.items())[:20]:
+        blobs = {blob(r) for _, _, r in members}
+        assert len(blobs) == 1, key
+    # different key, same modality => different bytes
+    by_mod = defaultdict(list)
+    for key, members in groups.items():
+        by_mod[key.split(":")[0]].append(members[0][2])
+    for mod, rs in by_mod.items():
+        if len(rs) >= 2:
+            assert blob(rs[0]) != blob(rs[1]), mod
+
+    got = {
+        (r.doc_id, r.media_ref): r
+        for r in q_media_dedup_exact(spark, sf).collect()
+    }
+    assert set(got) == set(params)
+    for key, members in groups.items():
+        ids = sorted((doc, ref) for doc, ref, _ in members)
+        for j, (doc, ref) in enumerate(ids):
+            r = got[(doc, ref)]
+            assert r.content_key == key
+            assert r.n_copies == len(ids)
+            assert r.is_canonical == (j == 0)
