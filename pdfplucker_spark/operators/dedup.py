@@ -1630,9 +1630,82 @@ FROM tot t JOIN dis d USING (source)
 """
 
 
+CDC_INC_MOD = 10  # 1/10 id-hash slice plays the arriving batch
+
+
+def q_docs_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-grain INCREMENTAL dedup — the third grain of the incremental
+    family (doc-grain minhash ``dedup_incremental``, segment-grain
+    ``docs_line_dedup``'s streaming cadence, now CDC chunks): an arriving
+    batch's chunks are screened against the standing index of previously
+    accepted chunk hashes, and because CDC boundaries are content-defined
+    the screen stays robust to edits (a doc that prepends a header to an
+    indexed doc still matches on every realigned chunk — the property
+    fixed-stride segments lose). Per batch doc: chunk count, how many of
+    its chunks already exist in the index, and the duplicated fraction
+    (integer grid).
+
+    Scale shape: never a self-join — batch chunks LEFT-join the DISTINCT
+    index hash set on the uniform chunk_hash key (index side deduped, so
+    each batch row matches ≤ 1 row; a boilerplate chunk is one index row,
+    never a fan-out); output tracks the batch, not the index."""
+    c = q_docs_cdc_chunks(spark, sf_dir).select("doc_id", "chunk_hash")
+    from pdfplucker_spark.functions.hashing import md5_long
+
+    gate = (
+        md5_long(F.concat(F.lit("cinc:"), F.col("doc_id").cast("string")))
+        % CDC_INC_MOD
+    )
+    # persisted: the gated chunk frame feeds the batch side AND the index
+    g = c.withColumn("gate", gate).persist()
+    batch = g.where(F.col("gate") == 0).select("doc_id", "chunk_hash")
+    index = (
+        g.where(F.col("gate") != 0)
+        .select("chunk_hash")
+        .distinct()
+        .withColumn("b", F.lit(1))
+    )
+    flagged = batch.join(index, "chunk_hash", "left")
+    dup = F.sum(F.coalesce("b", F.lit(0)))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        dup.alias("n_dup_chunks"),
+        (
+            F.expr(
+                f"((sum(coalesce(b, 0))) * {CDC_RATIO_MICRO}) div count(*)"
+            ).cast("double")
+            / F.lit(float(CDC_RATIO_MICRO))
+        ).alias("dup_ratio"),
+    )
+
+
+SQL_DOCS_CDC_INCREMENTAL = f"""
+WITH {_SQL_CDC_CHUNKS_CTE},
+hashed AS (
+  SELECT doc_id, md5(chunk_text) AS chunk_hash,
+         {sql_md5_long("'cinc:' || CAST(doc_id AS VARCHAR)")} % {CDC_INC_MOD}
+           AS gate
+  FROM chunks
+),
+idx AS (SELECT DISTINCT chunk_hash FROM hashed WHERE gate <> 0),
+flagged AS (
+  SELECT h.doc_id, CASE WHEN i.chunk_hash IS NULL THEN 0 ELSE 1 END AS b
+  FROM hashed h LEFT JOIN idx i USING (chunk_hash)
+  WHERE h.gate = 0
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(b) AS BIGINT) AS n_dup_chunks,
+       CAST((CAST(SUM(b) AS BIGINT) * {CDC_RATIO_MICRO}) // COUNT(*) AS DOUBLE)
+         / {float(CDC_RATIO_MICRO)} AS dup_ratio
+FROM flagged GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "docs_cdc_chunks": (q_docs_cdc_chunks, SQL_DOCS_CDC_CHUNKS),
     "docs_cdc_dedup_ratio": (q_docs_cdc_dedup_ratio, SQL_DOCS_CDC_DEDUP_RATIO),
+    "docs_cdc_incremental": (q_docs_cdc_incremental, SQL_DOCS_CDC_INCREMENTAL),
     "dedup_containment_pairs": (
         q_dedup_containment_pairs,
         SQL_DEDUP_CONTAINMENT_PAIRS,

@@ -925,6 +925,55 @@ GROUP BY f.doc_id
 """
 
 
+def q_docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR RESAMPLING — the step the importance weights exist for: keep
+    each doc with probability proportional to its importance weight
+    (normalized by the corpus max, so the heaviest doc keeps with p≈1),
+    via the deterministic no-RNG md5 gate the sampling family uses.
+
+    The acceptance test runs ENTIRELY on the integer micro grid: keep iff
+    round(ln(u)·1e6) < logw_micro − max(logw_micro), where u ∈ (0,1] is
+    the doc's md5 fraction — equivalent to u < exp(Δ) = w/w_max (an exact
+    Bernoulli(w/w_max) draw) but compared in LOG space so the one ln per
+    doc is quantized before any comparison and no exp() double ever meets
+    an inequality (the docs_unigram_logppl cross-engine contract).
+
+    Scale shape: the weights plan (two corpus shuffles) + a 1-row MAX
+    broadcast + a map-side filter. Deterministic across engines, runs,
+    partitionings."""
+    w = q_docs_dsir_weights(spark, sf_dir)
+    mx = w.agg(F.max("logw_micro").alias("mx"))
+    u = (
+        (
+            md5_long(F.concat(F.lit("dw:"), F.col("doc_id").cast("string")))
+            % 1000000
+            + 1
+        ).cast("double")
+        / 1000000.0
+    )
+    lhs = F.expr(
+        "CAST(round(ln(CAST(u AS DOUBLE)) * 1000000) AS BIGINT)"
+    )
+    return (
+        w.crossJoin(F.broadcast(mx))
+        .withColumn("u", u)
+        .where(lhs < F.col("logw_micro") - F.col("mx"))
+        .select("doc_id", "n_feats", "is_target", "logw_micro")
+    )
+
+
+SQL_DOCS_DSIR_SAMPLE = f"""
+WITH w AS MATERIALIZED ({SQL_DOCS_DSIR_WEIGHTS}),
+mx AS (SELECT MAX(logw_micro) AS mx FROM w)
+SELECT doc_id, n_feats, is_target, logw_micro
+FROM w, mx
+WHERE CAST(round(ln(CAST(({sql_md5_long("'dw:' || CAST(doc_id AS VARCHAR)")}
+                          % 1000000 + 1) AS DOUBLE) / 1000000.0) * 1000000)
+           AS BIGINT)
+      < logw_micro - mx
+"""
+
+
 # ---------------------------------------------------------------------------
 def q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles of l_extendedprice per
@@ -2860,6 +2909,7 @@ QUERIES = {
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "docs_dsir_weights": (q_docs_dsir_weights, SQL_DOCS_DSIR_WEIGHTS),
+    "docs_dsir_sample": (q_docs_dsir_sample, SQL_DOCS_DSIR_SAMPLE),
     "docs_unigram_logppl": (q_docs_unigram_logppl, SQL_DOCS_UNIGRAM_LOGPPL),
     "docs_token_entropy": (q_docs_token_entropy, SQL_DOCS_TOKEN_ENTROPY),
     "docs_bigram_logppl": (q_docs_bigram_logppl, SQL_DOCS_BIGRAM_LOGPPL),

@@ -23,9 +23,9 @@ _OPERATOR_MODULES = (
 # two rounds. Names not in the registry are ignored; names not listed
 # keep module order after these.
 _RECORD_FIRST = (
-    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 141
+    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 143
     # live names means a two-round union covers at most 100, so priority
-    # is: (1) the 39 names new or with a changed EXECUTED PATH this
+    # is: (1) the 41 names new or with a changed EXECUTED PATH this
     # round (new/changed lead, per CLAUDE.md); (2) the 8 names still
     # riding r6 records — the stalest, each judge-strict-verified green
     # in r8. The round-9 new set: dedup_simhash_pairs + its _nulls
@@ -72,9 +72,12 @@ _RECORD_FIRST = (
     # stream_cms_topk_terms (the bounded-state streaming CMS board: 256
     # sum-mergeable grid cells of standing state regardless of
     # vocabulary, compaction-invariant), media_dedup_exact (payload-byte
-    # identity dedup across media items — the media-axis dedup_exact). Then (3) 23 of the 45 r7-record names are listed,
-    # of which the first 3 fit the 50-name sample (the last 20 listed —
-    # dedup_incremental through media_decode_audio — plus the 22 never
+    # identity dedup across media items — the media-axis dedup_exact),
+    # docs_cdc_incremental (chunk-grain batch-vs-index screening, edit-
+    # robust by CDC realignment), docs_dsir_sample (the DSIR resampling
+    # step: exact Bernoulli(w/w_max) via the log-space integer gate). Then (3) 23 of the 45 r7-record names are listed,
+    # of which the first 1 fits the 50-name sample (the last 22 listed —
+    # dedup_bag_nulls through media_decode_audio — plus the 22 never
     # listed spill to r10). The 22 — regional_revenue_sql,
     # the 8 map-only textstats names (text_fingerprint, text_langid,
     # text_pii_scan, text_quality, text_regex_stats, text_repetition,
@@ -95,6 +98,8 @@ _RECORD_FIRST = (
     "events_cms_heavy_hitters",
     "stream_cms_topk_terms",
     "media_dedup_exact",
+    "docs_cdc_incremental",
+    "docs_dsir_sample",
     "docs_token_entropy",
     "spans_heading_outline",
     "spans_section_chunks",

@@ -1965,3 +1965,110 @@ def test_cdc_chunks_tile_realign_after_edits_and_ratio_reconciles(spark, tmp_pat
         hs = [c.chunk_hash for c in chunks[doc]]
         assert ratio[src].n_chunks == len(hs)
         assert ratio[src].n_distinct_chunks == len(set(hs))
+
+
+def test_cdc_incremental_screen_replica_and_edit_robustness(spark, tmp_path):
+    """The chunk-grain incremental screen equals a pure-Python replica
+    (chunk both sides with the cut rule, index = non-batch distinct
+    hashes, count membership), and it is EDIT-ROBUST: a batch doc that
+    prepends one token to an indexed doc still matches on every
+    realigned chunk, while a unique batch doc scores zero."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.dedup import (
+        CDC_DIVISOR,
+        CDC_INC_MOD,
+        q_docs_cdc_incremental,
+    )
+
+    def gate(doc_id):
+        h = int(hashlib.md5(f"cinc:{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % CDC_INC_MOD
+
+    batch_ids = [i for i in range(1, 200) if gate(i) == 0][:2]
+    index_ids = [i for i in range(1, 200) if gate(i) != 0][:2]
+    assert len(batch_ids) == 2 and len(index_ids) == 2
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight again " * 3
+    texts = {
+        index_ids[0]: base.strip(),
+        index_ids[1]: "completely different indexed content here now",
+        batch_ids[0]: ("EDIT " + base).strip(),      # edited copy of indexed
+        batch_ids[1]: "unique never seen tokens qq zz pp",  # novel
+    }
+    rows = [
+        Row(doc_id=d, text=t, lang="en", source="s", n_chars=1)
+        for d, t in texts.items()
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/documents.parquet")
+
+    def cut(tok):
+        h = int(hashlib.md5(f"cdc:{tok}".encode()).hexdigest()[:15], 16)
+        return h % CDC_DIVISOR == 0
+
+    def chunks(text):
+        out, cur = [], []
+        for t in text.split(" "):
+            cur.append(t)
+            if cut(t):
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    idx_hashes = {
+        hashlib.md5(c.encode()).hexdigest()
+        for d in index_ids
+        for c in chunks(texts[d])
+    }
+    got = {r.doc_id: r for r in q_docs_cdc_incremental(spark, str(tmp_path)).collect()}
+    assert set(got) == set(batch_ids)
+    for d in batch_ids:
+        cs = chunks(texts[d])
+        dup = sum(
+            1 for c in cs if hashlib.md5(c.encode()).hexdigest() in idx_hashes
+        )
+        assert got[d].n_chunks == len(cs)
+        assert got[d].n_dup_chunks == dup, (d, got[d], dup)
+    # edit robustness: all but at most the first (edited) chunk match
+    edited = got[batch_ids[0]]
+    assert edited.n_dup_chunks >= edited.n_chunks - 1 > 0
+    assert got[batch_ids[1]].n_dup_chunks == 0
+
+
+def test_dsir_sample_is_exact_bernoulli_of_normalized_weight(spark):
+    """The kept set equals the pure-Python replay of the log-space gate:
+    keep iff round(ln(u)·1e6) < logw − max(logw), u = (md5%1e6+1)/1e6 —
+    i.e. an exact deterministic Bernoulli(w/w_max) draw; kept rows carry
+    the weight columns unchanged."""
+    import hashlib
+    import math
+
+    from pdfplucker_spark.operators.pipeline import (
+        q_docs_dsir_sample,
+        q_docs_dsir_weights,
+    )
+
+    w = {r.doc_id: r for r in q_docs_dsir_weights(spark, SF).collect()}
+    spark.catalog.clearCache()
+    mx = max(r.logw_micro for r in w.values())
+
+    def keeps(doc_id):
+        h = int(hashlib.md5(f"dw:{doc_id}".encode()).hexdigest()[:15], 16)
+        u = (h % 1000000 + 1) / 1000000.0
+        return round(math.log(u) * 1000000) < w[doc_id].logw_micro - mx
+
+    expect = {d for d in w if keeps(d)}
+    got = {r.doc_id: r for r in q_docs_dsir_sample(spark, SF).collect()}
+    assert set(got) == expect
+    assert 0 < len(got) < len(w)  # the gate actually bites both ways
+    for d, r in got.items():
+        assert (r.n_feats, r.is_target, r.logw_micro) == (
+            w[d].n_feats,
+            w[d].is_target,
+            w[d].logw_micro,
+        )
+    spark.catalog.clearCache()
