@@ -2078,6 +2078,51 @@ GROUP BY d.source
 AGREEMENT_MICRO = 1_000_000
 
 
+def q_docs_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third detector's cluster table: star-contraction components
+    over the winnowing (MOSS) shared-fingerprint pair graph — completing
+    the detector→cluster matrix (n-gram Jaccard via ``dedup_clusters``,
+    SimHash via ``dedup_simhash_clusters``, winnowing here), so the
+    agreement diff can be read at CLUSTER grain, not just pair grain.
+    Same scale shape as the siblings: guarded pair generation, O(log n)
+    star rounds, recursive-CTE oracle."""
+    from pdfplucker_spark.operators.dedup import q_docs_winnow_pairs
+
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    pairs = q_docs_winnow_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(docs, pairs)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+def _sql_docs_winnow_clusters() -> str:
+    from pdfplucker_spark.operators.dedup import SQL_DOCS_WINNOW_PAIRS
+
+    return f"""
+WITH RECURSIVE pairs AS ({SQL_DOCS_WINNOW_PAIRS}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""
+
+
 def q_dedup_pairs_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-set AGREEMENT matrix across the three near-dup detectors —
     the governance table a curation team reviews when choosing the
@@ -2937,6 +2982,10 @@ QUERIES = {
     "dedup_pairs_agreement": (
         q_dedup_pairs_agreement,
         _sql_dedup_pairs_agreement(),
+    ),
+    "docs_winnow_clusters": (
+        q_docs_winnow_clusters,
+        _sql_docs_winnow_clusters(),
     ),
     "docs_dedup_verdict": (q_docs_dedup_verdict, _sql_docs_dedup_verdict()),
     "docs_dedup_rate_report": (

@@ -188,13 +188,16 @@ def _cms_key() -> F.Column:
     return F.coalesce(F.col("user_id").cast("string"), F.lit("∅null"))
 
 
-def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_events_cms_heavy_hitters(
+    spark: SparkSession, sf_dir: str, w: int = CMS_W
+) -> DataFrame:
     """Per heavy-hitter user: exact event count and the CMS estimate from
-    a d=4 × w=64 counter grid (md5-based hash family, identical in both
-    engines). Rows: the top-CMS_TOPK users by exact count (exact_n DESC,
-    user_id ASC — deterministic at rank ties)."""
+    a d=4 × w counter grid (md5-based hash family, identical in both
+    engines; w defaults to CMS_W=64). Rows: the top-CMS_TOPK users by
+    exact count (exact_n DESC, user_id ASC — deterministic at ties)."""
     from pdfplucker_spark.functions.hashing import md5_long
 
+    CMS_W = w  # shadow: the grid width under audit
     ev = load(spark, sf_dir, "events")
     counts = (
         ev.select("user_id", _cms_key().alias("k"))
@@ -228,8 +231,10 @@ def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_cms_heavy_hitters() -> str:
+def _sql_cms_heavy_hitters(w: int = CMS_W) -> str:
     from pdfplucker_spark.functions.hashing import sql_md5_long
+
+    CMS_W = w  # shadow: the grid width under audit
 
     def bucket(i: int, expr: str) -> str:
         salted = f"'cms{i}:' || {expr}"
@@ -270,11 +275,39 @@ FROM topk t
 
 SQL_EVENTS_CMS_HEAVY_HITTERS = _sql_cms_heavy_hitters()
 
+# the widths the accuracy curve sweeps: error ∝ N/w, so the ends differ 16×
+CMS_W_SWEEP = (16, 64, 256)
+
+
+def q_events_cms_accuracy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number a deployment actually tunes by — the CMS error-vs-width
+    CURVE (the sim_ann_recall precedent applied to the sketch tier): the
+    same top-K audit at w ∈ {CMS_W_SWEEP}, one row per (w, user), so the
+    overestimate column shows directly what doubling the grid buys.
+    Deterministic end to end — the curve is a full hash-exact record."""
+    out = None
+    for w in CMS_W_SWEEP:
+        part = q_events_cms_heavy_hitters(spark, sf_dir, w=w).select(
+            F.lit(w).alias("grid_w"), "user_id", "exact_n", "cms_estimate"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+SQL_EVENTS_CMS_ACCURACY_CURVE = "\nUNION ALL\n".join(
+    f"SELECT {w} AS grid_w, user_id, exact_n, cms_estimate FROM ({_sql_cms_heavy_hitters(w)})"
+    for w in CMS_W_SWEEP
+)
+
 
 QUERIES = {
     "events_cms_heavy_hitters": (
         q_events_cms_heavy_hitters,
         SQL_EVENTS_CMS_HEAVY_HITTERS,
+    ),
+    "events_cms_accuracy_curve": (
+        q_events_cms_accuracy_curve,
+        SQL_EVENTS_CMS_ACCURACY_CURVE,
     ),
     "events_approx_overlap": (q_events_approx_overlap, SQL_EVENTS_APPROX_OVERLAP),
     "events_approx_distinct": (q_events_approx_distinct, SQL_EVENTS_APPROX_DISTINCT),

@@ -23,9 +23,9 @@ _OPERATOR_MODULES = (
 # two rounds. Names not in the registry are ignored; names not listed
 # keep module order after these.
 _RECORD_FIRST = (
-    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 143
+    # ROUND-9 rotation (r8 verdict #1). The driver samples 50 names; 145
     # live names means a two-round union covers at most 100, so priority
-    # is: (1) the 41 names new or with a changed EXECUTED PATH this
+    # is: (1) the 43 names new or with a changed EXECUTED PATH this
     # round (new/changed lead, per CLAUDE.md); (2) the 8 names still
     # riding r6 records — the stalest, each judge-strict-verified green
     # in r8. The round-9 new set: dedup_simhash_pairs + its _nulls
@@ -75,10 +75,15 @@ _RECORD_FIRST = (
     # identity dedup across media items — the media-axis dedup_exact),
     # docs_cdc_incremental (chunk-grain batch-vs-index screening, edit-
     # robust by CDC realignment), docs_dsir_sample (the DSIR resampling
-    # step: exact Bernoulli(w/w_max) via the log-space integer gate). Then (3) 23 of the 45 r7-record names are listed,
-    # of which the first 1 fits the 50-name sample (the last 22 listed —
-    # dedup_bag_nulls through media_decode_audio — plus the 22 never
-    # listed spill to r10). The 22 — regional_revenue_sql,
+    # step: exact Bernoulli(w/w_max) via the log-space integer gate),
+    # docs_winnow_clusters (the third detector's cluster table),
+    # events_cms_accuracy_curve (the CMS error-vs-width sweep at
+    # w ∈ {16,64,256} — the sim_ann_recall curve precedent applied to
+    # the sketch tier). Then (3) 23 of the 45 r7-record names are listed,
+    # of which NONE now fit the 50-name sample: the 43 new/changed names
+    # lead, then 7 of the 8 r6-stale fit (lineitem_approx_quantiles, the
+    # 8th, spills — it is judge-strict-verified green in r8) — so all 23
+    # listed r7 names spill to r10 alongside the 22 never listed. The 22 — regional_revenue_sql,
     # the 8 map-only textstats names (text_fingerprint, text_langid,
     # text_pii_scan, text_quality, text_regex_stats, text_repetition,
     # text_tokens, text_top_terms), and the 13 trimmed for the r9
@@ -100,6 +105,8 @@ _RECORD_FIRST = (
     "media_dedup_exact",
     "docs_cdc_incremental",
     "docs_dsir_sample",
+    "docs_winnow_clusters",
+    "events_cms_accuracy_curve",
     "docs_token_entropy",
     "spans_heading_outline",
     "spans_section_chunks",

@@ -2072,3 +2072,37 @@ def test_dsir_sample_is_exact_bernoulli_of_normalized_weight(spark):
             w[d].logw_micro,
         )
     spark.catalog.clearCache()
+
+
+def test_winnow_clusters_are_pair_graph_components(spark):
+    """Winnow cluster table = transitive closure of the winnow pair graph
+    (independent union-find), min-id labels, consistent sizes."""
+    from pdfplucker_spark.operators.dedup import q_docs_winnow_pairs
+    from pdfplucker_spark.operators.pipeline import q_docs_winnow_clusters
+
+    pairs = [(r.doc_a, r.doc_b) for r in q_docs_winnow_pairs(spark, SF).collect()]
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in q_docs_winnow_clusters(spark, SF).collect()
+    }
+    assert got
+    parent = {d: d for d in got}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = defaultdict(set)
+    for d in got:
+        comps[find(d)].add(d)
+    for members in comps.values():
+        lab = min(members)
+        for d in members:
+            assert got[d] == (lab, len(members))
+    spark.catalog.clearCache()

@@ -180,6 +180,7 @@ def test_no_event_grain_window_keys_on_user_alone(spark):
         "sim_semdedup_k16",
         "dedup_clusters",
         "dedup_simhash_clusters",
+        "docs_winnow_clusters",
         "sim_dup_clusters",
     }
     reg = all_queries()
@@ -199,7 +200,7 @@ def test_no_event_grain_window_keys_on_user_alone(spark):
         # operators persist() multi-consumer intermediates (sweep invariant)
         spark.catalog.clearCache()
     # the sweep is genuinely registry-wide: every registered plan except
-    # the 15 named drain/fit/fixpoint queries
+    # the 16 named drain/fit/fixpoint queries
     assert checked == len(reg) - len(skip) and checked >= 88, checked
 
 

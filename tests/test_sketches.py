@@ -138,3 +138,42 @@ def test_cms_matches_pure_python_replica_and_only_overestimates(spark):
         assert r.cms_estimate == replica, (r, replica)
         assert r.cms_estimate >= r.exact_n
     spark.catalog.clearCache()
+
+
+def test_cms_accuracy_curve_width_sweep(spark):
+    """The curve audits the SAME top-K keys at every width; per-key rows
+    agree with the single-width operator at the default point; aggregate
+    overestimate shrinks from the narrowest to the widest grid (error ∝
+    N/w, a 16× spread — deterministic margin on this corpus), and every
+    estimate still only overestimates."""
+    from pdfplucker_spark.operators.sketches import (
+        CMS_W,
+        CMS_W_SWEEP,
+        q_events_cms_accuracy_curve,
+        q_events_cms_heavy_hitters,
+    )
+
+    rows = q_events_cms_accuracy_curve(spark, SF).collect()
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r.grid_w, {})[r.user_id] = r
+    assert set(by_w) == set(CMS_W_SWEEP)
+    keys = {frozenset(v) for v in by_w.values()}
+    assert len(keys) == 1  # same audited key set at every width
+    default = {
+        r.user_id: r for r in q_events_cms_heavy_hitters(spark, SF).collect()
+    }
+    for u, r in by_w[CMS_W].items():
+        assert (r.exact_n, r.cms_estimate) == (
+            default[u].exact_n,
+            default[u].cms_estimate,
+        )
+    err = {
+        w: sum(r.cms_estimate - r.exact_n for r in v.values())
+        for w, v in by_w.items()
+    }
+    assert err[min(CMS_W_SWEEP)] >= err[max(CMS_W_SWEEP)], err
+    for v in by_w.values():
+        for r in v.values():
+            assert r.cms_estimate >= r.exact_n
+    spark.catalog.clearCache()
