@@ -464,3 +464,33 @@ def test_ivfpq_residual_search_is_shuffle_free(spark):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cdc_chunks_and_media_dedup_plans_are_joinless(spark):
+    """The r9 reassembly-family operators must stay join-free: CDC
+    chunking is explode → window → agg and media dedup is map-only
+    params → two windows — a Join appearing in either plan means the
+    scale shape regressed (PLANS.md: 'no joins anywhere')."""
+    from pdfplucker_spark.operators.dedup import q_docs_cdc_chunks
+    from pdfplucker_spark.operators.multimodal import q_media_dedup_exact
+
+    spark.catalog.clearCache()
+    for q in (q_docs_cdc_chunks, q_media_dedup_exact):
+        plan = _plan(q(spark, SF))
+        assert "Join" not in plan, (q.__name__, plan[:2000])
+        assert "CartesianProduct" not in plan
+
+
+def test_cms_and_entropy_plans_broadcast_or_joinless(spark):
+    """CMS reads join only BROADCAST-side (the K-row top-k frame against
+    the ≤256-cell grid — never a shuffled join), and token entropy is
+    two hash aggregations with no join at all."""
+    from pdfplucker_spark.operators.pipeline import q_docs_token_entropy
+    from pdfplucker_spark.operators.sketches import q_events_cms_heavy_hitters
+
+    spark.catalog.clearCache()
+    plan = _plan(q_events_cms_heavy_hitters(spark, SF))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    plan = _plan(q_docs_token_entropy(spark, SF))
+    assert "Join" not in plan, plan[:2000]
