@@ -1588,9 +1588,14 @@ def q_docs_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("d_id"), "source"
     )
-    c = q_docs_cdc_chunks(spark, sf_dir).join(
-        d, F.col("doc_id") == F.col("d_id")
-    ).select("source", "chunk_hash")
+    # persist: the hashed-chunk join feeds BOTH the total and the distinct
+    # branches (the _shuffle_rank rule)
+    c = (
+        q_docs_cdc_chunks(spark, sf_dir)
+        .join(d, F.col("doc_id") == F.col("d_id"))
+        .select("source", "chunk_hash")
+        .persist()
+    )
     total = c.groupBy("source").agg(F.count(F.lit(1)).alias("n_chunks"))
     distinct = (
         c.distinct().groupBy("source").agg(F.count(F.lit(1)).alias("n_distinct"))

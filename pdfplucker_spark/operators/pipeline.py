@@ -941,7 +941,10 @@ def q_docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the weights plan (two corpus shuffles) + a 1-row MAX
     broadcast + a map-side filter. Deterministic across engines, runs,
     partitionings."""
-    w = q_docs_dsir_weights(spark, sf_dir)
+    # persist: the weights frame feeds BOTH the MAX aggregate and the
+    # filtered output (the _shuffle_rank rule — the function creating the
+    # double consumption owns the persist)
+    w = q_docs_dsir_weights(spark, sf_dir).persist()
     mx = w.agg(F.max("logw_micro").alias("mx"))
     u = (
         (

@@ -188,42 +188,61 @@ def _cms_key() -> F.Column:
     return F.coalesce(F.col("user_id").cast("string"), F.lit("∅null"))
 
 
-def q_events_cms_heavy_hitters(
-    spark: SparkSession, sf_dir: str, w: int = CMS_W
-) -> DataFrame:
-    """Per heavy-hitter user: exact event count and the CMS estimate from
-    a d=4 × w counter grid (md5-based hash family, identical in both
-    engines; w defaults to CMS_W=64). Rows: the top-CMS_TOPK users by
-    exact count (exact_n DESC, user_id ASC — deterministic at ties)."""
+def cms_bucket(i: int, col: F.Column, w: int = CMS_W) -> F.Column:
+    """THE CMS hash family (Spark side): row i's bucket for a key column.
+    One definition — the batch operators, the width sweep, and the
+    streaming board all import this, so a salt or width change cannot
+    silently fork the grid between consumers."""
     from pdfplucker_spark.functions.hashing import md5_long
 
-    CMS_W = w  # shadow: the grid width under audit
+    return (md5_long(F.concat(F.lit(f"cms{i}:"), col)) % w).cast("int")
+
+
+def sql_cms_bucket(i: int, expr: str, w: int = CMS_W) -> str:
+    """THE CMS hash family (DuckDB side) — mirrors cms_bucket exactly."""
+    from pdfplucker_spark.functions.hashing import sql_md5_long
+
+    salted = f"'cms{i}:' || {expr}"
+    return f"CAST({sql_md5_long(salted)} % {w} AS INT)"
+
+
+def _cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted per-user exact counts — width-invariant, so the accuracy
+    curve builds it ONCE and sweeps widths over the same frame (it feeds
+    the grid build and the top-k selection at every width)."""
     ev = load(spark, sf_dir, "events")
-    counts = (
+    return (
         ev.select("user_id", _cms_key().alias("k"))
         .groupBy("user_id", "k")
         .agg(F.count(F.lit(1)).alias("exact_n"))
-        .persist()  # feeds the grid build AND the top-k selection
+        .persist()
     )
 
-    def bucket(i: int, col: F.Column) -> F.Column:
-        return (md5_long(F.concat(F.lit(f"cms{i}:"), col)) % CMS_W).cast("int")
 
+def _cms_topk_from_counts(counts: DataFrame, w: int) -> DataFrame:
     grid = None
     for i in range(CMS_D):
         part = counts.select(
-            F.lit(i).alias("row_i"), bucket(i, F.col("k")).alias("bucket"), "exact_n"
+            F.lit(i).alias("row_i"),
+            cms_bucket(i, F.col("k"), w).alias("bucket"),
+            "exact_n",
         )
         grid = part if grid is None else grid.unionByName(part)
     counters = grid.groupBy("row_i", "bucket").agg(F.sum("exact_n").alias("c"))
 
-    topk = counts.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(CMS_TOPK)
+    # tie-break on the NON-NULL key image k: Spark's asc() is NULLS FIRST
+    # while DuckDB's ASC is NULLS LAST, so ordering by the nullable
+    # user_id would let the engines pick different top-K sets when a NULL
+    # key ties at the cutoff
+    topk = counts.orderBy(F.desc("exact_n"), F.asc("k")).limit(CMS_TOPK)
     est = topk
     for i in range(CMS_D):
         ci = counters.where(F.col("row_i") == i).select(
             F.col("bucket").alias(f"b{i}"), F.col("c").alias(f"c{i}")
         )
-        est = est.join(F.broadcast(ci), bucket(i, F.col("k")) == F.col(f"b{i}"))
+        est = est.join(
+            F.broadcast(ci), cms_bucket(i, F.col("k"), w) == F.col(f"b{i}")
+        )
     return est.select(
         "user_id",
         "exact_n",
@@ -231,44 +250,50 @@ def q_events_cms_heavy_hitters(
     )
 
 
-def _sql_cms_heavy_hitters(w: int = CMS_W) -> str:
-    from pdfplucker_spark.functions.hashing import sql_md5_long
+def q_events_cms_heavy_hitters(
+    spark: SparkSession, sf_dir: str, w: int = CMS_W
+) -> DataFrame:
+    """Per heavy-hitter user: exact event count and the CMS estimate from
+    a d=4 × w counter grid (md5-based hash family, identical in both
+    engines; w defaults to CMS_W=64). Rows: the top-CMS_TOPK users by
+    exact count (exact_n DESC, key-image ASC — deterministic at ties and
+    NULL-safe in both engines)."""
+    return _cms_topk_from_counts(_cms_counts(spark, sf_dir), w)
 
-    CMS_W = w  # shadow: the grid width under audit
 
-    def bucket(i: int, expr: str) -> str:
-        salted = f"'cms{i}:' || {expr}"
-        return f"CAST({sql_md5_long(salted)} % {CMS_W} AS INT)"
-
+def _sql_cms_heavy_hitters(w: int = CMS_W, with_counts: bool = True) -> str:
     grid = "\n  UNION ALL\n".join(
-        f"  SELECT {i} AS row_i, {bucket(i, 'k')} AS bucket, exact_n FROM counts"
+        f"  SELECT {i} AS row_i, {sql_cms_bucket(i, 'k', w)} AS bucket,"
+        " exact_n FROM counts"
         for i in range(CMS_D)
     )
     joins = "\n".join(
-        f"JOIN counters c{i} ON c{i}.row_i = {i} AND c{i}.bucket = {bucket(i, 't.k')}"
+        f"JOIN counters{w} c{i} ON c{i}.row_i = {i} "
+        f"AND c{i}.bucket = {sql_cms_bucket(i, 't.k', w)}"
         for i in range(CMS_D)
     )
     least = ", ".join(f"c{i}.c" for i in range(CMS_D))
-    return f"""
-WITH counts AS MATERIALIZED (
+    counts_cte = """counts AS MATERIALIZED (
   SELECT user_id, coalesce(CAST(user_id AS VARCHAR), '∅null') AS k,
          COUNT(*) AS exact_n
   FROM events GROUP BY user_id
 ),
-grid AS (
+""" if with_counts else ""
+    return f"""
+WITH {counts_cte}grid{w} AS (
 {grid}
 ),
-counters AS MATERIALIZED (
+counters{w} AS MATERIALIZED (
   SELECT row_i, bucket, CAST(SUM(exact_n) AS BIGINT) AS c
-  FROM grid GROUP BY row_i, bucket
+  FROM grid{w} GROUP BY row_i, bucket
 ),
-topk AS (
+topk{w} AS (
   SELECT user_id, k, exact_n FROM counts
-  ORDER BY exact_n DESC, user_id ASC LIMIT {CMS_TOPK}
+  ORDER BY exact_n DESC, k ASC LIMIT {CMS_TOPK}
 )
 SELECT t.user_id, CAST(t.exact_n AS BIGINT) AS exact_n,
        least({least}) AS cms_estimate
-FROM topk t
+FROM topk{w} t
 {joins}
 """
 
@@ -283,11 +308,14 @@ def q_events_cms_accuracy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The number a deployment actually tunes by — the CMS error-vs-width
     CURVE (the sim_ann_recall precedent applied to the sketch tier): the
     same top-K audit at w ∈ {CMS_W_SWEEP}, one row per (w, user), so the
-    overestimate column shows directly what doubling the grid buys.
+    overestimate column shows directly what doubling the grid buys. The
+    width-invariant counts frame is built and persisted ONCE and shared
+    by every width (one corpus shuffle, not one per sweep point).
     Deterministic end to end — the curve is a full hash-exact record."""
+    counts = _cms_counts(spark, sf_dir)
     out = None
     for w in CMS_W_SWEEP:
-        part = q_events_cms_heavy_hitters(spark, sf_dir, w=w).select(
+        part = _cms_topk_from_counts(counts, w).select(
             F.lit(w).alias("grid_w"), "user_id", "exact_n", "cms_estimate"
         )
         out = part if out is None else out.unionByName(part)
@@ -295,7 +323,8 @@ def q_events_cms_accuracy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_CMS_ACCURACY_CURVE = "\nUNION ALL\n".join(
-    f"SELECT {w} AS grid_w, user_id, exact_n, cms_estimate FROM ({_sql_cms_heavy_hitters(w)})"
+    f"SELECT {w} AS grid_w, user_id, exact_n, cms_estimate"
+    f" FROM ({_sql_cms_heavy_hitters(w)})"
     for w in CMS_W_SWEEP
 )
 

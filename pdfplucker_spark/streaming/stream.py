@@ -1562,13 +1562,9 @@ def stream_cms_topk_terms(
 
     from pyspark.sql import Window, functions as F
 
-    from pdfplucker_spark.functions.hashing import md5_long
-    from pdfplucker_spark.operators.sketches import CMS_D, CMS_W
+    from pdfplucker_spark.operators.sketches import CMS_D, cms_bucket as bucket
 
     index_dir = output_dir + "_index"
-
-    def bucket(i: int, col):
-        return (md5_long(F.concat(F.lit(f"cms{i}:"), col)) % CMS_W).cast("int")
 
     src = (
         spark.readStream.schema(
@@ -1700,13 +1696,12 @@ def q_stream_cms_topk_terms(spark: SparkSession, sf_dir: str):
 
 def _sql_stream_cms_topk_terms() -> str:
     from pdfplucker_spark.functions.hashing import sql_md5_long
-    from pdfplucker_spark.operators.sketches import CMS_D, CMS_W
+    from pdfplucker_spark.operators.sketches import (
+        CMS_D,
+        sql_cms_bucket as bucket,
+    )
 
     gate = sql_md5_long("'ct:' || CAST(doc_id AS VARCHAR)")
-
-    def bucket(i: int, expr: str) -> str:
-        salted = f"'cms{i}:' || {expr}"
-        return f"CAST({sql_md5_long(salted)} % {CMS_W} AS INT)"
 
     gridw = "\n  UNION ALL\n".join(
         f"  SELECT bno, {i} AS row_i, {bucket(i, 'term')} AS bucket,"

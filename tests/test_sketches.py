@@ -129,7 +129,10 @@ def test_cms_matches_pure_python_replica_and_only_overestimates(spark):
 
     rows = q_events_cms_heavy_hitters(spark, SF).collect()
     assert len(rows) == min(CMS_TOPK, len(exact))
-    want_top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOPK]
+    key_img = lambda u: str(u) if u is not None else "∅null"
+    want_top = sorted(exact.items(), key=lambda kv: (-kv[1], key_img(kv[0])))[
+        :CMS_TOPK
+    ]
     assert sorted(r.user_id for r in rows) == sorted(u for u, _ in want_top)
     for r in rows:
         k = str(r.user_id) if r.user_id is not None else "∅null"
