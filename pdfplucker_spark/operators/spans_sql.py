@@ -777,6 +777,10 @@ def q_spans_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     parser recovers from heading spans: each title/section_header span in
     reading order opens a new section owning every span up to the next
     heading (spans before the first heading form section 0, header NULL).
+    Reference analogue: none — the reference FLATTENS headings into
+    markdown prefixes ('# '/'## ', utils.py:52-53,72-73) and discards the
+    hierarchy; this operator keeps the section table a chunking/retrieval
+    stage needs, which the flat markdown cannot recover without re-parsing.
     Output per (doc, section): the heading text, span count, text mass,
     and the [start_offset, end_offset] reading-order interval — the table
     a chunking/retrieval stage consumes to split documents on semantic

@@ -2106,3 +2106,72 @@ def test_winnow_clusters_are_pair_graph_components(spark):
         for d in members:
             assert got[d] == (lab, len(members))
     spark.catalog.clearCache()
+
+
+def test_cdc_chunks_fuzz_vs_python_replica(spark, tmp_path):
+    """Property fuzz (hypothesis corpus-level: one Spark run per example,
+    few examples — the Spark-operator analogue of the local-kernel fuzz):
+    on arbitrary token streams (unicode, repeats, empties, None text) the
+    CDC chunk table equals the pure-Python replica of the cut rule, and
+    chunks always tile the document."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.dedup import CDC_DIVISOR, q_docs_cdc_chunks
+
+    TOK = st.sampled_from(
+        ["a", "b", "the", "quick", "ação", "東京", "🙂", "x1", "zz", "word",
+         "nav", "repeat", "repeat", "q", "末尾"]
+    )
+    DOCTEXT = st.one_of(
+        st.none(),
+        st.lists(TOK, min_size=0, max_size=30).map(lambda t: " ".join(t)),
+    )
+
+    def cut(tok):
+        h = int(hashlib.md5(f"cdc:{tok}".encode()).hexdigest()[:15], 16)
+        return h % CDC_DIVISOR == 0
+
+    def replica(text):
+        out, cur = [], []
+        for t in (text or "").split(" "):
+            cur.append(t)
+            if cut(t):
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(DOCTEXT, min_size=1, max_size=6))
+    def run(texts):
+        counter[0] += 1
+        path = f"{tmp_path}/fz{counter[0]}"
+        rows = [
+            Row(doc_id=i + 1, text=t, lang="en", source="s", n_chars=1)
+            for i, t in enumerate(texts)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{path}/documents.parquet")
+        got = defaultdict(list)
+        for r in q_docs_cdc_chunks(spark, path).collect():
+            got[r.doc_id].append(r)
+        assert set(got) == {i + 1 for i in range(len(texts))}
+        for i, t in enumerate(texts):
+            cs = sorted(got[i + 1], key=lambda r: r.chunk_idx)
+            exp = replica(t)
+            assert [c.chunk_text for c in cs] == exp, (t, cs)
+            assert " ".join(c.chunk_text for c in cs) == (t or "")
+            for c in cs:
+                assert c.n_tokens == len(c.chunk_text.split(" "))
+                assert c.chunk_hash == hashlib.md5(
+                    c.chunk_text.encode()
+                ).hexdigest()
+
+    run()
