@@ -2175,3 +2175,55 @@ def test_cdc_chunks_fuzz_vs_python_replica(spark, tmp_path):
                 ).hexdigest()
 
     run()
+
+
+def test_token_entropy_fuzz_vs_shannon_replica(spark, tmp_path):
+    """Corpus-level fuzz: on arbitrary unicode/empty/None token streams
+    the operator's entropy stays within the micro-grid tolerance of the
+    pure-Python Shannon value and the count columns are exact."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import Row
+
+    from pdfplucker_spark.operators.pipeline import q_docs_token_entropy
+
+    TOK = st.sampled_from(
+        ["a", "b", "b", "the", "ação", "東京", "🙂", "x1", "zz", "w", "w", "末尾"]
+    )
+    DOCTEXT = st.one_of(
+        st.none(),
+        st.lists(TOK, min_size=0, max_size=40).map(lambda t: " ".join(t)),
+    )
+
+    def shannon(toks):
+        n = len(toks)
+        cnt = {}
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        return math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(DOCTEXT, min_size=1, max_size=6))
+    def run(texts):
+        counter[0] += 1
+        path = f"{tmp_path}/ez{counter[0]}"
+        rows = [
+            Row(doc_id=i + 1, text=t, lang="en", source="s", n_chars=1)
+            for i, t in enumerate(texts)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{path}/documents.parquet")
+        got = {r.doc_id: r for r in q_docs_token_entropy(spark, path).collect()}
+        assert set(got) == {i + 1 for i in range(len(texts))}
+        for i, t in enumerate(texts):
+            toks = (t or "").split(" ")
+            r = got[i + 1]
+            assert r.n_tokens == len(toks)
+            assert r.n_distinct_tokens == len(set(toks))
+            assert abs(r.token_entropy - shannon(toks)) <= 5e-6, (t, r)
+
+    run()
