@@ -201,6 +201,11 @@ def _verify_jaccard(
     ratio = F.least(F.size("ta.toks"), F.size("tb.toks")).cast(
         "double"
     ) / F.greatest(F.size("ta.toks"), F.size("tb.toks"))
+    # ONE array pass per surviving pair: both sides are distinct arrays, so
+    # |U| = |A| + |B| - |I| exactly — the same two integers divide, so the
+    # double (and its round) is bit-identical to the intersect/union form,
+    # at half the per-pair hash-set work (array_union cost ~ array_intersect)
+    isz = F.size(F.array_intersect("ta.toks", "tb.toks"))
     return (
         cand.join(toks.alias("ta"), F.col(left) == F.col("ta.doc_id"))
         .join(toks.alias("tb"), F.col(right) == F.col("tb.doc_id"))
@@ -209,8 +214,8 @@ def _verify_jaccard(
             left,
             right,
             (
-                F.size(F.array_intersect("ta.toks", "tb.toks")).cast("double")
-                / F.size(F.array_union("ta.toks", "tb.toks"))
+                isz.cast("double")
+                / (F.size("ta.toks") + F.size("tb.toks") - isz)
             ).alias("jac"),
         )
         .where(F.col("jac") >= threshold)
@@ -644,11 +649,15 @@ def q_dedup_ngram_pairs(
     fires on the driver corpora (test_scale_guards)."""
     d = load(spark, sf_dir, "documents")
     # persist: sh feeds the explode AND the exact-Jaccard verify join;
-    # the exploded index feeds the df aggregation, the rank join and the
+    # the exploded index feeds the df aggregation, the rank window and the
     # prefix self-join
     sh = shingles_frame(d).persist()
-    ex = sh.select("doc_id", F.explode("sh").alias("g")).persist()
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # sz rides the explode: |sh(X)| is size(sh) — no per-doc counting
+    # aggregation (and no sizes join) is needed, the exploded row count per
+    # doc IS the array length
+    ex = sh.select(
+        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("g")
+    ).persist()
     # ONE shared guard pass: filtered index + surviving document
     # frequencies from the same aggregation (shingles are distinct per doc)
     index, _ = drop_oversized_buckets(
@@ -662,7 +671,7 @@ def q_dedup_ngram_pairs(
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy(F.asc("_occ"), F.asc("g"))
         ),
-    ).join(sizes, "doc_id")
+    )
     # prefix bound uses the FULL |sh(X)| even though r ranks only in-index
     # shingles — under the cap the prefix can only get longer than the
     # lossless minimum, so the filter stays valid

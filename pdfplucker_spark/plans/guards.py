@@ -68,6 +68,33 @@ def drop_oversized_buckets(
             return keys
         occ = keys.groupBy(*cols).agg(F.count("*").alias("_occ")).persist()
         return keys.join(occ, cols), occ
+    if not with_occupancy:
+        # Filter by broadcast ANTI-join against the OVER-cap key set instead
+        # of an inner join against the (corpus-scale, for raw-shingle
+        # guards) surviving set: at most sum(occ)/cap keys can exceed the
+        # cap, so the dropped set is bounded and broadcastable by
+        # construction, and ``keys`` never pays a join-back shuffle — the
+        # guard is one counting aggregation plus a map-side filter. Row
+        # semantics vs the inner-join form: identical for every non-NULL
+        # key; NULL-keyed rows (null-text docs in the *_nulls variants) are
+        # now KEPT, which downstream candidate equi-joins drop anyway —
+        # NULL never equi-joins NULL (the documented dedup-family policy).
+        dropped = (
+            keys.groupBy(*cols)
+            .agg(F.count("*").alias("_occ"))
+            .where(F.col("_occ") > cap)
+            .persist()
+        )
+        n_dropped = dropped.count()
+        if n_dropped:
+            log.warning(
+                "%s: dropped %d over-capacity LSH buckets (cap=%d) — "
+                "non-discriminative keys excluded from the candidate join",
+                log_label,
+                n_dropped,
+                cap,
+            )
+        return keys.join(F.broadcast(dropped.select(*cols)), cols, "left_anti")
     occ = keys.groupBy(*cols).agg(F.count("*").alias("_occ")).persist()
     n_dropped = occ.where(F.col("_occ") > cap).count()
     if n_dropped:
@@ -79,6 +106,4 @@ def drop_oversized_buckets(
             cap,
         )
     surviving = occ.where(F.col("_occ") <= cap)
-    if with_occupancy:
-        return keys.join(surviving, cols), surviving
-    return keys.join(surviving.select(*cols), cols)
+    return keys.join(surviving, cols), surviving
