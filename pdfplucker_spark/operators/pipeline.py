@@ -2680,13 +2680,20 @@ def q_docs_decontaminate_incremental(
         md5_long(F.concat(F.lit("dbatch:"), F.col("doc_id").cast("string")))
         % DECONTAM_BATCH_MOD
     )
+    # the gates are doc-level predicates, so docs outside eval ∪ batch are
+    # dropped BEFORE the shingle explode — the incremental cadence never
+    # tokenizes the standing train corpus it is not screening (at the
+    # driver gates that skips ~90% of the explode; at production scale the
+    # batch slice is the whole point of the operator)
     ex = (
         d.select(
             "doc_id",
             (gate % SAMPLE_MOD == 0).alias("is_eval"),
             (bgate == 0).alias("in_batch"),
-            F.split("text", " ").alias("__tk"),
+            "text",
         )
+        .where(F.col("is_eval") | F.col("in_batch"))
+        .select("doc_id", "is_eval", "in_batch", F.split("text", " ").alias("__tk"))
         .select(
             "doc_id",
             "is_eval",

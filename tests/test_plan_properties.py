@@ -36,9 +36,12 @@ def test_extract_bulk_path_has_no_exchange(spark, tmp_path):
     docs.write.parquet(p)
     routed = balance_docs(spark.read.parquet(p), 8)
     plan = _plan(extract_spans(routed))
-    # the small tier flows scan → filter → mapInArrow with NO exchange;
-    # exactly one exchange total (the giant-tier hash routing)
-    assert plan.count("Exchange") == 1, plan[:3000]
+    # r10: the default path is scan → mapInArrow with NO exchange AND no
+    # second scan — byte-balanced scan splits are the balance (bytes ≈
+    # spans), and the old giant tier's union branch cost a second full
+    # input read (2x scan I/O at every scale)
+    assert plan.count("Exchange") == 0, plan[:3000]
+    assert plan.count("FileScan") == 1, plan[:3000]
     assert "MapInArrow" in plan
 
 
