@@ -492,7 +492,11 @@ def q_dedup_simhash_pairs(
     logged before the self-join (plans/guards.py) — a boilerplate corpus
     collapsing into one fingerprint cannot go quadratic; the oracle
     encodes the same cap."""
-    return _simhash_pairs(load(spark, sf_dir, "documents"), bucket_cap)
+    # fan_out: the fingerprint fold is the heaviest per-row map work in
+    # the module — a single-row-group scan would run it on one core
+    return _simhash_pairs(
+        load(spark, sf_dir, "documents", fan_out=True), bucket_cap
+    )
 
 
 def q_dedup_simhash_pairs_nulls(
@@ -504,31 +508,36 @@ def q_dedup_simhash_pairs_nulls(
     (the dedup-family null policy; without the oracle-side NULL
     propagation every null doc would pair at distance 0)."""
     return _simhash_pairs(
-        docs_with_nulls(load(spark, sf_dir, "documents")), bucket_cap
+        docs_with_nulls(load(spark, sf_dir, "documents", fan_out=True)),
+        bucket_cap,
     )
 
 
 def _simhash_pairs(d: DataFrame, bucket_cap: int | None) -> DataFrame:
-    # persist: the 60-bit fingerprint frame feeds all 20 band projections
+    # persist: the 60-bit fingerprint frame feeds the 20-key band explode
+    # AND (via bands) both sides of the candidate self-join
     sh = (
         d.select("doc_id", F.expr(_TOKEN_HASHES).alias("__th"))
         .select("doc_id", F.expr(_SIMHASH60).alias("simhash"))
         .persist()
     )
-    bands = None
-    for band, (j1, j2, j3) in enumerate(_SIMHASH_TABLES):
-        # table id + 30-bit block key packed into ONE long join key:
-        # a single-column hash/compare in the occupancy agg and the
-        # self-join, and a narrower shuffle row than (int band, long key)
-        part = sh.select(
-            "doc_id",
-            "simhash",
-            (
-                F.lit(band * (1 << 30))
-                + F.expr(_simhash_block_key(j1, j2, j3))
-            ).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # ONE pass emits all 20 table keys per doc (explode of a 20-element
+    # array of cheap shift/masks) instead of a 20-way union of projections
+    # of the cached frame: one cache read and one Generate per stage, and
+    # the partition count stays the scan's instead of multiplying 20x.
+    # Each key packs (table id, 30-bit block triple) into ONE long — a
+    # single-column hash/compare in the occupancy agg and the self-join,
+    # and a narrower shuffle row than (int band, long key). A NULL
+    # fingerprint yields 20 NULL-key rows, exactly as the union did.
+    key_exprs = [
+        f"{band * (1 << 30)}L + ({_simhash_block_key(j1, j2, j3)})"
+        for band, (j1, j2, j3) in enumerate(_SIMHASH_TABLES)
+    ]
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr("array(" + ", ".join(key_exprs) + ")")).alias("bkey"),
+    )
     bands = drop_oversized_buckets(
         bands.persist(), ("bkey",), bucket_cap, "dedup_simhash_pairs"
     )
@@ -1152,7 +1161,9 @@ def q_docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, span_seq, tok_start, tok_end, n_windows) — tok_end exclusive,
     spans ordered by tok_start, n_windows = marked stride-1 windows merged
     into the span."""
-    wins = _substr_wins(load(spark, sf_dir, "documents"))
+    # fan_out: stride-1 window hashing is token-grain map work — a
+    # single-row-group scan would hash the whole corpus on one core
+    wins = _substr_wins(load(spark, sf_dir, "documents", fan_out=True))
     dup = (
         wins.groupBy("wh")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1324,7 +1335,7 @@ def q_docs_substring_dedup_keep_one(
     two counters, not a 10⁸-row single-key sort. The mark join and the
     cut tail are shared with the other variants."""
     d = load(spark, sf_dir, "documents")
-    wins = _substr_wins(d)
+    wins = _substr_wins(load(spark, sf_dir, "documents", fan_out=True))
     k1 = (
         wins.groupBy("wh")
         .agg(F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("kd"))
