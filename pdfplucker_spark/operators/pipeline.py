@@ -1846,6 +1846,11 @@ def _large_star(edges: DataFrame) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     mn = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    # no trailing distinct: every caller pipes this straight into
+    # _small_star, whose min-aggregate ignores duplicates and whose own
+    # trailing distinct dedups the round's output — dropping it removes
+    # one corpus-scale exchange per round (pre-distinct volume here is
+    # O(E) regardless: each symmetrized edge emits at most one row)
     return (
         sym.join(mn, "src")
         .where(F.col("dst") > F.col("src"))
@@ -1853,7 +1858,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
             F.col("dst").alias("src"),
             F.least(F.col("mn"), F.col("src")).alias("dst"),
         )
-        .distinct()
     )
 
 
@@ -1885,11 +1889,14 @@ def connected_components(
     distributed join PER HOP, while star contraction halves distances
     every round (the 24-chain test converges in ≤6 rounds).
 
-    Loop hygiene at cluster scale: every round ``localCheckpoint``s the new
-    edge set (rounds are few, so per-round truncation is cheap and the next
-    round's plan never carries a rounds-deep join chain); the fixpoint
-    check is a count+hash digest of the canonical edge set — a 2-row
-    aggregate, the only driver traffic. The digest hash (xxhash64) is
+    Loop hygiene at cluster scale: every round LAZY-``localCheckpoint``s
+    the new edge set — lineage truncates immediately (the star plans
+    reference their input many times, so an untruncated loop plan grows
+    exponentially in rounds) while materialization happens inside the
+    digest job, so each round costs ONE job where the r9 eager form paid
+    a checkpoint job plus a digest job; the fixpoint check is a
+    count+hash digest of the canonical edge set — a 2-row aggregate, the
+    only driver traffic. The digest hash (xxhash64) is
     internal control flow only, never oracle-compared: both engines see
     only the converged labels. ``max_iters`` is a safety net that LOGS
     when hit (star contraction may then not have merged distant nodes —
@@ -1911,12 +1918,16 @@ def connected_components(
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _digest(e: DataFrame):
         # deterministic edge-set fingerprint: count + order-independent
-        # hash sum (internal convergence control only — see docstring)
+        # hash sum (internal convergence control only — see docstring).
+        # Running it against the just-persisted frame makes ONE job both
+        # materialize the round's edge set into cache and compute the
+        # fixpoint check — the r9 shape paid a localCheckpoint job PLUS a
+        # digest job per round, doubling the loop's fixed job latency.
         row = e.agg(
             F.count("*").alias("n"),
             # decimal sum: order-independent AND overflow-free under ANSI
@@ -1931,11 +1942,15 @@ def connected_components(
     for i in range(max_iters):
         if converged:
             break
-        # eager localCheckpoint: materializes AND truncates lineage — the
-        # next round's plan starts from stored partitions, never a
-        # rounds-deep join chain
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
-        nd = _digest(new_edges)
+        # LAZY localCheckpoint: truncates the logical lineage NOW (the
+        # star plans reference their input many times, so an untruncated
+        # loop plan grows exponentially in rounds) but materializes only
+        # when the digest action runs — one job per round where the r9
+        # eager form paid a checkpoint job PLUS a digest job
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(
+            eager=False
+        )
+        nd = _digest(new_edges)  # one job: checkpoint fill + fixpoint check
         edges = new_edges
         rounds = i + 1
         if nd == digest:
