@@ -219,7 +219,21 @@ def _cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cms_topk_from_counts(counts: DataFrame, w: int) -> DataFrame:
+def _cms_topk(counts: DataFrame) -> DataFrame:
+    """The width-INVARIANT top-K selection (TakeOrdered over the counts
+    frame). Split out of the per-width estimator so the accuracy sweep
+    computes it once instead of once per sweep point (r9 advice).
+
+    Tie-break on the NON-NULL key image k: Spark's asc() is NULLS FIRST
+    while DuckDB's ASC is NULLS LAST, so ordering by the nullable
+    user_id would let the engines pick different top-K sets when a NULL
+    key ties at the cutoff."""
+    return counts.orderBy(F.desc("exact_n"), F.asc("k")).limit(CMS_TOPK)
+
+
+def _cms_topk_from_counts(
+    counts: DataFrame, w: int, topk: DataFrame | None = None
+) -> DataFrame:
     grid = None
     for i in range(CMS_D):
         part = counts.select(
@@ -230,12 +244,7 @@ def _cms_topk_from_counts(counts: DataFrame, w: int) -> DataFrame:
         grid = part if grid is None else grid.unionByName(part)
     counters = grid.groupBy("row_i", "bucket").agg(F.sum("exact_n").alias("c"))
 
-    # tie-break on the NON-NULL key image k: Spark's asc() is NULLS FIRST
-    # while DuckDB's ASC is NULLS LAST, so ordering by the nullable
-    # user_id would let the engines pick different top-K sets when a NULL
-    # key ties at the cutoff
-    topk = counts.orderBy(F.desc("exact_n"), F.asc("k")).limit(CMS_TOPK)
-    est = topk
+    est = topk if topk is not None else _cms_topk(counts)
     for i in range(CMS_D):
         ci = counters.where(F.col("row_i") == i).select(
             F.col("bucket").alias(f"b{i}"), F.col("c").alias(f"c{i}")
@@ -261,7 +270,7 @@ def q_events_cms_heavy_hitters(
     return _cms_topk_from_counts(_cms_counts(spark, sf_dir), w)
 
 
-def _sql_cms_heavy_hitters(w: int = CMS_W, with_counts: bool = True) -> str:
+def _sql_cms_heavy_hitters(w: int = CMS_W) -> str:
     grid = "\n  UNION ALL\n".join(
         f"  SELECT {i} AS row_i, {sql_cms_bucket(i, 'k', w)} AS bucket,"
         " exact_n FROM counts"
@@ -273,12 +282,14 @@ def _sql_cms_heavy_hitters(w: int = CMS_W, with_counts: bool = True) -> str:
         for i in range(CMS_D)
     )
     least = ", ".join(f"c{i}.c" for i in range(CMS_D))
+    # always emitted: every caller needs the counts CTE (the r9 advice
+    # flagged the never-exercised with_counts=False branch — dropped)
     counts_cte = """counts AS MATERIALIZED (
   SELECT user_id, coalesce(CAST(user_id AS VARCHAR), '∅null') AS k,
          COUNT(*) AS exact_n
   FROM events GROUP BY user_id
 ),
-""" if with_counts else ""
+"""
     return f"""
 WITH {counts_cte}grid{w} AS (
 {grid}
@@ -313,9 +324,13 @@ def q_events_cms_accuracy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     by every width (one corpus shuffle, not one per sweep point).
     Deterministic end to end — the curve is a full hash-exact record."""
     counts = _cms_counts(spark, sf_dir)
+    # the top-K set is width-invariant: select it ONCE (persisted — every
+    # sweep point joins against it) instead of re-running the global sort
+    # + limit per width (r9 advice #2)
+    topk = _cms_topk(counts).persist()
     out = None
     for w in CMS_W_SWEEP:
-        part = _cms_topk_from_counts(counts, w).select(
+        part = _cms_topk_from_counts(counts, w, topk=topk).select(
             F.lit(w).alias("grid_w"), "user_id", "exact_n", "cms_estimate"
         )
         out = part if out is None else out.unionByName(part)
