@@ -65,6 +65,26 @@ def load(
 # ---------------------------------------------------------------------------
 # derived interleaved spans — Spark side
 # ---------------------------------------------------------------------------
+_DERIVED_KINDS = [
+    "section_header",
+    "paragraph",
+    "text",
+    "list_item",
+    "caption",
+    "table",
+    "picture",
+    "page_break",
+    "title",
+    "footnote",
+    "formula",
+    "reference",
+    "page_footer",
+    "checkbox_selected",
+    "checkbox_unselected",
+    "code",
+]
+
+
 def derived_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id string, kind, text, media_ref, offset) — one span per token."""
     d = load(spark, sf_dir, "documents")
@@ -77,29 +97,7 @@ def derived_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "doc_id",
         F.element_at(
-            F.array(
-                *[
-                    F.lit(k)
-                    for k in [
-                        "section_header",
-                        "paragraph",
-                        "text",
-                        "list_item",
-                        "caption",
-                        "table",
-                        "picture",
-                        "page_break",
-                        "title",
-                        "footnote",
-                        "formula",
-                        "reference",
-                        "page_footer",
-                        "checkbox_selected",
-                        "checkbox_unselected",
-                        "code",
-                    ]
-                ]
-            ),
+            F.array(*[F.lit(k) for k in _DERIVED_KINDS]),
             (cyc + 1).cast("int"),
         ).alias("kind"),
         F.when(cyc == 5, F.concat(F.lit("|"), F.col("tok"), F.lit("|")))
@@ -117,23 +115,50 @@ def derived_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def derived_spans_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, spans array<struct>) — engine-ready input table."""
-    flat = derived_spans_flat(spark, sf_dir)
-    return flat.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
-        ).alias("_s")
-    ).select(
-        "doc_id",
-        F.transform(
-            "_s",
-            lambda s: F.struct(
-                s["kind"].alias("kind"),
-                s["text"].alias("text"),
-                s["media_ref"].alias("media_ref"),
-                s["offset"].alias("offset"),
-            ),
-        ).alias("spans"),
+    """(doc_id, spans array<struct>) — engine-ready input table.
+
+    Built MAP-ONLY with an index-aware ``transform`` over the token array:
+    span i of a doc is a pure function of (token_i, i), and transform
+    preserves array order — so the r1-r9 explode → corpus shuffle on
+    doc_id → collect_list → array_sort round trip (a full shuffle plus a
+    per-doc sort, just to reassemble an order the array already had) is
+    gone. Row-for-row identical to building from ``derived_spans_flat``
+    (pytest-pinned); the fan-out load parallelizes the downstream
+    extraction kernel the same way the flat path's shuffle did."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+
+    def _span(tok, i):
+        cyc = i % 16
+        blk = F.floor(i / 16).cast("long")
+        kind = F.element_at(
+            F.array(*[F.lit(k) for k in _DERIVED_KINDS]), (cyc + 1).cast("int")
+        )
+        text = (
+            F.when(cyc == 5, F.concat(F.lit("|"), tok, F.lit("|")))
+            .when(cyc == 6, F.concat(F.lit("chart:0."), (blk % 10).cast("string")))
+            .when(cyc == 7, F.lit(None).cast("string"))
+            .otherwise(tok)
+        )
+        media_ref = (
+            F.when(cyc.isin(4, 5), F.concat(F.lit("#/tables/"), blk.cast("string")))
+            .when(cyc == 6, F.concat(F.lit("#/pictures/"), blk.cast("string")))
+            .when(cyc == 7, (blk % 5 + 1).cast("string"))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return F.struct(
+            kind.alias("kind"),
+            text.alias("text"),
+            media_ref.alias("media_ref"),
+            i.cast("int").alias("offset"),
+        )
+
+    return (
+        d.where(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.split("text", " ").alias("__tk"),
+        )
+        .select("doc_id", F.transform("__tk", _span).alias("spans"))
     )
 
 

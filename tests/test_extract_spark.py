@@ -117,3 +117,55 @@ def test_no_shuffle_in_extract_plan(spark):
     df = extract_spans(_spark_df_from_rows(spark, list(EDGE_DOCS)))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_derived_spans_nested_is_map_only_and_matches_flat(spark):
+    """r10: the nested spans table is built with an index-aware transform
+    (map-only) instead of explode -> shuffle -> collect_list -> sort. Pin
+    (a) row-for-row equality with the flat-derived reassembly and (b) the
+    no-Exchange plan shape."""
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.sources.tables import (
+        derived_spans_flat,
+        derived_spans_nested,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    flat = derived_spans_flat(spark, sf)
+    rebuilt = (
+        flat.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ).alias("_s")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "_s",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+        .select("doc_id", F.to_json("spans").alias("j"))
+    )
+    nested = derived_spans_nested(spark, sf).select(
+        "doc_id", F.to_json("spans").alias("j")
+    )
+    assert rebuilt.exceptAll(nested).count() == 0
+    assert nested.exceptAll(rebuilt).count() == 0
+    plan = (
+        derived_spans_nested(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one round-robin fan-out exchange at most (the under-parallel-scan
+    # fix); never a hashpartitioning reassembly shuffle
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "collect_list" not in plan, plan[:2000]
