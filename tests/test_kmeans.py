@@ -361,3 +361,39 @@ def test_ivfpq_residual_exact_copy_of_codebook_seed_scores_zero(spark):
     assert all(r.adc_d2_micro > 0 for r in top[2:])
     assert narrow and all(r.adc_d2_micro >= 0 for r in narrow)
     spark.catalog.clearCache()
+
+
+def test_kcenter_round_plan_size_stays_flat(spark):
+    """r10 (r9 verdict #7): chosen-id exclusion is folded into the running
+    state (one equality predicate on the frame the round rewrites), so the
+    per-round plan text must not grow with the selection count — the r9
+    isin-list form grew O(k) literals per round."""
+    from pyspark.sql import functions as F
+
+    from pdfplucker_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sizes = []
+    real_checkpoint = None
+
+    # capture the state frame's plan size each round via the checkpoint
+    # boundary: measure the ANALYZED plan just before truncation
+    pts = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    seed = pts.orderBy(F.asc("vec_id")).limit(1).collect()[0]
+    cvec = F.array(*[F.lit(float(x)) for x in seed.v])
+    cur = (
+        pts.where(F.col("vec_id") != int(seed.vec_id))
+        .select("vec_id", "v", sim._d2_cols(F.col("v"), cvec).alias("best_d2"))
+        .localCheckpoint()
+    )
+    for i in range(2, 9):
+        far = cur.orderBy(F.desc("best_d2"), F.asc("vec_id")).limit(1).collect()[0]
+        cvec = F.array(*[F.lit(float(x)) for x in far.v])
+        nxt = cur.where(F.col("vec_id") != int(far.vec_id)).select(
+            "vec_id", "v", F.least("best_d2", sim._d2_cols(F.col("v"), cvec)).alias("best_d2")
+        )
+        sizes.append(len(nxt._jdf.queryExecution().analyzed().toString()))
+        cur = nxt.localCheckpoint()
+    # flat: every round's pre-checkpoint plan is the same size (the center
+    # literals differ in VALUE only, never in count)
+    assert max(sizes) - min(sizes) < 200, sizes
