@@ -659,7 +659,9 @@ def q_dedup_ngram_pairs(
     ``bucket_cap`` document frequency are dropped-and-logged
     (plans/guards.py) exactly as in the containment joins; the cap never
     fires on the driver corpora (test_scale_guards)."""
-    d = load(spark, sf_dir, "documents")
+    # fan_out: tokenize+shingle is the heaviest pre-exchange map work in
+    # the prefix-join pipeline (interleaved A/B: 1.99 -> 1.86 s min)
+    d = load(spark, sf_dir, "documents", fan_out=True)
     # persist: sh feeds the explode AND the exact-Jaccard verify join;
     # the exploded index feeds the df aggregation, the rank window and the
     # prefix self-join
@@ -800,7 +802,7 @@ def q_dedup_containment_pairs(
     denominator stays the UNguarded |shingles(A)| in both engines.
     Production corpora would add prefix filtering on top; the df cap is
     what makes the worst case bounded."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     ex = shingles_frame(d).select("doc_id", F.explode("sh").alias("g")).persist()
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz_a"))
     exg = drop_oversized_buckets(ex, ("g",), df_cap, "dedup_containment_pairs")
@@ -860,7 +862,7 @@ def q_dedup_containment_prefix(
     ``q_dedup_containment_pairs`` (asserted by pytest). The df cap still
     guards the degenerate corpus; the df ordering it needs is the same
     aggregation, shared."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     ex = shingles_frame(d).select("doc_id", F.explode("sh").alias("g")).persist()
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz_a"))
     # ONE shared guard pass: the filtered index AND the surviving
