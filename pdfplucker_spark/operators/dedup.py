@@ -1420,8 +1420,12 @@ def q_docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash projection (md5 ONCE per k-gram; the collapsed alternative
     re-hashes once per window, plan-pinned out), one per-window fold
     projection, explode, then a (doc_id, pos, hash) distinct on uniform
-    keys. No joins anywhere."""
-    d = load(spark, sf_dir, "documents")
+    keys. No joins anywhere. The md5 stays INSIDE the k-gram transform
+    (unlike the ExactSubstr r10 hoist) because the window fold consumes
+    the hash ARRAY in place — moving the hash post-explode would need a
+    re-collect shuffle. fan_out: the per-k-gram md5 is heavy pre-exchange
+    map work."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
     return (
         d.where(F.col("text").isNotNull())
         .select("doc_id", F.split("text", " ").alias("t"))
